@@ -1,0 +1,114 @@
+"""Page extraction kernels — the byte-identity-critical transforms.
+
+Reproduces the goldie extraction profile (the one the reference's golden
+tests pin, tests/test_goldie.py:35-86):
+
+  - ``clean_html``      -> louis/crawler/spiders/goldie.py:47-61 (M4)
+  - ``extract_title``   -> goldie.py:11-12 (M6)
+  - ``extract_last_updated`` -> goldie.py:13 (M7)
+  - ``extract_page``    -> goldie.py:10-45 (convert_to_crawl_item)
+
+Pure functions over HTML strings; the Ray stage maps them over Arrow
+columns in stages/extract.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .dom import Element, parse_html, strip_comments
+from .urls import detect_language, extract_children, extract_links, fix_vhost
+
+_WS_RE = re.compile(r"\s+")
+
+# selectors dropped from <main> before serialization (goldie.py:49-53)
+_NOISE_TAGS = ("aside", "script")
+_NOISE_CLASSES = ("pagedetails", "nojs-hide", "alert")
+
+
+def normalize_ws(s: str) -> str:
+    """``re.sub(r'\\s+', ' ', s).strip()`` — the reference's whitespace
+    normalizer, applied to titles, cleaned html and chunk text
+    (goldie.py:12,61, chunking.py:24). Semantics-bearing (M10)."""
+    return _WS_RE.sub(" ", s).strip()
+
+
+def clean_html(html: str) -> str:
+    """Clean a page to its <main> content (goldie.py:47-61):
+
+    1. select the first <main> element;
+    2. drop aside, .pagedetails, script, .nojs-hide, .alert subtrees;
+    3. strip HTML comments;
+    4. serialize, wrapped in <html><body>...</body></html> — mirroring
+       BeautifulSoup(main_html, 'lxml')'s document promotion, whose
+       ``str(soup)`` output starts '<html><body><main...' ;
+    5. collapse whitespace runs to single spaces and strip.
+
+    Returns '' when the page has no <main> (reference raises there; our
+    synthetic corpus always has one — '' marks malformed input as data,
+    not fault).
+    """
+    doc = parse_html(html)
+    main = doc.find("main")
+    if main is None:
+        return ""
+    for tag in _NOISE_TAGS:
+        for el in main.find_all(tag):
+            el.extract()
+    for cls in _NOISE_CLASSES:
+        for el in main.select_class(cls):
+            el.extract()
+    strip_comments(main)
+    content = "<html><body>" + main.to_html() + "</body></html>"
+    return normalize_ws(content)
+
+
+def extract_title(doc: Element) -> str:
+    """Join ALL //title/text() with ' ', collapse whitespace
+    (goldie.py:11-12)."""
+    titles = [t.get_text() for t in doc.find_all("title")]
+    return normalize_ws(" ".join(titles))
+
+
+def extract_last_updated(doc: Element):
+    """First //time/text() or None (goldie.py:13)."""
+    t = doc.find("time")
+    return t.get_text() if t is not None else None
+
+
+def extract_hrefs(doc: Element) -> list[str]:
+    """All a::attr(href) in document order (goldie.py:23, requests.py:5)."""
+    return [a.attrs["href"] for a in doc.find_all("a") if "href" in a.attrs and isinstance(a.attrs["href"], str)]
+
+
+def extract_page(
+    url: str,
+    html: str,
+    now: int = 0,
+    allowed_domains: list[str] | None = None,
+) -> dict:
+    """Full goldie ``convert_to_crawl_item`` (goldie.py:10-45) plus the
+    M2 link set used for new frontier requests (requests.py:4-20).
+
+    ``now`` is the injected clock (deterministic in tests; reference
+    uses int(time.time()), goldie.py:16).
+
+    Returns one record dict with both ``children`` (M3 list, stored on
+    the item) and ``links`` (M2 filtered+canonicalized URLs that become
+    new frontier candidates).
+    """
+    doc = parse_html(html)
+    title = extract_title(doc)
+    last_updated = extract_last_updated(doc)
+    hrefs = extract_hrefs(doc)
+    canon_url = fix_vhost(url)
+    return {
+        "url": canon_url,
+        "title": title,
+        "lang": detect_language(canon_url),
+        "html_content": clean_html(html),
+        "last_crawled": now,
+        "last_updated": last_updated,
+        "children": extract_children(hrefs, url, allowed_domains),
+        "links": extract_links(hrefs, url),
+    }

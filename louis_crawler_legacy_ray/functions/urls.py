@@ -1,0 +1,114 @@
+"""URL kernels: canonicalization, link extraction/filtering, hashing.
+
+Reproduces the semantics of the reference's URL handling:
+  - ``fix_vhost``            -> louis/crawler/requests.py:22-25
+  - ``extract_links``        -> louis/crawler/requests.py:4-20   (M2)
+  - ``extract_children``     -> louis/crawler/spiders/goldie.py:22-35 (M3)
+
+Pure functions, no Ray. The per-row pieces are intentionally tiny so the
+Ray stage can run them over Arrow columns inside ``map_batches``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import urljoin, urlparse
+
+# Ordered, overlapping string replaces — order matters and is part of the
+# reference contract (requests.py:22-25): the first replace already
+# rewrites the "www." variant's suffix, the second catches what is left.
+_VHOST_REPLACES = (
+    ("https://inspection.gc.ca", "http://inspection.canada.ca"),
+    ("https://www.inspection.gc.ca", "http://inspection.canada.ca"),
+)
+
+
+def fix_vhost(url: str) -> str:
+    """Canonicalize legacy vhosts (reference requests.py:22-25)."""
+    for old, new in _VHOST_REPLACES:
+        url = url.replace(old, new)
+    return url
+
+
+def extract_links(hrefs: list[str], base_url: str) -> list[str]:
+    """Filter + absolutize anchor hrefs exactly as the reference's
+    ``extract_urls`` does (requests.py:4-20):
+
+    - drop hrefs ending in ``pdf``
+    - strip ``#fragment`` then ``?query``
+    - absolute ``http*`` URLs pass through
+    - site-relative ``/...`` resolved against base scheme+netloc
+    - everything else (relative paths, mailto:, javascript:, empty) dropped
+    - canonicalized via :func:`fix_vhost`
+
+    Order-preserving; duplicates NOT removed (the reference relies on the
+    scheduler's request fingerprinting for dedup, settings.py:91).
+    """
+    out: list[str] = []
+    parsed = None
+    for href in hrefs:
+        if href.endswith("pdf"):
+            continue
+        href = href.split("#")[0]
+        href = href.split("?")[0]
+        if href.startswith("http"):
+            pass
+        elif href.startswith("/"):
+            if parsed is None:
+                parsed = urlparse(base_url)
+            href = parsed.scheme + "://" + parsed.netloc + href
+        else:
+            continue
+        out.append(fix_vhost(href))
+    return out
+
+
+def extract_children(
+    hrefs: list[str],
+    base_url: str,
+    allowed_domains: list[str] | None = None,
+) -> list[str]:
+    """The ``children`` list of a crawled page (goldie.py:22-35):
+
+    - keep all non-empty hrefs except ``#...`` and ``mailto:...``
+    - absolutize with urljoin against the page URL
+    - optional allowed-domain filter: substring match on netloc
+      (base_playwright.py:95-119 variant)
+    - exact order-preserving dedup, first occurrence wins (goldie.py:29-35)
+    """
+    children: list[str] = []
+    for link in hrefs:
+        if link and not link.startswith("#") and not link.startswith("mailto:"):
+            absolute = urljoin(base_url, link)
+            if allowed_domains is not None:
+                netloc = urlparse(absolute).netloc
+                if not any(dom in netloc for dom in allowed_domains):
+                    continue
+            children.append(absolute)
+    seen: set[str] = set()
+    unique: list[str] = []
+    for link in children:
+        if link not in seen:
+            seen.add(link)
+            unique.append(link)
+    return unique
+
+
+def url_host(url: str) -> str:
+    """netloc of a URL — the frontier partitioning key (SURVEY §7.3)."""
+    return urlparse(url).netloc
+
+
+def url_hash64(url: str) -> int:
+    """Stable unsigned 64-bit hash of a URL, used for the sharded
+    seen-filter (shard id = hash % n_shards) and bloom filters.
+
+    blake2b is stable across processes/runs (unlike Python's ``hash``).
+    """
+    return int.from_bytes(hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def detect_language(url: str) -> str:
+    """Canonical language rule (goldie.py:17-19): 'fr' iff the url
+    contains '/fra/', else 'en'."""
+    return "fr" if url.find("/fra/") != -1 else "en"
