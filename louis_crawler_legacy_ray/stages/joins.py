@@ -1,0 +1,164 @@
+"""Join/lookup stages (SURVEY §2.4).
+
+Two scale regimes, chosen explicitly by the caller:
+
+* **Broadcast** (small side fits in memory): materialize the small
+  side's key column once, ship it to every task via Ray's closure
+  serialization (the function is pickled once into the object store and
+  referenced by every task — effectively ``ray.put`` + per-worker read),
+  and filter each Arrow batch with a vectorized ``pc.is_in``. No shuffle.
+  This covers the reference's J1 (chunks ∖ embeddings anti-join,
+  db.py:686-703) and J4 (seen-membership) at lookup-table sizes.
+
+* **Partitioned hash join** (both sides large): add ``bucket =
+  hash(key) % B`` to both sides, group by bucket, and join pairwise
+  within buckets via ``map_groups``. Used by the frontier→pages fetch
+  join when the frontier round is too big to broadcast. Skew: pick B
+  >> num_cpus; salt a hot key by spreading the probe side over
+  ``(bucket, salt)`` and replicating the build side per salt.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _collect_key_set(ds: ray.data.Dataset, key: str) -> pa.Array:
+    """Materialize one key column of a SMALL dataset on the driver."""
+    chunks = [
+        batch[key] for batch in ds.select_columns([key]).iter_batches(batch_format="pyarrow")
+    ]
+    if not chunks:
+        return pa.array([], pa.string())
+    arr = pa.concat_tables(
+        [pa.table({key: c}) for c in chunks]
+    )[key]
+    return arr.combine_chunks().unique()
+
+
+def broadcast_anti_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+) -> ray.data.Dataset:
+    """Rows of ``left`` whose key does NOT appear in ``right`` (small).
+
+    Reference J1: SELECT c.id FROM chunk_items c LEFT JOIN embedding_items
+    e ON c.id=e.token_id WHERE e.token_id IS NULL (db.py:686-703).
+    """
+    keys = _collect_key_set(right, right_key)
+
+    def f(batch: pa.Table) -> pa.Table:
+        if len(keys) == 0:
+            return batch
+        mask = pc.is_in(batch[left_key], value_set=keys)
+        return batch.filter(pc.invert(mask.fill_null(False)))
+
+    return left.map_batches(f, batch_format="pyarrow")
+
+
+def broadcast_semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+) -> ray.data.Dataset:
+    """Rows of ``left`` whose key appears in ``right`` (small side)."""
+    keys = _collect_key_set(right, right_key)
+
+    def f(batch: pa.Table) -> pa.Table:
+        if len(keys) == 0:
+            return batch.slice(0, 0)
+        return batch.filter(pc.is_in(batch[left_key], value_set=keys).fill_null(False))
+
+    return left.map_batches(f, batch_format="pyarrow")
+
+
+def broadcast_lookup_join(
+    left: ray.data.Dataset,
+    right_table: pa.Table,
+    left_key: str,
+    right_key: str,
+    take_cols: list[str],
+) -> ray.data.Dataset:
+    """Inner join against a small in-memory build side: for each left
+    row with a match, append the requested right columns (first match
+    wins — build keys are expected unique). Vectorized via Arrow
+    index_in + take."""
+    right_keys = right_table[right_key].combine_chunks()
+
+    def f(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch[left_key], value_set=right_keys)
+        mask = pc.is_valid(idx)
+        batch = batch.filter(mask)
+        idx = idx.filter(mask)
+        for col in take_cols:
+            batch = batch.append_column(col, right_table[col].take(idx))
+        return batch
+
+    return left.map_batches(f, batch_format="pyarrow")
+
+
+def partitioned_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    num_buckets: int = 64,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Explicit bucketed hash join for two LARGE sides: pad both sides
+    to a common schema with a side marker, tag ``bucket = hash(key) %
+    B``, union, group by bucket, and merge within each group with
+    pandas. One all-to-all shuffle; B sized >> parallelism so straggler
+    buckets split across workers. Non-key column names must be disjoint
+    between the two sides.
+
+    Prefer ``Dataset.join`` when the installed Ray exposes it; this is
+    the portable fallback (ray_guide: explicit partitioned hash join).
+    """
+    import pandas as pd
+
+    lschema, rschema = left.schema(), right.schema()
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    overlap = (set(lcols) & set(rcols)) - {left_key, right_key}
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    all_fields = [(n, ltypes[n]) for n in lcols] + [
+        (n, rtypes[n]) for n in rcols if n not in lcols
+    ]
+
+    def tag(side: str, key: str):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for name, typ in all_fields:
+                if name in batch.column_names:
+                    cols[name] = batch[name]
+                else:
+                    cols[name] = pa.nulls(n, typ)
+            out = pa.table(cols)
+            hashed = pd.util.hash_pandas_object(
+                batch[key].to_pandas(), index=False
+            ).to_numpy() % num_buckets
+            out = out.append_column("__bucket", pa.array(hashed.astype("int32")))
+            return out.append_column("__side", pa.array([side] * n, pa.string()))
+
+        return f
+
+    lt = left.map_batches(tag("l", left_key), batch_format="pyarrow")
+    rt = right.map_batches(tag("r", right_key), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"][lcols]
+        rg = g[g["__side"] == "r"][rcols]
+        return lg.merge(rg, left_on=left_key, right_on=right_key, how=how)
+
+    return both.groupby("__bucket").map_groups(join_group, batch_format="pandas")
