@@ -1,0 +1,118 @@
+"""Per-round, per-shard Parquet checkpoints with lineage metadata.
+
+Replaces the reference's append-only scraped/pending/errored files and
+full-file pending rewrites (goldie_playwright_parallel.py:514-645) with
+the layout the north_rule asks for:
+
+    ckpt_dir/
+      round=000003/
+        shard=0000/{seen,pending,errored}.parquet
+        ...
+        _lineage.json        <- written LAST via temp+rename: the commit
+                                marker {round, config_hash, counts}
+
+A round directory without ``_lineage.json`` is incomplete and ignored
+by resume (atomicity). Note: empty tables ARE written (a round with
+zero errored urls still checkpoints an empty errored.parquet) — a
+completed round is detected by its manifest, never by file presence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+
+def _round_dir(ckpt_dir: str, round_no: int) -> str:
+    return os.path.join(ckpt_dir, f"round={round_no:06d}")
+
+
+def write_checkpoint(
+    ckpt_dir: str,
+    round_no: int,
+    shards: list,
+    config_hash: str,
+    metrics: dict,
+) -> str:
+    """Dump every shard's state; commit with _lineage.json last."""
+    final = _round_dir(ckpt_dir, round_no)
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(final, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    dumps = ray.get([s.dump.remote() for s in shards])
+    counts = {"seen": 0, "pending": 0, "errored": 0}
+    for d in dumps:
+        sdir = os.path.join(tmp, f"shard={d['shard']:04d}")
+        os.makedirs(sdir, exist_ok=True)
+        for name in ("seen", "pending", "errored"):
+            pq.write_table(d[name], os.path.join(sdir, f"{name}.parquet"))
+            counts[name] += d[name].num_rows
+    with open(os.path.join(tmp, "_lineage.json.tmp"), "w") as f:
+        json.dump(
+            {
+                "round": round_no,
+                "config_hash": config_hash,
+                "n_shards": len(shards),
+                "counts": counts,
+                "metrics": metrics,
+            },
+            f,
+        )
+    os.rename(
+        os.path.join(tmp, "_lineage.json.tmp"), os.path.join(tmp, "_lineage.json")
+    )
+    os.rename(tmp, final)
+    return final
+
+
+def latest_complete_round(ckpt_dir: str) -> int | None:
+    """Highest round number whose _lineage.json exists, else None."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best = None
+    for name in os.listdir(ckpt_dir):
+        if not name.startswith("round="):
+            continue
+        if os.path.exists(os.path.join(ckpt_dir, name, "_lineage.json")):
+            r = int(name.split("=", 1)[1])
+            best = r if best is None or r > best else best
+    return best
+
+
+def read_lineage(ckpt_dir: str, round_no: int) -> dict:
+    with open(os.path.join(_round_dir(ckpt_dir, round_no), "_lineage.json")) as f:
+        return json.load(f)
+
+
+def load_checkpoint(ckpt_dir: str, round_no: int, shards: list) -> None:
+    """Restore every shard from a complete round's dump."""
+    rdir = _round_dir(ckpt_dir, round_no)
+    loads = []
+    for i, shard in enumerate(shards):
+        sdir = os.path.join(rdir, f"shard={i:04d}")
+        tables = {
+            name: pq.read_table(os.path.join(sdir, f"{name}.parquet"))
+            for name in ("seen", "pending", "errored")
+        }
+        loads.append(
+            shard.load.remote(tables["seen"], tables["pending"], tables["errored"])
+        )
+    ray.get(loads)
+
+
+def append_metrics(ckpt_dir: str, rows: list[dict]) -> None:
+    """Per-round/partition throughput-and-lag metric rows (north_rule)."""
+    os.makedirs(os.path.join(ckpt_dir, "metrics"), exist_ok=True)
+    if not rows:
+        return
+    table = pa.Table.from_pylist(rows)
+    path = os.path.join(
+        ckpt_dir, "metrics", f"round={rows[0]['round']:06d}.parquet"
+    )
+    pq.write_table(table, path)

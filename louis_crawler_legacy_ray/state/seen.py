@@ -1,0 +1,232 @@
+"""Sharded frontier-state actors: URL-seen filter + pending queue +
+errored quarantine + per-host politeness budget.
+
+The reference keeps one in-memory seen/pending/errored set on the
+driver, persisted to flat files (goldie_playwright_parallel.py:437-440,
+514-578). That is the single-node bottleneck its own docs flag at 100k+
+URLs (docs/parallel_spider_guide.md:407-410). Here the state is a
+*partitioned service*: N ``FrontierShard`` actors, each owning the hash
+range ``shard_id == blake2b64(host(url)) % N`` — sharding by HOST so a
+host's pending URLs and its politeness budget are colocated in one
+actor (north_rule: hash-partition by host; SURVEY §2.3 T4/T5).
+
+URL lifecycle inside a shard (mirrors goldie_playwright_parallel.py
+enqueue/take semantics, :606-664):
+
+    enqueue(url, depth):  dropped if url ∈ seen ∪ errored ∪ pending
+                          ∪ in_flight, else appended to pending
+    take(...):            pending sorted by (depth, url); per-host
+                          budget applied; selected move to in_flight
+    settle(ok, bad):      in_flight -> seen (fetched) or errored
+
+Memory modes:
+  * ``exact``  — Python sets of URL strings (test scale; the semantics
+    the reference's fixtures pin).
+  * ``approx`` — the *membership* side (seen) additionally keeps a
+    bloom front so the 10^10-URL design point fits: ~1.2 GB per shard
+    at 10 bits/key for 10^9 keys/shard x 10 shards/node. At test scale
+    exact backing stays on so answers are exact; at true scale the
+    exact set would be dropped and the documented false-positive rate
+    (~1%% at 10 bits/key) trades a tiny loss of recrawl coverage for
+    memory — acceptable for a crawler seen-filter (skipping a few
+    never-seen URLs), never for the correctness fixtures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def host_of(url: str) -> str:
+    from urllib.parse import urlparse
+
+    return urlparse(url).netloc
+
+
+def shard_for_host(host: str, n_shards: int) -> int:
+    h = int.from_bytes(hashlib.blake2b(host.encode(), digest_size=8).digest(), "big")
+    return h % n_shards
+
+
+class _Bloom:
+    """Simple double-hash bloom filter over uint64 key hashes."""
+
+    def __init__(self, n_bits: int = 1 << 24, k: int = 7):
+        self.n_bits = n_bits
+        self.k = k
+        self.bits = np.zeros(n_bits // 8, dtype=np.uint8)
+
+    def _positions(self, h: int) -> list[int]:
+        h1 = h & 0xFFFFFFFF
+        h2 = (h >> 32) | 1
+        return [((h1 + i * h2) % self.n_bits) for i in range(self.k)]
+
+    def add(self, h: int) -> None:
+        for p in self._positions(h):
+            self.bits[p >> 3] |= 1 << (p & 7)
+
+    def maybe_contains(self, h: int) -> bool:
+        return all(self.bits[p >> 3] & (1 << (p & 7)) for p in self._positions(h))
+
+
+@ray.remote
+class FrontierShard:
+    """One hash-range shard of the frontier state service."""
+
+    def __init__(self, shard_id: int, mode: str = "exact", bloom_bits: int = 1 << 24):
+        assert mode in ("exact", "approx")
+        self.shard_id = shard_id
+        self.mode = mode
+        self.seen: set[str] = set()
+        self.errored: dict[str, str] = {}
+        self.in_flight: set[str] = set()
+        # pending: url -> (depth, host); first enqueue wins (depth is the
+        # BFS discovery depth — a url is only ever enqueued once)
+        self.pending: dict[str, tuple[int, str]] = {}
+        self.bloom = _Bloom(bloom_bits) if mode == "approx" else None
+        # politeness: per-host budget carry (AutoThrottle stand-in, T5)
+        self.host_backlog: dict[str, int] = {}
+
+    # -- ingest ------------------------------------------------------
+    def enqueue(self, urls: list[str], depths: list[int], hosts: list[str]) -> int:
+        """Admit candidate URLs to pending; returns number admitted.
+        Drop rule = reference's quadruple-set check
+        (goldie_playwright_parallel.py:606-617, 656-663)."""
+        added = 0
+        for url, depth, host in zip(urls, depths, hosts):
+            if self.bloom is not None and not self.bloom.maybe_contains(
+                _h64(url)
+            ):
+                pass  # definitely never seen — skip the set lookups
+            elif (
+                url in self.seen
+                or url in self.errored
+                or url in self.in_flight
+                or url in self.pending
+            ):
+                continue
+            self.pending[url] = (depth, host)
+            if self.bloom is not None:
+                self.bloom.add(_h64(url))
+            added += 1
+        return added
+
+    # -- scheduling --------------------------------------------------
+    def take(
+        self,
+        max_depth: int | None = None,
+        per_host_budget: int | None = None,
+        limit: int | None = None,
+    ) -> pa.Table:
+        """Select the next fetch batch: pending sorted by (depth, url)
+        — the BFS priority order (O1, goldie_playwright_parallel.py:
+        647-664, made deterministic per SURVEY §2.10) — capped per host
+        (politeness) and optionally overall. Selected URLs move to
+        in_flight; the rest stay pending for a later round."""
+        items = sorted(
+            (
+                (depth, url, host)
+                for url, (depth, host) in self.pending.items()
+                if max_depth is None or depth <= max_depth
+            ),
+        )
+        sel_urls: list[str] = []
+        sel_depths: list[int] = []
+        sel_hosts: list[str] = []
+        host_counts: dict[str, int] = {}
+        for depth, url, host in items:
+            if limit is not None and len(sel_urls) >= limit:
+                break
+            if per_host_budget is not None:
+                c = host_counts.get(host, 0)
+                if c >= per_host_budget:
+                    continue
+                host_counts[host] = c + 1
+            sel_urls.append(url)
+            sel_depths.append(depth)
+            sel_hosts.append(host)
+        for url in sel_urls:
+            del self.pending[url]
+            self.in_flight.add(url)
+        return pa.table(
+            {
+                "url": pa.array(sel_urls, pa.string()),
+                "depth": pa.array(sel_depths, pa.int32()),
+                "host": pa.array(sel_hosts, pa.string()),
+            }
+        )
+
+    def settle(self, fetched: list[str], errored: list[str], errors: list[str]) -> None:
+        """Resolve in-flight URLs: fetched -> seen; failures -> errored
+        quarantine, never retried in-run (goldie_playwright_parallel.py:
+        831-845, 610-613)."""
+        for url in fetched:
+            self.in_flight.discard(url)
+            self.seen.add(url)
+        for url, err in zip(errored, errors):
+            self.in_flight.discard(url)
+            self.errored[url] = err
+
+    # -- introspection / checkpoint ---------------------------------
+    def counts(self) -> dict:
+        return {
+            "shard": self.shard_id,
+            "seen": len(self.seen),
+            "pending": len(self.pending),
+            "errored": len(self.errored),
+            "in_flight": len(self.in_flight),
+        }
+
+    def dump(self) -> dict:
+        """Checkpoint payload (Arrow tables, zero-copy through plasma)."""
+        return {
+            "shard": self.shard_id,
+            "seen": pa.table({"url": pa.array(sorted(self.seen), pa.string())}),
+            "pending": pa.table(
+                {
+                    "url": pa.array(list(self.pending.keys()), pa.string()),
+                    "depth": pa.array(
+                        [d for d, _ in self.pending.values()], pa.int32()
+                    ),
+                    "host": pa.array(
+                        [h for _, h in self.pending.values()], pa.string()
+                    ),
+                }
+            ),
+            "errored": pa.table(
+                {
+                    "url": pa.array(list(self.errored.keys()), pa.string()),
+                    "error": pa.array(list(self.errored.values()), pa.string()),
+                }
+            ),
+        }
+
+    def load(self, seen: pa.Table, pending: pa.Table, errored: pa.Table) -> None:
+        self.seen = set(seen["url"].to_pylist())
+        self.pending = {
+            u: (d, h)
+            for u, d, h in zip(
+                pending["url"].to_pylist(),
+                pending["depth"].to_pylist(),
+                pending["host"].to_pylist(),
+            )
+        }
+        self.errored = dict(
+            zip(errored["url"].to_pylist(), errored["error"].to_pylist())
+        )
+        self.in_flight = set()
+        if self.bloom is not None:
+            for u in self.seen:
+                self.bloom.add(_h64(u))
+            for u in self.pending:
+                self.bloom.add(_h64(u))
+            for u in self.errored:
+                self.bloom.add(_h64(u))
+
+
+def _h64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
