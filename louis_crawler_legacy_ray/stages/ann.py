@@ -1,0 +1,143 @@
+"""Similarity search over an embedding column (list<float>).
+
+* :func:`brute_force_topk` — the exact baseline: per-batch numpy matmul
+  of the corpus against a broadcast query matrix, partial top-k per
+  batch, tiny driver-side merge of the partials (k x n_queries rows,
+  never the corpus). One corpus scan, no shuffle.
+* :class:`LSHIndexStage` / :func:`lsh_topk` — the scale path: random-
+  hyperplane LSH buckets; queries probe their own bucket plus hamming-1
+  neighbors. Approximate (recall tested against the brute-force
+  baseline, not an oracle).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Exact cosine top-k. Returns (query_id, rank, vec_id, cosine)
+    with rank 1..k by (cosine desc, vec_id asc) — the deterministic
+    tie-break the SQL oracle reproduces."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        sims = qn @ vecs.T  # (n_q, n_batch)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            if len(row) > k:
+                idx = np.argpartition(-row, k)[:k]
+            else:
+                idx = np.arange(len(row))
+            out_q.extend([query_ids[qi]] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_sim.extend(row[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    # merge partials per query (tiny: n_partial_batches * k rows)
+    best: dict[int, list] = {}
+    for r in partials:
+        # heap on (cosine, -vec_id) so ties prefer the SMALLER vec_id
+        heapq.heappush(
+            best.setdefault(r["query_id"], []), (r["cosine"], -r["vec_id"])
+        )
+        if len(best[r["query_id"]]) > k:
+            heapq.heappop(best[r["query_id"]])
+    q_out, rank_out, id_out, sim_out = [], [], [], []
+    for q in sorted(best):
+        items = sorted(best[q], key=lambda t: (-t[0], -t[1]))
+        for rank, (sim, negid) in enumerate(items, 1):
+            q_out.append(q)
+            rank_out.append(rank)
+            id_out.append(-negid)
+            sim_out.append(sim)
+    return pa.table(
+        {
+            "query_id": pa.array(q_out, pa.int64()),
+            "rank": pa.array(rank_out, pa.int64()),
+            "vec_id": pa.array(id_out, pa.int64()),
+            "cosine": pa.array(sim_out, pa.float64()),
+        }
+    )
+
+
+class LSHIndexStage:
+    """Random-hyperplane signature stage: adds a ``bucket`` column
+    (int64 of the sign-bit signature). Hyperplanes are generated from a
+    fixed seed in __init__ — once per actor."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(n_planes, dim))
+
+    def bucket_of(self, vecs: np.ndarray) -> np.ndarray:
+        bits = (vecs @ self.planes.T) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        return batch.append_column(
+            "bucket", pa.array(self.bucket_of(vecs), pa.int64())
+        )
+
+
+def lsh_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 7,
+) -> pa.Table:
+    """Approximate top-k: probe each query's bucket and its hamming-1
+    neighbors only. Corpus is bucketed once (one pass); probing filters
+    to ~ (n_planes+1)/2^n_planes of the corpus."""
+    stage = LSHIndexStage(dim, n_planes, seed)
+    qn = np.asarray(queries, dtype=np.float64)
+    qbuckets = stage.bucket_of(qn)
+    probe: set[int] = set()
+    for qb in qbuckets:
+        probe.add(int(qb))
+        for p in range(n_planes):
+            probe.add(int(qb) ^ (1 << p))
+
+    bucketed = ds.map_batches(
+        LSHIndexStage,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    probe_arr = pa.array(sorted(probe), pa.int64())
+    cand = bucketed.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b["bucket"], value_set=probe_arr)),
+        batch_format="pyarrow",
+    )
+    return brute_force_topk(cand, queries, query_ids, k=k)

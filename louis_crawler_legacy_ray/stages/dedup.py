@@ -1,0 +1,350 @@
+"""Deduplication family over a documents table (task-brief first-class
+operators): exact hash dedup, exact n-gram Jaccard, MinHash+LSH,
+SimHash, and embedding-cosine near-dup.
+
+Scale shapes (ray_guide "Aggregation at scale" / "Exact dedup"):
+  * exact: vectorized content-hash column -> groupby(hash) keep-first.
+    One shuffle over (hash, id) pairs only, never the payload.
+  * n-gram Jaccard (exact): explode DISTINCT shingles ->
+    groupby(shingle) emits candidate pairs -> groupby(pair) counts the
+    intersection -> join per-doc shingle counts -> integer-threshold
+    filter (inter*10 >= union*8 for tau=0.8; integer math so the DuckDB
+    oracle hashes identically). Hot shingles (stopword runs) explode
+    quadratically — at scale drop shingles with document frequency >
+    df_cap before pairing (a standard candidate-pruning step; keep
+    df_cap=None for oracle-exact parity).
+  * MinHash/LSH: per-batch numpy signatures -> explode (band, bandhash)
+    -> bucket groupby -> candidate pairs -> exact-Jaccard verify.
+  * SimHash: 64-bit signature; 4x16-bit band buckets -> hamming verify.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Min
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+MERSENNE = (1 << 61) - 1
+
+
+def words_of(text: str) -> list[str]:
+    return _WORD_RE.findall((text or "").lower())
+
+
+def shingle_set(text: str, k: int = 3) -> set[str]:
+    w = words_of(text)
+    if len(w) < k:
+        return set()
+    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+
+def _h64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+# ---------------------------------------------------------------- exact
+def add_text_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    hashes = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+    return batch.append_column("text_hash", pa.array(hashes, pa.string()))
+
+
+def exact_dedup_groups(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """(text_hash, keep_id=min id, n) per distinct content hash —
+    first-wins exact dedup (reference D2/D5 upsert semantics mapped to
+    content identity)."""
+    hashed = ds.map_batches(
+        lambda b: add_text_hash(b, text_col).select(["text_hash", id_col]),
+        batch_format="pyarrow",
+    )
+    return hashed.groupby("text_hash").aggregate(
+        Min(id_col, alias_name="keep_id"), Count(alias_name="n")
+    )
+
+
+# ----------------------------------------------------- exact n-gram jaccard
+def explode_shingles(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> ray.data.Dataset:
+    def f(batch: pa.Table) -> pa.Table:
+        ids, shingles = [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            for s in shingle_set(t, k):
+                ids.append(i)
+                shingles.append(s)
+        return pa.table(
+            {id_col: pa.array(ids, pa.int64()), "shingle": pa.array(shingles)}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    tau_num: int = 8,
+    tau_den: int = 10,
+    df_cap: int | None = None,
+) -> ray.data.Dataset:
+    """Exact word-k-gram Jaccard >= tau_num/tau_den pairs, integer
+    threshold math (oracle-parity). Returns (doc_a, doc_b, inter, uni)."""
+    sh = explode_shingles(ds, id_col, text_col, k)
+
+    sizes = sh.groupby(id_col).aggregate(Count(alias_name="n_shingles"))
+    sizes_df = sizes.to_pandas()  # dimension-sized: one row per doc
+    size_by_id = dict(zip(sizes_df[id_col], sizes_df["n_shingles"]))
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].unique())
+        if df_cap is not None and len(ids) > df_cap:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    pairs = sh.groupby("shingle").map_groups(pairs_of_group, batch_format="pandas")
+    inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="inter"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        da = batch["doc_a"].to_pylist()
+        db = batch["doc_b"].to_pylist()
+        it = batch["inter"].to_pylist()
+        uni = [size_by_id[a] + size_by_id[b] - i for a, b, i in zip(da, db, it)]
+        out = batch.append_column("uni", pa.array(uni, pa.int64()))
+        mask = [i * tau_den >= u * tau_num for i, u in zip(it, uni)]
+        return out.filter(pa.array(mask, pa.bool_()))
+
+    return inter.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- minhash/LSH
+class MinHasher:
+    """Vectorized k-permutation MinHash: h_i(x) = (a_i*x + b_i) mod p."""
+
+    def __init__(self, num_perm: int = 128, seed: int = 1):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+        self.b = rng.randint(0, MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+        self.num_perm = num_perm
+
+    def signature(self, shingles: set[str]) -> np.ndarray:
+        if not shingles:
+            return np.full(self.num_perm, MERSENNE, dtype=np.uint64)
+        x = np.array([_h64(s) % MERSENNE for s in shingles], dtype=object)
+        # (num_perm, n) permuted hashes; min over shingles
+        vals = (np.outer(self.a, x) + self.b[:, None]) % MERSENNE
+        return np.min(vals, axis=1).astype(np.uint64)
+
+
+class MinHashStage:
+    """Actor-pool stage: signature + LSH band rows per document.
+    Emits (doc_id, band, band_hash) — one row per band."""
+
+    def __init__(self, num_perm: int = 128, bands: int = 32, k: int = 3, seed: int = 1):
+        assert num_perm % bands == 0
+        self.mh = MinHasher(num_perm, seed)
+        self.bands = bands
+        self.rows = num_perm // bands
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, band_ids, band_hashes = [], [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sig = self.mh.signature(shingle_set(t, self.k))
+            for b in range(self.bands):
+                chunk = sig[b * self.rows : (b + 1) * self.rows]
+                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                ids.append(i)
+                band_ids.append(b)
+                band_hashes.append(bh)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.string()),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds: ray.data.Dataset,
+    num_perm: int = 128,
+    bands: int = 32,
+    k: int = 3,
+    verify_tau: float = 0.8,
+    texts_for_verify: dict[int, str] | None = None,
+) -> ray.data.Dataset:
+    """Candidate pairs via LSH band buckets, then exact-Jaccard verify
+    when ``texts_for_verify`` (broadcast id->text of the corpus — at
+    scale, a partitioned join against the corpus instead) is given.
+    Returns (doc_a, doc_b[, jaccard])."""
+    band_rows = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=512,
+    )
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    cand = band_rows.groupby(["band", "band_hash"]).map_groups(
+        pairs_of_bucket, batch_format="pandas"
+    )
+    uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="nbands"))
+    if texts_for_verify is None:
+        return uniq
+
+    def verify(batch: pa.Table) -> pa.Table:
+        da = batch["doc_a"].to_pylist()
+        db = batch["doc_b"].to_pylist()
+        jac = []
+        for a, b in zip(da, db):
+            sa = shingle_set(texts_for_verify[a], k)
+            sb = shingle_set(texts_for_verify[b], k)
+            u = len(sa | sb)
+            jac.append(len(sa & sb) / u if u else 0.0)
+        out = pa.table(
+            {
+                "doc_a": pa.array(da, pa.int64()),
+                "doc_b": pa.array(db, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+        return out.filter(
+            pa.compute.greater_equal(out["jaccard"], pa.scalar(verify_tau))
+        )
+
+    return uniq.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- simhash
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (token-hash bit voting)."""
+    v = np.zeros(64, dtype=np.int64)
+    for w in words_of(text):
+        h = _h64(w)
+        for bit in range(64):
+            v[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if v[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    sims = [simhash64(t) for t in batch["text"].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            # store as int64 (reinterpret top bit) for parquet friendliness
+            "simhash": pa.array([s - (1 << 64) if s >= (1 << 63) else s for s in sims], pa.int64()),
+        }
+    )
+
+
+def simhash_near_pairs(
+    ds: ray.data.Dataset, max_hamming: int = 3
+) -> ray.data.Dataset:
+    """Near-dup pairs with hamming(simhash) <= k via 4x16-bit band
+    bucketing (any pair within hamming 3 shares at least one of 4
+    bands) + exact hamming verify."""
+    sims = ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids, bands, keys, hashes = [], [], [], []
+        for i, s in zip(batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()):
+            u = s & 0xFFFFFFFFFFFFFFFF
+            for b in range(4):
+                ids.append(i)
+                bands.append(b)
+                keys.append((u >> (16 * b)) & 0xFFFF)
+                hashes.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(bands, pa.int32()),
+                "key": pa.array(keys, pa.int32()),
+                "simhash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+    exploded = sims.map_batches(explode_bands, batch_format="pyarrow")
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = rows["doc_id"].to_numpy()
+        hs = rows["simhash"].to_numpy()
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                x = (int(hs[i]) ^ int(hs[j])) & 0xFFFFFFFFFFFFFFFF
+                if bin(x).count("1") <= max_hamming:
+                    a.append(int(ids[i]))
+                    b.append(int(ids[j]))
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    cand = exploded.groupby(["band", "key"]).map_groups(
+        pairs_of_bucket, batch_format="pandas"
+    )
+    # a qualifying pair can appear in up to 4 buckets — dedup
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="nbands"))
+
+
+# ------------------------------------------------- embedding cosine near-dup
+def cosine_near_pairs(
+    ds: ray.data.Dataset,
+    matrix: np.ndarray,
+    ids: np.ndarray,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Pairs (a, b, cosine) with cosine >= tau: each batch of vectors is
+    multiplied against the broadcast corpus matrix (numpy matmul; the
+    matrix ships once per worker via closure/object-store, not per
+    batch). Emits a < b only."""
+    norms = np.linalg.norm(matrix, axis=1)
+    norms[norms == 0] = 1.0
+
+    def f(batch: pa.Table) -> pa.Table:
+        bids = np.asarray(batch[id_col].to_pylist())
+        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        bn = np.linalg.norm(vecs, axis=1)
+        bn[bn == 0] = 1.0
+        sims = (vecs @ matrix.T) / bn[:, None] / norms[None, :]
+        ai, bj = np.where(sims >= tau)
+        a_ids = bids[ai]
+        b_ids = ids[bj]
+        keep = a_ids < b_ids
+        return pa.table(
+            {
+                "doc_a": pa.array(a_ids[keep], pa.int64()),
+                "doc_b": pa.array(b_ids[keep], pa.int64()),
+                "cosine": pa.array(sims[ai, bj][keep], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are carried as Arrow ``large_binary``
+columns next to typed metadata (mime, width/height or sample_rate,
+...). The decode/feature kernels that need codec libraries are STUBBED
+— this container has no image/audio libs — behind clearly-marked
+hooks: ``real=False`` (default) runs a deterministic fake decode (a
+pure function of the payload bytes) so the Ray-side plumbing (schema,
+actor-pool signature, batch sizing, output layout) is real and tested;
+``real=True`` raises NotImplementedError where PIL/libsndfile calls
+would go.
+
+Batch sizing note: binary payloads dominate block size — stages default
+to small ``batch_size`` (ray_guide: large binary rows need small
+batches; raise target_max_block_size rather than splitting absurdly
+small).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("mime", pa.string()),
+        ("payload", pa.large_binary()),
+    ]
+)
+
+
+def media_from_documents(batch: pa.Table) -> pa.Table:
+    """Derive a synthetic media table from documents (payload = utf-8
+    bytes standing in for an encoded image; deterministic)."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "mime": pa.array(["image/fake" for _ in ids], pa.string()),
+            "payload": pa.array([(t or "").encode() for t in texts], pa.large_binary()),
+        }
+    )
+
+
+class ImageDecodeStage:
+    """Actor-pool decode stage: payload -> (width, height, channels,
+    feature vector). Deterministic fake unless real=True."""
+
+    def __init__(self, real: bool = False, feat_dim: int = 16):
+        self.real = real
+        self.feat_dim = feat_dim
+
+    def _decode_fake(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
+        digest = hashlib.blake2b(payload, digest_size=32).digest()
+        width = 16 + digest[0] % 240
+        height = 16 + digest[1] % 240
+        feats = (
+            np.frombuffer(
+                hashlib.blake2b(payload, digest_size=self.feat_dim * 4).digest(),
+                dtype=np.uint32,
+            ).astype(np.float32)
+            / np.float32(2**32)
+        )
+        return width, height, 3, feats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.real:
+            raise NotImplementedError(
+                "real image decode requires PIL/opencv — not available in "
+                "this environment; wire the codec call here"
+            )
+        ids, ws, hs, cs, feats = [], [], [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            w, h, c, f = self._decode_fake(payload or b"")
+            ids.append(mid)
+            ws.append(w)
+            hs.append(h)
+            cs.append(c)
+            feats.append(f.tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "channels": pa.array(cs, pa.int32()),
+                "features": pa.array(feats, pa.list_(pa.float32(), self.feat_dim)),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Video frame-sampling plumbing: emits one row per sampled frame
+    index (every ``stride``th of ``n_frames`` derived from payload
+    size) — flat-map shape, fake timing metadata; the real ffmpeg call
+    is the NotImplementedError hook."""
+
+    def __init__(self, real: bool = False, stride: int = 10):
+        self.real = real
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.real:
+            raise NotImplementedError("real frame sampling requires ffmpeg")
+        ids, frames, ts = [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            n_frames = max(1, len(payload or b"") // 40)
+            for fi in range(0, n_frames, self.stride):
+                ids.append(mid)
+                frames.append(fi)
+                ts.append(fi / 30.0)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_index": pa.array(frames, pa.int32()),
+                "t_seconds": pa.array(ts, pa.float64()),
+            }
+        )

@@ -1,0 +1,162 @@
+"""Text-analysis stages over a documents table: token counting, quality
+scoring, n-gram-heuristic language ID, document fingerprinting.
+
+These are the large-scale-training-pipeline operators the task brief
+adds beyond the reference's own inventory. Every kernel here is defined
+so an ANSI-SQL oracle can compute the identical value in DuckDB (same
+regex class semantics in RE2 and Python ``re``, same float division
+order), making them first-class entries in the driver's correctness
+gate.
+
+All stages are stateless ``map_batches`` transforms; the regexes are
+module-level compiled constants (compiled once per worker process at
+import — no per-batch setup).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+# token model: alnum runs, or single non-alnum-non-space marks.
+TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+WORD_PATTERN = r"[A-Za-z0-9]+"
+PUNCT_PATTERN = r"[^A-Za-z0-9\s]"
+STOP_PATTERN = r"\b(?:the|a|and|of|to|in|is|it|that|for)\b"
+
+# language-ID stopword classes (priority order en > fr > es > de on ties)
+LANG_PATTERNS = {
+    "en": r"\b(?:the|and|of|to|in|is)\b",
+    "fr": r"\b(?:le|la|les|et|une|est|dans)\b",
+    "es": r"\b(?:el|los|las|y|una|es|en)\b",
+    "de": r"\b(?:der|die|das|und|ist|ein)\b",
+}
+
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+_WORD_RE = re.compile(WORD_PATTERN)
+_PUNCT_RE = re.compile(PUNCT_PATTERN)
+_STOP_RE = re.compile(STOP_PATTERN)
+_LANG_RES = {k: re.compile(v) for k, v in LANG_PATTERNS.items()}
+_WS_RE = re.compile(r"\s+")
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, token_count, word_count) — whitespace+punct token model
+    (the 'BPE-ish regex' counter of the task brief)."""
+    texts = batch[text_col].to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "token_count": pa.array(
+                [len(_TOKEN_RE.findall(t or "")) for t in texts], pa.int64()
+            ),
+            "word_count": pa.array(
+                [len(_WORD_RE.findall(t or "")) for t in texts], pa.int64()
+            ),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality features: lengths, punctuation/stopword ratios, and a
+    keep flag (simple filters in the C4/Gopher tradition)."""
+    texts = batch[text_col].to_pylist()
+    n_chars, n_words, n_punct, n_stop = [], [], [], []
+    for t in texts:
+        t = t or ""
+        n_chars.append(len(t))
+        n_words.append(len(_WORD_RE.findall(t)))
+        n_punct.append(len(_PUNCT_RE.findall(t)))
+        n_stop.append(len(_STOP_RE.findall(t.lower())))
+    punct_ratio = [
+        (p / c) if c > 0 else 0.0 for p, c in zip(n_punct, n_chars)
+    ]
+    stop_ratio = [s / max(w, 1) for s, w in zip(n_stop, n_words)]
+    keep = [
+        (w >= 10 and sr >= 0.01) for w, sr in zip(n_words, stop_ratio)
+    ]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_punct": pa.array(n_punct, pa.int64()),
+            "n_stop": pa.array(n_stop, pa.int64()),
+            "punct_ratio": pa.array(punct_ratio, pa.float64()),
+            "stop_ratio": pa.array(stop_ratio, pa.float64()),
+            "keep": pa.array(keep, pa.bool_()),
+        }
+    )
+
+
+def lang_scores(text: str) -> dict[str, int]:
+    low = (text or "").lower()
+    return {k: len(rx.findall(low)) for k, rx in _LANG_RES.items()}
+
+
+def predict_lang(scores: dict[str, int]) -> str:
+    if all(v == 0 for v in scores.values()):
+        return "und"
+    # deterministic priority on ties: en > fr > es > de
+    for k in ("en", "fr", "es", "de"):
+        if scores[k] == max(scores.values()):
+            return k
+    return "und"
+
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    all_scores = [lang_scores(t) for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "score_en": pa.array([s["en"] for s in all_scores], pa.int64()),
+            "score_fr": pa.array([s["fr"] for s in all_scores], pa.int64()),
+            "score_es": pa.array([s["es"] for s in all_scores], pa.int64()),
+            "score_de": pa.array([s["de"] for s in all_scores], pa.int64()),
+            "predicted_lang": pa.array(
+                [predict_lang(s) for s in all_scores], pa.string()
+            ),
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Content fingerprint = md5 of the whitespace-normalized text
+    (stable, SQL-expressible: md5(trim(regexp_replace(...))))."""
+    texts = batch[text_col].to_pylist()
+    fps = [
+        hashlib.md5(_WS_RE.sub(" ", (t or "")).strip().encode()).hexdigest()
+        for t in texts
+    ]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(fps, pa.string()),
+        }
+    )
+
+
+_ROLL_BASE = 1_000_003
+_ROLL_MOD = (1 << 61) - 1
+
+
+def rolling_hash(text: str) -> int:
+    """Polynomial rolling hash over bytes mod 2^61-1 (not SQL-
+    expressible; covered by the rows-only check + unit tests)."""
+    h = 0
+    for b in (text or "").encode("utf-8"):
+        h = (h * _ROLL_BASE + b) % _ROLL_MOD
+    return h
+
+
+def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "rolling_fp": pa.array([rolling_hash(t) for t in texts], pa.int64()),
+        }
+    )

@@ -1,0 +1,173 @@
+"""Dedup-family + ANN + textstats + multimodal stage tests."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from louis_crawler_legacy_ray.stages.ann import brute_force_topk, lsh_topk
+from louis_crawler_legacy_ray.stages.dedup import (
+    cosine_near_pairs,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingle_set,
+    simhash64,
+    simhash_near_pairs,
+)
+from louis_crawler_legacy_ray.stages.multimodal import (
+    FrameSampleStage,
+    ImageDecodeStage,
+    media_from_documents,
+)
+from louis_crawler_legacy_ray.stages.textstats import (
+    lang_id_batch,
+    quality_batch,
+    token_count_batch,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away today"
+NEAR = "the quick brown fox jumps over the lazy dog and runs far away now"
+OTHER = "completely different text about food inspection agencies of canada"
+
+
+def _docs():
+    return pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [BASE, BASE, NEAR, OTHER],
+        }
+    )
+
+
+def test_exact_dedup(ray_session):
+    out = exact_dedup_groups(ray.data.from_arrow(_docs())).to_pandas()
+    assert len(out) == 3  # BASE appears twice
+    dup = out[out["n"] == 2]
+    assert len(dup) == 1 and dup.iloc[0]["keep_id"] == 0
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    out = ngram_jaccard_pairs(
+        ray.data.from_arrow(_docs()), tau_num=5, tau_den=10
+    ).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in pairs  # identical
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup
+    assert not any(3 in p for p in pairs)
+    # exact math: identical docs have inter == uni
+    row01 = out[(out["doc_a"] == 0) & (out["doc_b"] == 1)].iloc[0]
+    assert row01["inter"] == row01["uni"]
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    texts = {0: BASE, 1: BASE, 2: NEAR, 3: OTHER}
+    out = minhash_lsh_pairs(
+        ray.data.from_arrow(_docs()),
+        verify_tau=0.5,
+        texts_for_verify=texts,
+    ).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in pairs
+    assert not any(3 in p for p in pairs)
+    j01 = out[(out["doc_a"] == 0) & (out["doc_b"] == 1)].iloc[0]["jaccard"]
+    assert j01 == 1.0
+
+
+def test_simhash_hamming(ray_session):
+    assert simhash64(BASE) == simhash64(BASE)
+    x = simhash64(BASE) ^ simhash64(NEAR)
+    assert bin(x & 0xFFFFFFFFFFFFFFFF).count("1") <= 12  # near texts are close
+    out = simhash_near_pairs(ray.data.from_arrow(_docs()), max_hamming=3).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in pairs
+
+
+def test_cosine_near_pairs(ray_session):
+    rng = np.random.RandomState(0)
+    m = rng.normal(size=(6, 8))
+    m[1] = m[0] + 0.01 * rng.normal(size=8)  # near-dup of 0
+    ids = np.arange(6, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array(m.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    )
+    out = cosine_near_pairs(ds, m, ids, tau=0.99).to_pandas()
+    assert (0, 1) in set(zip(out["doc_a"], out["doc_b"]))
+
+
+def test_brute_force_topk_and_lsh_recall(ray_session):
+    rng = np.random.RandomState(3)
+    m = rng.normal(size=(200, 16))
+    ids = np.arange(200, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array(m.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(4)
+    q = m[:3]
+    exact = brute_force_topk(ds, q, [0, 1, 2], k=5)
+    by_q = {}
+    for r in exact.to_pylist():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid in (0, 1, 2):
+        rows = sorted(by_q[qid], key=lambda r: r["rank"])
+        assert rows[0]["vec_id"] == qid  # self is nearest
+        assert abs(rows[0]["cosine"] - 1.0) < 1e-9
+        assert len(rows) == 5
+    approx = lsh_topk(ds, q, [0, 1, 2], dim=16, k=5, n_planes=8)
+    arows = {r["query_id"]: [] for r in approx.to_pylist()}
+    for r in approx.to_pylist():
+        arows[r["query_id"]].append(r["vec_id"])
+    # recall of the true nearest (self) must survive LSH probing
+    for qid in (0, 1, 2):
+        assert qid in arows.get(qid, [])
+
+
+def test_textstats_kernels():
+    b = _docs()
+    tc = token_count_batch(b)
+    assert tc["token_count"][0].as_py() == len(BASE.split())
+    q = quality_batch(b)
+    assert q["n_chars"][0].as_py() == len(BASE)
+    assert q["keep"][0].as_py()  # has stopwords + >=10 words
+    li = lang_id_batch(b)
+    assert li["predicted_lang"][0].as_py() == "en"
+
+
+def test_shingle_set():
+    s = shingle_set("a b c d", 3)
+    assert s == {"a b c", "b c d"}
+    assert shingle_set("a b", 3) == set()
+
+
+def test_multimodal_plumbing(ray_session):
+    docs = ray.data.from_arrow(_docs())
+    media = docs.map_batches(media_from_documents, batch_format="pyarrow")
+    feats = media.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"real": False},
+        batch_format="pyarrow",
+        batch_size=2,
+        concurrency=1,
+    ).to_pandas()
+    assert len(feats) == 4
+    assert len(feats.iloc[0]["features"]) == 16
+    # deterministic: same payload -> same features
+    assert list(feats.iloc[0]["features"]) == list(feats.iloc[1]["features"])
+
+    frames = media.map_batches(
+        FrameSampleStage, batch_format="pyarrow", concurrency=1
+    ).to_pandas()
+    assert (frames["frame_index"] % 10 == 0).all()
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStage(real=True)(media_from_documents(_docs()))
