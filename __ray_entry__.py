@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init(...)`` itself before importing this module;
+nothing here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``      — flagship pipeline on /root/testdata/sf0.001: build
+  the synthetic Common-Crawl-style pages corpus from the documents
+  table, run the frontier crawl (sharded seen filter, BFS rounds) +
+  extract + chunk, return the chunk_items Dataset.
+- ``queries()``    — one callable per implemented operator (SURVEY §2 +
+  the training-data operator suite), from
+  louis_crawler_legacy_ray.pipelines.queries.
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+  query (same column names; see queries.py float discipline notes).
 """
 
 from __future__ import annotations
@@ -20,25 +21,31 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pages corpus -> frontier crawl -> extract -> chunks."""
+    import ray.data
+
+    from louis_crawler_legacy_ray.pipelines.queries import (
+        pages_corpus_dir,
+        q_chunk_documents,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    pages_corpus_dir(sf_dir)  # build/cache the corpus
+    # run the frontier engine for its side of the flagship...
+    from louis_crawler_legacy_ray.pipelines.queries import q_crawl_pages_bfs
+
+    q_crawl_pages_bfs(sf_dir)
+    # ...and return the extract->chunk result as the flagship output
+    return q_chunk_documents(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from louis_crawler_legacy_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from louis_crawler_legacy_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,1003 @@
+"""Operator catalog for the driver's correctness gate.
+
+One entry per implemented operator/pipeline from SURVEY §2 plus the
+training-data operators, each as ``fn(sf_dir) -> Dataset | pa.Table |
+DataFrame``, with a matching ANSI-SQL oracle in :data:`ORACLE_SQL`
+where the semantics are SQL-expressible (non-SQL ops — stateful
+streaming/model scoring/LSH — are rows-only checked by the driver).
+
+Float discipline: oracled outputs carry NO order-of-summation-dependent
+floats — money aggregates are emitted as bigint cents
+(round(x*100)), similarity queries emit ranks/ids, and ratio columns
+are single IEEE divisions of exact integers (bit-identical between
+numpy and DuckDB). Column names match the SQL aliases exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..sources.pages import SITE, pages_from_documents, write_pages_parquet
+from ..stages import dedup as dd
+from ..stages import textstats as ts
+from ..stages.ann import brute_force_topk, lsh_topk
+from ..stages.extract import extract_batch
+from ..stages.multimodal import FrameSampleStage, ImageDecodeStage, media_from_documents
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _docs_table(sf_dir: str) -> pa.Table:
+    return pq.read_table(f"{sf_dir}/documents.parquet")
+
+
+_PAGES_CACHE: dict[str, str] = {}
+
+
+def pages_corpus_dir(sf_dir: str, pad_bytes: int = 0) -> str:
+    """Build (once per sf_dir) the synthetic pages corpus derived from
+    the documents table; cached under /tmp keyed by input identity."""
+    key = f"{sf_dir}|{pad_bytes}"
+    if key in _PAGES_CACHE:
+        return _PAGES_CACHE[key]
+    tag = hashlib.blake2b(key.encode(), digest_size=6).hexdigest()
+    out = f"/tmp/louis_pages_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        docs = _docs_table(sf_dir)
+        pages = pages_from_documents(docs, pad_bytes=pad_bytes)
+        write_pages_parquet(pages, out, rows_per_file=4096)
+        with open(os.path.join(out, "_DONE"), "w") as f:
+            f.write("ok")
+    _PAGES_CACHE[key] = out
+    return out
+
+
+def _doc_id_from_url(url: str) -> int:
+    m = re.search(r"doc(\d+)$", url)
+    return int(m.group(1)) if m else -1
+
+
+def _cents(arr) -> pa.Array:
+    """round(x*100) -> int64, matching DuckDB CAST(round(x*100) AS BIGINT).
+    DuckDB round() is half-away-from-zero; numpy's is banker's — use
+    floor(x*100 + 0.5) on non-negative money values for parity."""
+    return pc.cast(
+        pc.floor(pc.add(pc.multiply(arr, pa.scalar(100.0)), pa.scalar(0.5))),
+        pa.int64(),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-ish relational operators (groupby/sort/limit/joins — SURVEY §2.5/2.6)
+# --------------------------------------------------------------------------
+
+def q_q1_pricing_summary(sf_dir: str):
+    """Grouped aggregate (the bench headline relational query): lineitem
+    pricing summary; money sums as bigint cents."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def pre(b: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "l_quantity": b["l_quantity"],
+                "l_extendedprice": b["l_extendedprice"],
+                "disc_price": disc_price,
+            }
+        )
+
+    out = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty_raw"),
+            Sum("l_extendedprice", alias_name="sum_base_raw"),
+            Sum("disc_price", alias_name="sum_disc_raw"),
+            Count(alias_name="count_order"),
+        )
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty_c": _cents(t["sum_qty_raw"]),
+            "sum_base_price_c": _cents(t["sum_base_raw"]),
+            "sum_disc_price_c": _cents(t["sum_disc_raw"]),
+            "count_order": t["count_order"].cast(pa.int64()),
+        }
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_c,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_c,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_price_c,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_segment_revenue(sf_dir: str):
+    """Join + grouped aggregate: order revenue per customer market
+    segment (broadcast dimension join, no shuffle join)."""
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    seg_by_cust = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        segs = [seg_by_cust[k] for k in b["o_custkey"].to_pylist()]
+        return pa.table(
+            {"c_mktsegment": pa.array(segs), "o_totalprice": b["o_totalprice"]}
+        )
+
+    out = (
+        orders.map_batches(f, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("o_totalprice", alias_name="rev_raw"), Count(alias_name="n_orders"))
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "c_mktsegment": t["c_mktsegment"],
+            "revenue_c": _cents(t["rev_raw"]),
+            "n_orders": t["n_orders"].cast(pa.int64()),
+        }
+    )
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment,
+       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_c,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_anti_join_unused_parts(sf_dir: str):
+    """Anti-join (reference J1 shape, db.py:686-703): parts that never
+    appear in a high-quantity (>45) order line. (Every part appears in
+    SOME line at these scale factors, so the right side is filtered to
+    keep the result non-empty.)"""
+    from ..stages.joins import broadcast_anti_join
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]).map_batches(
+        lambda b: b.filter(pc.greater(b["l_quantity"], pa.scalar(45.0))).select(
+            ["l_partkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    return broadcast_anti_join(parts, li, "p_partkey", "l_partkey")
+
+
+SQL_ANTI_JOIN_UNUSED_PARTS = """
+SELECT p_partkey, p_name FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+"""
+
+
+def q_recency_top10(sf_dir: str):
+    """Sort + limit (reference O2 recency listing, db.py:224)."""
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+    out = ev.sort(["ts", "event_id"], descending=[True, True]).limit(10)
+    return out
+
+
+SQL_RECENCY_TOP10 = """
+SELECT event_id, ts FROM events ORDER BY ts DESC, event_id DESC LIMIT 10
+"""
+
+
+def q_frontier_order_topk(sf_dir: str):
+    """Priority-queue order semantics (reference O1: sort by depth then
+    take batch): lineitem by (shipdate, orderkey, linenumber) limit 100."""
+    li = _read(sf_dir, "lineitem", ["l_shipdate", "l_orderkey", "l_linenumber"])
+    return li.sort(["l_shipdate", "l_orderkey", "l_linenumber"]).limit(100)
+
+
+SQL_FRONTIER_ORDER_TOPK = """
+SELECT l_shipdate, l_orderkey, l_linenumber FROM lineitem
+ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 100
+"""
+
+
+def q_event_type_histogram(sf_dir: str):
+    """Counter aggregation (reference A2/A3 duplicate/extension
+    counters)."""
+    ev = _read(sf_dir, "events", ["event_type"])
+    return ev.groupby("event_type").aggregate(Count(alias_name="cnt"))
+
+
+SQL_EVENT_TYPE_HISTOGRAM = """
+SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+"""
+
+
+def q_storage_stats(sf_dir: str):
+    """Corpus stats (reference A1, storage_manager.py:171-227)."""
+    counts = {
+        f"{t}_count": _read(sf_dir, t).count()
+        for t in ("documents", "embeddings", "events", "lineitem", "orders")
+    }
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in sorted(counts.items())})
+
+
+SQL_STORAGE_STATS = """
+SELECT (SELECT count(*) FROM documents) AS documents_count,
+       (SELECT count(*) FROM embeddings) AS embeddings_count,
+       (SELECT count(*) FROM events)    AS events_count,
+       (SELECT count(*) FROM lineitem)  AS lineitem_count,
+       (SELECT count(*) FROM orders)    AS orders_count
+"""
+
+
+def q_log_durations(sf_dir: str):
+    """Per-task log analytics (reference A6, log_analyzer.py:46-100):
+    per user, event count and first/last timestamps + span."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    out = ev.groupby("user_id").aggregate(
+        Count(alias_name="n_events"),
+        Min("ts", alias_name="first_ts"),
+        Max("ts", alias_name="last_ts"),
+    )
+
+    def span(b: pa.Table) -> pa.Table:
+        dur = pc.cast(
+            pc.subtract(
+                pc.cast(b["last_ts"], pa.int64()), pc.cast(b["first_ts"], pa.int64())
+            ),
+            pa.int64(),
+        )
+        return b.append_column("span_us", dur)
+
+    return out.map_batches(span, batch_format="pyarrow").map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "n_events": b["n_events"].cast(pa.int64()),
+                "first_ts": b["first_ts"],
+                "last_ts": b["last_ts"],
+                "span_us": b["span_us"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_LOG_DURATIONS = """
+SELECT user_id, count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts,
+       date_diff('microsecond', min(ts), max(ts)) AS span_us
+FROM events GROUP BY user_id
+"""
+
+
+def q_upsert_latest_event(sf_dir: str):
+    """Last-write-wins upsert semantics (reference S5/D5, db.py:506-516):
+    latest event per user, tie-broken by event_id."""
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def latest2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=[False, False]).head(1)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].values,
+                "last_event_id": g["event_id"].values,
+                "last_ts": g["ts"].values,
+            }
+        )
+
+    out = ev.groupby("user_id").map_groups(latest2, batch_format="pandas")
+    # pandas datetimes come back as ns — restore the us unit the oracle emits
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "last_event_id": b["last_event_id"].cast(pa.int64()),
+                "last_ts": b["last_ts"].cast(pa.timestamp("us")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_UPSERT_LATEST_EVENT = """
+SELECT user_id, event_id AS last_event_id, ts AS last_ts FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_edges_dedup(sf_dir: str):
+    """Link-graph edge dedup (reference D3, db.py:479-481): distinct
+    (orderkey, partkey) pairs."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    out = li.groupby(["l_orderkey", "l_partkey"]).aggregate(Count(alias_name="n"))
+    return out.select_columns(["l_orderkey", "l_partkey"])
+
+
+SQL_EDGES_DEDUP = """
+SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+"""
+
+
+def q_union_dedup(sf_dir: str):
+    """Union-of-files dedup (reference D4): distinct keys across two
+    sources."""
+    a = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda b: pa.table({"key": b["o_custkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    b = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: pa.table({"key": t["c_custkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return a.union(b).groupby("key").aggregate(Count(alias_name="n")).select_columns(["key"])
+
+
+SQL_UNION_DEDUP = """
+SELECT DISTINCT key FROM (
+  SELECT CAST(o_custkey AS BIGINT) AS key FROM orders
+  UNION ALL SELECT CAST(c_custkey AS BIGINT) FROM customer)
+"""
+
+
+# --------------------------------------------------------------------------
+# URL / page kernels over the synthesized pages corpus (SURVEY §2.2)
+# --------------------------------------------------------------------------
+
+def q_url_canonicalize(sf_dir: str):
+    """fix_vhost (M1) + /fra/ language rule (M8) over a synthesized URL
+    column."""
+    from ..functions.urls import detect_language, fix_vhost
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        langs = b["lang"].to_pylist()
+        srcs = b["source"].to_pylist()
+        urls = []
+        for i, lang, src in zip(ids, langs, srcs):
+            seg = "fra" if lang == "fr" else lang
+            base = (
+                "https://inspection.gc.ca"
+                if i % 3 == 0
+                else "https://www.inspection.gc.ca"
+                if i % 3 == 1
+                else "http://other.example.ca"
+            )
+            urls.append(f"{base}/{seg}/{src}/doc{i}")
+        canon = [fix_vhost(u) for u in urls]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": pa.array(urls),
+                "canon_url": pa.array(canon),
+                "url_lang": pa.array([detect_language(u) for u in canon]),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+SQL_URL_CANONICALIZE = """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN 'https://inspection.gc.ca'
+               WHEN doc_id % 3 = 1 THEN 'https://www.inspection.gc.ca'
+               ELSE 'http://other.example.ca' END)
+         || '/' || (CASE WHEN lang = 'fr' THEN 'fra' ELSE lang END)
+         || '/' || source || '/doc' || doc_id AS url
+  FROM documents)
+SELECT doc_id, url,
+       replace(replace(url, 'https://inspection.gc.ca', 'http://inspection.canada.ca'),
+               'https://www.inspection.gc.ca', 'http://inspection.canada.ca') AS canon_url,
+       CASE WHEN replace(replace(url, 'https://inspection.gc.ca', 'http://inspection.canada.ca'),
+               'https://www.inspection.gc.ca', 'http://inspection.canada.ca') LIKE '%/fra/%'
+            THEN 'fr' ELSE 'en' END AS url_lang
+FROM u
+"""
+
+
+def q_filter_en(sf_dir: str):
+    """URL-substring pruning filter (M11, scripts/pruner.py:9): keep
+    English-path docs."""
+    out = q_url_canonicalize(sf_dir)
+    return out.map_batches(
+        lambda b: b.filter(
+            pc.match_substring(b["canon_url"], "/en/")
+        ).select(["doc_id", "canon_url"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_FILTER_EN = f"""
+WITH c AS ({SQL_URL_CANONICALIZE.replace('%', '%')})
+SELECT doc_id, canon_url FROM c WHERE canon_url LIKE '%/en/%'
+"""
+
+
+def q_whitespace_normalize(sf_dir: str):
+    """M10 whitespace normalizer over documents.text."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    rx = re.compile(r"\s+")
+    return docs.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "norm_text": pa.array(
+                    [rx.sub(" ", (t or "")).strip() for t in b["text"].to_pylist()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_WHITESPACE_NORMALIZE = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
+# the SQL fragment shared by the extraction-parity oracles: documents
+# joined to their two heap-children with url/path/title/body columns
+_SQL_PAGE_CTE = r"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+base AS (
+  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS body, lang, source,
+         (CASE WHEN lang = 'fr' THEN 'fra' ELSE lang END) AS seg
+  FROM documents),
+pg AS (
+  SELECT d.doc_id, d.body, d.lang, d.source, d.seg,
+         'Doc ' || d.doc_id || ' ' || d.source AS title,
+         '2024-01-' || lpad(CAST((d.doc_id % 28) + 1 AS VARCHAR), 2, '0') AS pdate,
+         'http://inspection.canada.ca/' || d.seg || '/' || d.source || '/doc' || d.doc_id AS url,
+         '/' || c1.seg || '/' || c1.source || '/doc' || c1.doc_id AS c1_path,
+         '/' || c2.seg || '/' || c2.source || '/doc' || c2.doc_id AS c2_path
+  FROM base d, nn
+  JOIN base c1 ON c1.doc_id = (2 * d.doc_id + 1) % nn.n
+  JOIN base c2 ON c2.doc_id = (2 * d.doc_id + 2) % nn.n)
+"""
+
+
+def _extracted_items(sf_dir: str) -> ray.data.Dataset:
+    """pages corpus -> real extract stage (the byte-identity kernel run
+    through Ray Data, tagged back to doc_id)."""
+    import functools
+
+    pages = ray.data.read_parquet(
+        f"{pages_corpus_dir(sf_dir)}", columns=["url", "html"]
+    )
+    items = pages.map_batches(
+        functools.partial(extract_batch, now_us=0),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = [_doc_id_from_url(u) for u in b["url"].to_pylist()]
+        return b.append_column("doc_id", pa.array(ids, pa.int64()))
+
+    return items.map_batches(tag, batch_format="pyarrow")
+
+
+def q_extract_text(sf_dir: str):
+    """The goldie extraction profile (M4-M8) over the synthetic pages
+    corpus; the oracle computes the expected cleaned HTML by
+    construction (SURVEY §7.1 step 2 golden invariant)."""
+    items = _extracted_items(sf_dir)
+    return items.select_columns(["doc_id", "url", "title", "lang", "html_content"])
+
+
+SQL_EXTRACT_TEXT = (
+    _SQL_PAGE_CTE
+    + """
+SELECT doc_id, url, title,
+       CASE WHEN lang = 'fr' THEN 'fr' ELSE 'en' END AS lang,
+       '<html><body><main class="container"><h1>' || title || '</h1><p>' || body
+       || '</p><time>' || pdate || '</time><a href="' || c1_path || '">next</a><a href="'
+       || c2_path || '">more</a><a href="#top">top</a><a href="mailto:info@example.ca">mail</a>'
+       || '<a href="/files/report.pdf">pdf</a><a href="' || c1_path || '?ref=nav">dup</a></main></body></html>'
+       AS html_content
+FROM pg
+"""
+)
+
+
+def q_extract_children(sf_dir: str):
+    """Children extractor (M3): ordered, deduped child URLs per page."""
+    items = _extracted_items(sf_dir)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, poss, childs = [], [], []
+        for i, ch in zip(b["doc_id"].to_pylist(), b["children"].to_pylist()):
+            for p, c in enumerate(ch):
+                ids.append(i)
+                poss.append(p)
+                childs.append(c)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "child_url": pa.array(childs),
+            }
+        )
+
+    return items.select_columns(["doc_id", "children"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_CHILDREN = (
+    _SQL_PAGE_CTE
+    + f"""
+SELECT doc_id, CAST(0 AS BIGINT) AS pos, '{SITE}' || c1_path AS child_url FROM pg
+UNION ALL SELECT doc_id, CAST(1 AS BIGINT), '{SITE}' || c2_path FROM pg
+UNION ALL SELECT doc_id, CAST(2 AS BIGINT), '{SITE}' || '/files/report.pdf' FROM pg
+UNION ALL SELECT doc_id, CAST(3 AS BIGINT), '{SITE}' || c1_path || '?ref=nav' FROM pg
+"""
+)
+
+
+def q_link_edges(sf_dir: str):
+    """M2 link filter + D3 edge dedup over the pages corpus."""
+    items = _extracted_items(sf_dir)
+    from .ingest import extract_edges
+
+    edges = extract_edges(items.select_columns(["url", "depth", "links"]))
+    return edges.select_columns(["src", "dst"])
+
+
+SQL_LINK_EDGES = (
+    _SQL_PAGE_CTE
+    + f"""
+SELECT url AS src, '{SITE}' || c1_path AS dst FROM pg
+UNION ALL SELECT url, '{SITE}' || c2_path FROM pg
+"""
+)
+
+
+def q_crawl_pages_bfs(sf_dir: str):
+    """The full frontier engine (seen-shards, politeness scaffolding,
+    rounds) over the synthetic pages corpus, seeded at doc 0; oracle =
+    recursive BFS min-depth over the constructed link graph."""
+    from .crawl import CrawlConfig, run_crawl
+
+    docs = _docs_table(sf_dir)
+    lang0, src0 = docs["lang"][0].as_py(), docs["source"][0].as_py()
+    seg0 = "fra" if lang0 == "fr" else lang0
+    seed = f"{SITE}/{seg0}/{src0}/doc0"
+    cfg = CrawlConfig(n_shards=4, max_depth=6, max_rounds=16)
+    res = run_crawl(pages_corpus_dir(sf_dir), [seed], cfg)
+    return res.order.select(["url", "depth"])
+
+
+SQL_CRAWL_PAGES_BFS = (
+    "WITH RECURSIVE "
+    + _SQL_PAGE_CTE.replace("WITH ", "", 1)
+    + f""",
+edges AS (
+  SELECT url AS src, '{SITE}' || c1_path AS dst FROM pg
+  UNION ALL SELECT url, '{SITE}' || c2_path FROM pg),
+walk(url, depth) AS (
+  SELECT url, 0 FROM pg WHERE doc_id = 0
+  UNION ALL
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.url
+  WHERE w.depth < 6)
+SELECT url, CAST(min(depth) AS INTEGER) AS depth FROM walk GROUP BY url
+"""
+)
+
+
+def q_crawl_graph_bfs(sf_dir: str):
+    """The frontier engine as a pure BFS over a typed-node graph built
+    from the relational tables (customer->order->part->supplier->
+    nation), seeds = customers 1..5; oracle = WITH RECURSIVE."""
+    from .crawl import CrawlConfig, edges_expand, run_frontier
+
+    def col(t, name):
+        return pq.read_table(f"{sf_dir}/{t}.parquet", columns=[name])[name].to_pylist()
+
+    srcs: list[str] = []
+    dsts: list[str] = []
+    o_cust = col("orders", "o_custkey")
+    o_key = col("orders", "o_orderkey")
+    srcs += [f"graph://customer/{c}" for c in o_cust]
+    dsts += [f"graph://order/{o}" for o in o_key]
+    l_ord = col("lineitem", "l_orderkey")
+    l_part = col("lineitem", "l_partkey")
+    l_supp = col("lineitem", "l_suppkey")
+    srcs += [f"graph://order/{o}" for o in l_ord]
+    dsts += [f"graph://part/{p}" for p in l_part]
+    srcs += [f"graph://part/{p}" for p in l_part]
+    dsts += [f"graph://supplier/{s}" for s in l_supp]
+    s_key = col("supplier", "s_suppkey")
+    s_nat = col("supplier", "s_nationkey")
+    srcs += [f"graph://supplier/{s}" for s in s_key]
+    dsts += [f"graph://nation/{n}" for n in s_nat]
+    edges = pa.table({"src": pa.array(srcs), "dst": pa.array(dsts)})
+    seeds = [f"graph://customer/{c}" for c in range(1, 6)]
+    cfg = CrawlConfig(n_shards=4, max_depth=4, max_rounds=8)
+    res = run_frontier(edges_expand(edges), seeds, cfg)
+    return res.order.select(["url", "depth"])
+
+
+SQL_CRAWL_GRAPH_BFS = """
+WITH RECURSIVE edges AS (
+  SELECT 'graph://customer/' || o_custkey AS src, 'graph://order/' || o_orderkey AS dst FROM orders
+  UNION ALL SELECT 'graph://order/' || l_orderkey, 'graph://part/' || l_partkey FROM lineitem
+  UNION ALL SELECT 'graph://part/' || l_partkey, 'graph://supplier/' || l_suppkey FROM lineitem
+  UNION ALL SELECT 'graph://supplier/' || s_suppkey, 'graph://nation/' || s_nationkey FROM supplier),
+dedges AS (SELECT DISTINCT src, dst FROM edges),
+walk(url, depth) AS (
+  SELECT 'graph://customer/' || c_custkey, 0 FROM customer WHERE c_custkey BETWEEN 1 AND 5
+  UNION ALL
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN dedges e ON e.src = w.url WHERE w.depth < 4)
+SELECT url, CAST(min(depth) AS INTEGER) AS depth FROM walk GROUP BY url
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis (oracle-checked)
+# --------------------------------------------------------------------------
+
+def q_token_counts(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ts.token_count_batch, batch_format="pyarrow"
+    )
+
+
+SQL_TOKEN_COUNTS = rf"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text, '{ts.TOKEN_PATTERN}')) AS BIGINT) AS token_count,
+       CAST(len(regexp_extract_all(text, '{ts.WORD_PATTERN}')) AS BIGINT) AS word_count
+FROM documents
+"""
+
+
+def q_quality_scores(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ts.quality_batch, batch_format="pyarrow"
+    )
+
+
+SQL_QUALITY_SCORES = r"""
+WITH f AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS n_stop
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_punct AS BIGINT) AS n_punct, CAST(n_stop AS BIGINT) AS n_stop,
+       CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+       CAST(n_stop AS DOUBLE) / greatest(n_words, 1) AS stop_ratio,
+       (n_words >= 10 AND CAST(n_stop AS DOUBLE) / greatest(n_words, 1) >= 0.01) AS keep
+FROM f
+"""
+
+
+def q_lang_id(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ts.lang_id_batch, batch_format="pyarrow"
+    )
+
+
+SQL_LANG_ID = r"""
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS score_en,
+         len(regexp_extract_all(lower(text), '\b(le|la|les|et|une|est|dans)\b')) AS score_fr,
+         len(regexp_extract_all(lower(text), '\b(el|los|las|y|una|es|en)\b')) AS score_es,
+         len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS score_de
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(score_en AS BIGINT) AS score_en, CAST(score_fr AS BIGINT) AS score_fr,
+       CAST(score_es AS BIGINT) AS score_es, CAST(score_de AS BIGINT) AS score_de,
+       CASE WHEN score_en = 0 AND score_fr = 0 AND score_es = 0 AND score_de = 0 THEN 'und'
+            WHEN score_en >= score_fr AND score_en >= score_es AND score_en >= score_de THEN 'en'
+            WHEN score_fr >= score_es AND score_fr >= score_de THEN 'fr'
+            WHEN score_es >= score_de THEN 'es'
+            ELSE 'de' END AS predicted_lang
+FROM s
+"""
+
+
+def q_fingerprints(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ts.fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+SQL_FINGERPRINTS = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup family
+# --------------------------------------------------------------------------
+
+def q_exact_dedup(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dd.exact_dedup_groups(docs)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "text_hash": b["text_hash"],
+                "keep_id": b["keep_id"].cast(pa.int64()),
+                "n": b["n"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       count(*) AS n
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact word-3-gram Jaccard >= 0.5 pairs (integer threshold)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dd.ngram_jaccard_pairs(docs, k=3, tau_num=5, tau_den=10)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_a": b["doc_a"].cast(pa.int64()),
+                "doc_b": b["doc_b"].cast(pa.int64()),
+                "inter": b["inter"].cast(pa.int64()),
+                "uni": b["uni"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(sa.n + sb.n - inter AS BIGINT) AS uni
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 10 >= (sa.n + sb.n - inter) * 5
+"""
+
+
+def _emb_matrix(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    return m, ids
+
+
+def q_cosine_near_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs (ids only; cosine values are
+    summation-order-dependent floats, excluded from the hash)."""
+    m, ids = _emb_matrix(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = dd.cosine_near_pairs(ds, m, ids, tau=0.42, id_col="vec_id")
+    return out.select_columns(["doc_a", "doc_b"])
+
+
+SQL_COSINE_NEAR_PAIRS = """
+SELECT CAST(a.vec_id AS BIGINT) AS doc_a, CAST(b.vec_id AS BIGINT) AS doc_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+"""
+
+
+def q_embedding_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the first 5 vectors as queries
+    (ranks and ids only)."""
+    m, ids = _emb_matrix(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, m[:5], [0, 1, 2, 3, 4], k=10)
+    return out.select(["query_id", "rank", "vec_id"])
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5)
+SELECT q.query_id,
+       CAST(row_number() OVER (
+         PARTITION BY q.query_id
+         ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+       ) AS BIGINT) AS rank,
+       CAST(e.vec_id AS BIGINT) AS vec_id
+FROM q CROSS JOIN embeddings e
+QUALIFY rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (no SQL equivalent; driver records weaker check)
+# --------------------------------------------------------------------------
+
+def q_minhash_pairs(sf_dir: str):
+    docs_t = _docs_table(sf_dir)
+    texts = dict(zip(docs_t["doc_id"].to_pylist(), docs_t["text"].to_pylist()))
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dd.minhash_lsh_pairs(docs, verify_tau=0.5, texts_for_verify=texts)
+
+
+def q_simhash_pairs(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dd.simhash_near_pairs(docs, max_hamming=6)
+
+
+def q_rolling_fingerprints(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ts.rolling_fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def q_lsh_topk(sf_dir: str):
+    m, ids = _emb_matrix(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_topk(ds, m[:5], [0, 1, 2, 3, 4], dim=m.shape[1], k=10, n_planes=8)
+
+
+def q_chunk_documents(sf_dir: str):
+    """hawn chunker over the synthetic pages corpus (stateful actor
+    pool; token ids from the stand-in encoder — not SQL-expressible)."""
+    from ..stages.chunk import ChunkerActor
+
+    items = _extracted_items(sf_dir)
+    return items.select_columns(["url", "html_content", "last_crawled"]).map_batches(
+        ChunkerActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, 4),
+    )
+
+
+def q_embed_chunks(sf_dir: str):
+    """kurt embedder (stub model parity: zeros x1536)."""
+    from .embed import embed_chunks
+
+    chunks = q_chunk_documents(sf_dir)
+    return embed_chunks(chunks, mode="stub", concurrency=2)
+
+
+def q_media_decode(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    media = docs.map_batches(media_from_documents, batch_format="pyarrow")
+    return media.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"real": False},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+
+
+def q_frame_sample(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    media = docs.map_batches(media_from_documents, batch_format="pyarrow")
+    return media.map_batches(FrameSampleStage, batch_format="pyarrow", concurrency=1)
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    # relational / reference operator mappings
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "segment_revenue": q_segment_revenue,
+    "anti_join_unused_parts": q_anti_join_unused_parts,
+    "recency_top10": q_recency_top10,
+    "frontier_order_topk": q_frontier_order_topk,
+    "event_type_histogram": q_event_type_histogram,
+    "storage_stats": q_storage_stats,
+    "log_durations": q_log_durations,
+    "upsert_latest_event": q_upsert_latest_event,
+    "edges_dedup": q_edges_dedup,
+    "union_dedup": q_union_dedup,
+    # url/page kernels + crawl
+    "url_canonicalize": q_url_canonicalize,
+    "filter_en": q_filter_en,
+    "whitespace_normalize": q_whitespace_normalize,
+    "extract_text": q_extract_text,
+    "extract_children": q_extract_children,
+    "link_edges": q_link_edges,
+    "crawl_pages_bfs": q_crawl_pages_bfs,
+    "crawl_graph_bfs": q_crawl_graph_bfs,
+    # text analysis
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    # dedup / similarity
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "cosine_near_pairs": q_cosine_near_pairs,
+    "embedding_topk": q_embedding_topk,
+    # rows-only (non-SQL-expressible)
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "rolling_fingerprints": q_rolling_fingerprints,
+    "lsh_topk": q_lsh_topk,
+    "chunk_documents": q_chunk_documents,
+    "embed_chunks": q_embed_chunks,
+    "media_decode": q_media_decode,
+    "frame_sample": q_frame_sample,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": SQL_Q1,
+    "segment_revenue": SQL_SEGMENT_REVENUE,
+    "anti_join_unused_parts": SQL_ANTI_JOIN_UNUSED_PARTS,
+    "recency_top10": SQL_RECENCY_TOP10,
+    "frontier_order_topk": SQL_FRONTIER_ORDER_TOPK,
+    "event_type_histogram": SQL_EVENT_TYPE_HISTOGRAM,
+    "storage_stats": SQL_STORAGE_STATS,
+    "log_durations": SQL_LOG_DURATIONS,
+    "upsert_latest_event": SQL_UPSERT_LATEST_EVENT,
+    "edges_dedup": SQL_EDGES_DEDUP,
+    "union_dedup": SQL_UNION_DEDUP,
+    "url_canonicalize": SQL_URL_CANONICALIZE,
+    "filter_en": SQL_FILTER_EN,
+    "whitespace_normalize": SQL_WHITESPACE_NORMALIZE,
+    "extract_text": SQL_EXTRACT_TEXT,
+    "extract_children": SQL_EXTRACT_CHILDREN,
+    "link_edges": SQL_LINK_EDGES,
+    "crawl_pages_bfs": SQL_CRAWL_PAGES_BFS,
+    "crawl_graph_bfs": SQL_CRAWL_GRAPH_BFS,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "lang_id": SQL_LANG_ID,
+    "fingerprints": SQL_FINGERPRINTS,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "cosine_near_pairs": SQL_COSINE_NEAR_PAIRS,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+}
