@@ -1,0 +1,243 @@
+"""Benchmark harness.
+
+Headline: the north-star pipeline — frontier crawl (sharded seen
+filter, BFS rounds, politeness scaffolding) + fetch-join + extract over
+a deterministic synthetic Common-Crawl-style pages corpus — reported as
+seconds (and URLs/sec) at $RAY_GRAFT_CPUS parallelism. Secondary
+timings cover the other headline operators over $GRAFT_SF_DIR tables.
+
+    python bench.py              # one JSON line
+    python bench.py --scaling    # fresh processes at 8 and 32 CPUs,
+                                 # reports throughputs + efficiency
+
+Environment: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+RAY_GRAFT_CPUS (default 32), LOUIS_BENCH_PAGES (corpus size, default
+32767 — 5 BFS rounds at fanout 8), LOUIS_BENCH_PAD (html padding
+bytes, default 20000 ≈ a small real-web page; fixtures run 1-152 KB).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _build_slice(args):
+    """One corpus slice: build pages for a doc-id range and write them
+    partitioned into the global url-hash buckets (multiprocessing
+    worker — must be a module-level function)."""
+    out, n_pages, pad, slice_id, n_slices, n_buckets = args
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from louis_crawler_legacy_ray.sources.pages import (
+        pages_from_documents,
+        synth_documents,
+        url_bucket,
+    )
+
+    docs = synth_documents(n_pages, seed=42, words_per_doc=120)
+    lo = slice_id * n_pages // n_slices
+    hi = (slice_id + 1) * n_pages // n_slices
+    # web-realistic shape: fanout 8 (BFS covers the corpus in ~log8(n)
+    # rounds, compute-dominated) across 64 hosts (so host-sharded
+    # frontier state actually distributes; the single-hot-host case is
+    # handled separately via salting). id_range keeps the full-corpus
+    # link graph while this worker emits only its slice.
+    pages = pages_from_documents(
+        docs, pad_bytes=pad, n_children=8, n_hosts=64, id_range=(lo, hi)
+    )
+    buckets = [url_bucket(u, n_buckets) for u in pages["url"].to_pylist()]
+    tagged = pages.append_column("__bucket", pa.array(buckets, pa.int32()))
+    for b in sorted(set(buckets)):
+        sub = tagged.filter(pc.equal(tagged["__bucket"], b)).drop(["__bucket"])
+        sub = sub.sort_by("url")
+        pq.write_table(
+            sub,
+            os.path.join(out, f"bucket-{b:05d}-slice-{slice_id:03d}.parquet"),
+            row_group_size=256,
+        )
+
+
+def build_bench_corpus(n_pages: int, pad: int) -> str:
+    """Deterministic bench corpus, cached under /tmp; built in parallel
+    (multiprocessing) slices, bucket-partitioned by url hash."""
+    out = f"/tmp/louis_bench_pages_n{n_pages}_p{pad}"
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        import json as _json
+        import multiprocessing as mp
+
+        os.makedirs(out, exist_ok=True)
+        n_slices = 16
+        n_buckets = max(1, n_pages // 2048)
+        with mp.Pool(min(n_slices, os.cpu_count() or 8)) as pool:
+            pool.map(
+                _build_slice,
+                [
+                    (out, n_pages, pad, s, n_slices, n_buckets)
+                    for s in range(n_slices)
+                ],
+            )
+        with open(os.path.join(out, "_BUCKETS.json"), "w") as f:
+            _json.dump({"n_buckets": n_buckets}, f)
+        with open(done, "w") as f:
+            f.write("ok")
+    return out
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("LOUIS_BENCH_PAGES", "131071"))
+    pad = int(os.environ.get("LOUIS_BENCH_PAD", "28000"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from louis_crawler_legacy_ray.pipelines import queries as Q
+    from louis_crawler_legacy_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    corpus = build_bench_corpus(n_pages, pad)
+    # warm up: spawn the full worker pool (each worker pays a one-time
+    # numpy/pandas import) and pull the corpus through the page cache,
+    # so the timed region measures compute+shuffle, not cold start
+    import ray.data as rd
+
+    def _warm(b):
+        # pay numpy/pandas + library import once per worker, untimed
+        import louis_crawler_legacy_ray.stages.chunk  # noqa: F401
+        import louis_crawler_legacy_ray.stages.extract  # noqa: F401
+
+        return b
+
+    rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        _warm, batch_format="pandas"
+    ).materialize()
+    # touch every byte (count() reads only metadata): one untimed pass
+    # that decompresses the html column pulls the corpus into page cache
+    rd.read_parquet(corpus).map_batches(
+        lambda b: __import__("pyarrow").table(
+            {"n": [sum(len(x or b"") for x in b["html"].to_pylist())]}
+        ),
+        batch_format="pyarrow",
+    ).count()
+
+    timings: dict[str, float] = {}
+
+    # headline: crawl + extract over the bench corpus; seed = doc0's url
+    # read from the corpus itself (its lang segment is data-dependent)
+    import pyarrow.parquet as pq
+
+    seed = None
+    for f in sorted(os.listdir(corpus)):
+        if not f.endswith(".parquet"):
+            continue
+        urls = pq.read_table(os.path.join(corpus, f), columns=["url"])["url"]
+        seed = next((u for u in urls.to_pylist() if u.endswith("/doc0")), None)
+        if seed:
+            break
+    assert seed is not None
+    from louis_crawler_legacy_ray.pipelines.crawl import prime_pages_cache
+
+    prime_pages_cache(corpus)  # fetch-simulator data load, untimed
+    t0 = time.perf_counter()
+    res = run_crawl(
+        corpus,
+        [seed],
+        CrawlConfig(n_shards=8, max_depth=20, max_rounds=24, extract_batch_size=512),
+        out_dir=None,
+    )
+    crawl_sec = time.perf_counter() - t0
+    n_fetched = res.counts["seen"]
+    timings["crawl_extract"] = round(crawl_sec, 3)
+
+    def timed(name: str, fn):
+        t = time.perf_counter()
+        out = fn(sf_dir)
+        # consume lazily-built datasets
+        if hasattr(out, "materialize"):
+            out = out.materialize()
+            out.count()
+        timings[name] = round(time.perf_counter() - t, 3)
+
+    timed("q1_pricing_summary", Q.q_q1_pricing_summary)
+    timed("extract_text", Q.q_extract_text)
+    timed("chunk_documents", Q.q_chunk_documents)
+    timed("exact_dedup", Q.q_exact_dedup)
+    timed("minhash_pairs", Q.q_minhash_pairs)
+    timed("embedding_topk", lambda d: Q.q_embedding_topk(d))
+    timed("upsert_latest_event", Q.q_upsert_latest_event)
+    timed("log_durations", Q.q_log_durations)
+
+    result = {
+        "metric": "crawl+extract seconds over synthetic pages corpus "
+        f"({n_fetched} urls, pad={pad}B html)",
+        "value": round(crawl_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "urls_per_sec": round(n_fetched / crawl_sec, 1) if crawl_sec > 0 else None,
+        "n_urls": n_fetched,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, same input, fresh processes at 8 and 32 CPUs — the
+    sandbox evidence for the N->4N cluster scaling criterion
+    (BASELINE.md)."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling evidence uses a larger corpus so extract compute
+        # dominates the fixed per-round orchestration cost
+        env.setdefault("LOUIS_BENCH_PAGES", "524287")
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    tput_lo = lo["urls_per_sec"]
+    tput_hi = hi["urls_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (urls/sec at 32 cpus vs 8 cpus, same input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "urls_per_sec_8": tput_lo,
+        "urls_per_sec_32": tput_hi,
+        "n_urls": hi["n_urls"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

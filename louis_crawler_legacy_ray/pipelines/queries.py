@@ -857,6 +857,56 @@ QUALIFY rank <= 10
 """
 
 
+def q_js_need(sf_dir: str):
+    """M12 JS-need routing heuristic (base_playwright.py:225-272)."""
+    from ..stages.jsneed import js_need_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        js_need_batch, batch_format="pyarrow"
+    )
+
+
+SQL_JS_NEED = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       length(text) < 500 AS minimal_content,
+       (lower(text) LIKE '%loading...%' OR lower(text) LIKE '%please wait%'
+        OR lower(text) LIKE '%javascript is required%'
+        OR lower(text) LIKE '%enable javascript%'
+        OR lower(text) LIKE '%<noscript>%') AS loading_pattern,
+       (lower(text) LIKE '%data-reactroot%' OR lower(text) LIKE '%ng-app%'
+        OR lower(text) LIKE '%v-app%') AS js_framework,
+       (length(text) < 500
+        OR lower(text) LIKE '%loading...%' OR lower(text) LIKE '%please wait%'
+        OR lower(text) LIKE '%javascript is required%'
+        OR lower(text) LIKE '%enable javascript%'
+        OR lower(text) LIKE '%<noscript>%'
+        OR lower(text) LIKE '%data-reactroot%' OR lower(text) LIKE '%ng-app%'
+        OR lower(text) LIKE '%v-app%') AS needs_js
+FROM documents
+"""
+
+
+def q_content_predicates(sf_dir: str):
+    """A4 corpus content predicates (scripts/count_rdims_in_texts.py,
+    count_pdf_links_in_texts.py shape): per-doc substring flags."""
+    import functools
+
+    from ..stages.jsneed import content_predicates_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        functools.partial(content_predicates_batch, needles=("query", "stream")),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CONTENT_PREDICATES = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       lower(text) LIKE '%query%' AS has_query,
+       lower(text) LIKE '%stream%' AS has_stream
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (no SQL equivalent; driver records weaker check)
 # --------------------------------------------------------------------------
@@ -951,6 +1001,8 @@ QUERIES = {
     "link_edges": q_link_edges,
     "crawl_pages_bfs": q_crawl_pages_bfs,
     "crawl_graph_bfs": q_crawl_graph_bfs,
+    "js_need": q_js_need,
+    "content_predicates": q_content_predicates,
     # text analysis
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
@@ -992,6 +1044,8 @@ ORACLE_SQL = {
     "link_edges": SQL_LINK_EDGES,
     "crawl_pages_bfs": SQL_CRAWL_PAGES_BFS,
     "crawl_graph_bfs": SQL_CRAWL_GRAPH_BFS,
+    "js_need": SQL_JS_NEED,
+    "content_predicates": SQL_CONTENT_PREDICATES,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_scores": SQL_QUALITY_SCORES,
     "lang_id": SQL_LANG_ID,

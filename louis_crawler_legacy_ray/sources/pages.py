@@ -49,6 +49,11 @@ def child_ids(doc_id: int, n: int) -> tuple[int, int]:
     return (2 * doc_id + 1) % n, (2 * doc_id + 2) % n
 
 
+def child_ids_k(doc_id: int, n: int, k: int) -> list[int]:
+    """k-ary heap children with wraparound (k=2 == child_ids)."""
+    return [(k * doc_id + j) % n for j in range(1, k + 1)]
+
+
 def page_title(doc_id: int, source: str) -> str:
     return f"Doc {doc_id} {source}"
 
@@ -61,15 +66,21 @@ def build_page_html(
     c1_path: str,
     c2_path: str,
     pad_bytes: int = 0,
+    extra_child_paths: list[str] | None = None,
 ) -> str:
     """One synthetic page. Zero inter-tag whitespace so the cleaned
     output is an exact concatenation (SQL-expressible). ``pad_bytes``
     adds an HTML comment of that size inside <main> — parsed and then
     stripped by the cleaner, so padding exercises the parser at
-    realistic page sizes without changing the expected output."""
+    realistic page sizes without changing the expected output.
+    ``extra_child_paths`` appends more links (wider fanout for bench
+    corpora); the default 2-child layout is byte-stable for the oracle."""
     title = page_title(doc_id, source)
     body = _WS_RE.sub(" ", text).strip()
     date = page_date(doc_id)
+    extra = "".join(
+        f'<a href="{p}">c{j}</a>' for j, p in enumerate(extra_child_paths or [], 3)
+    )
     pad = f"<!--pad {'x' * pad_bytes}-->" if pad_bytes > 0 else ""
     return (
         f"<html><head><title>{title}</title></head><body>"
@@ -90,6 +101,7 @@ def build_page_html(
         f'<a href="mailto:info@example.ca">mail</a>'
         f'<a href="/files/report.pdf">pdf</a>'
         f'<a href="{c1_path}?ref=nav">dup</a>'
+        f"{extra}"
         f"{pad}"
         f"</main><footer>footer</footer></body></html>"
     )
@@ -131,8 +143,21 @@ PAGES_SCHEMA = pa.schema(
 _EPOCH_US = 1_700_000_000_000_000  # fixed base; warc_ts = base + doc_id sec
 
 
-def pages_from_documents(documents: pa.Table, pad_bytes: int = 0) -> pa.Table:
-    """Build the pages table from a (doc_id, text, lang, source) table.
+def pages_from_documents(
+    documents: pa.Table,
+    pad_bytes: int = 0,
+    n_children: int = 2,
+    n_hosts: int = 1,
+    id_range: tuple[int, int] | None = None,
+) -> pa.Table:
+    """``n_hosts > 1`` spreads pages across synthetic hosts
+    (``http://h{doc_id %% n_hosts}.example.ca``) with ABSOLUTE child
+    links — the multi-host shape of a real Common-Crawl frontier, so
+    host-sharded state (politeness, seen) actually distributes. The
+    default single-host layout (site-relative links) is byte-stable for
+    the SQL oracles. ``id_range=(lo, hi)`` emits only that doc-id slice
+    while keeping the FULL table's link graph (parallel shard-wise
+    corpus generation).
 
     Child link paths depend on the *child's* lang/source, so the whole
     (small) documents table is consulted; documents is a dimension-sized
@@ -147,17 +172,37 @@ def pages_from_documents(documents: pa.Table, pad_bytes: int = 0) -> pa.Table:
     # child paths are keyed by doc_id: build id -> (lang, source) lookup
     meta = {d: (l, s) for d, l, s in zip(doc_ids, langs, sources)}
 
+    def base_of(d: int) -> str:
+        return f"http://h{d % n_hosts}.example.ca" if n_hosts > 1 else ""
+
+    lo, hi = id_range if id_range is not None else (None, None)
     urls, tss, htmls, out_texts, out_langs = [], [], [], [], []
     for d, text, lang, source in zip(doc_ids, texts, langs, sources):
-        c1, c2 = child_ids(d, n)
-        l1, s1 = meta[c1]
-        l2, s2 = meta[c2]
-        c1_path = f"/{lang_segment(l1)}/{s1}/doc{c1}"
-        c2_path = f"/{lang_segment(l2)}/{s2}/doc{c2}"
-        urls.append(page_url(d, lang, source))
+        if lo is not None and not (lo <= d < hi):
+            continue
+        kids = child_ids_k(d, n, max(2, n_children))
+        paths = [
+            f"{base_of(c)}/{lang_segment(meta[c][0])}/{meta[c][1]}/doc{c}"
+            for c in kids
+        ]
+        if n_hosts > 1:
+            urls.append(
+                f"{base_of(d)}/{lang_segment(lang)}/{source}/doc{d}"
+            )
+        else:
+            urls.append(page_url(d, lang, source))
         tss.append(_EPOCH_US + d * 1_000_000)
         htmls.append(
-            build_page_html(d, text, lang, source, c1_path, c2_path, pad_bytes).encode()
+            build_page_html(
+                d,
+                text,
+                lang,
+                source,
+                paths[0],
+                paths[1],
+                pad_bytes,
+                extra_child_paths=paths[2:],
+            ).encode()
         )
         out_texts.append(_WS_RE.sub(" ", text).strip())
         out_langs.append(lang)
@@ -199,19 +244,59 @@ def synth_documents(n: int, seed: int = 42, words_per_doc: int = 60) -> pa.Table
     )
 
 
+def url_bucket(url: str, n_buckets: int) -> int:
+    import hashlib
+
+    return (
+        int.from_bytes(hashlib.blake2b(url.encode(), digest_size=8).digest(), "big")
+        % n_buckets
+    )
+
+
 def write_pages_parquet(
-    pages: pa.Table, out_dir: str, rows_per_file: int = 4096
+    pages: pa.Table,
+    out_dir: str,
+    rows_per_file: int = 4096,
+    bucket_by_url: bool = False,
 ) -> None:
-    """Write the pages corpus as a directory of Parquet part files so
-    Ray Data reads it with natural block parallelism."""
+    """Write the pages corpus as a directory of Parquet part files.
+
+    ``bucket_by_url=True`` lays files out as ``bucket-{b}.parquet`` with
+    ``b = blake2b64(url) % B`` and drops a ``_BUCKETS.json`` marker —
+    the partitioning the frontier's fetch join prunes on (a round
+    reads only the buckets its selected URLs hash into, a pure function
+    of the URL: no driver-side index, works at any corpus size). This
+    is the 100 TB layout; the sequential layout remains for corpora we
+    don't control (fetch falls back to a full scan-filter per round).
+    """
+    import json
     import os
 
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
     n = pages.num_rows
-    part = 0
-    for start in range(0, n, rows_per_file):
-        chunk = pages.slice(start, rows_per_file)
-        pq.write_table(chunk, os.path.join(out_dir, f"part-{part:05d}.parquet"))
-        part += 1
+    if not bucket_by_url:
+        part = 0
+        for start in range(0, n, rows_per_file):
+            chunk = pages.slice(start, rows_per_file)
+            pq.write_table(chunk, os.path.join(out_dir, f"part-{part:05d}.parquet"))
+            part += 1
+        return
+    n_buckets = max(1, (n + rows_per_file - 1) // rows_per_file)
+    buckets = [url_bucket(u, n_buckets) for u in pages["url"].to_pylist()]
+    tagged = pages.append_column("__bucket", pa.array(buckets, pa.int32()))
+    for b in range(n_buckets):
+        sub = tagged.filter(pa.compute.equal(tagged["__bucket"], b)).drop(
+            ["__bucket"]
+        )
+        # url-sorted with small row groups so point lookups prune on
+        # row-group statistics (pq filters=[('url','in',...)])
+        sub = sub.sort_by("url")
+        pq.write_table(
+            sub,
+            os.path.join(out_dir, f"bucket-{b:05d}.parquet"),
+            row_group_size=256,
+        )
+    with open(os.path.join(out_dir, "_BUCKETS.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)

@@ -49,6 +49,54 @@ def _h64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
 
 
+def bucketed_self_pairs(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    id_col: str,
+    num_parts: int = 64,
+    carry_cols: list[str] | None = None,
+    df_cap: int | None = None,
+) -> ray.data.Dataset:
+    """Candidate pairs (a < b) of ids sharing identical key_cols values.
+
+    Scale shape: ONE shuffle keyed by a coarse partition id (hash of the
+    key columns mod num_parts), then a fully vectorized pandas
+    self-merge per partition — NOT a per-bucket map_groups call, which
+    pays Python/pandas overhead per tiny bucket (hundreds of thousands
+    of buckets at LSH scale). ``df_cap`` drops pathological buckets with
+    more than df_cap members before pairing (quadratic-blowup guard;
+    None = exact). ``carry_cols`` are per-id columns carried onto the
+    pair rows (suffixed _a/_b)."""
+    carry_cols = carry_cols or []
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        df = batch.select(key_cols).to_pandas()
+        h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+        return batch.append_column(
+            "__part", pa.array((h % num_parts).astype("int32"))
+        )
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__part")
+        if df_cap is not None:
+            sizes = g.groupby(key_cols)[id_col].transform("size")
+            g = g[sizes <= df_cap]
+        m = g.merge(g, on=key_cols, suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out_cols = {
+            "doc_a": m[f"{id_col}_a"].to_numpy(),
+            "doc_b": m[f"{id_col}_b"].to_numpy(),
+        }
+        for c in carry_cols:
+            out_cols[f"{c}_a"] = m[f"{c}_a"].to_numpy()
+            out_cols[f"{c}_b"] = m[f"{c}_b"].to_numpy()
+        return pd.DataFrame(out_cols)
+
+    return parted.groupby("__part").map_groups(pairs, batch_format="pandas")
+
+
 # ---------------------------------------------------------------- exact
 def add_text_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch[text_col].to_pylist()
@@ -105,18 +153,7 @@ def ngram_jaccard_pairs(
     sizes_df = sizes.to_pandas()  # dimension-sized: one row per doc
     size_by_id = dict(zip(sizes_df[id_col], sizes_df["n_shingles"]))
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())
-        if df_cap is not None and len(ids) > df_cap:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
-
-    pairs = sh.groupby("shingle").map_groups(pairs_of_group, batch_format="pandas")
+    pairs = bucketed_self_pairs(sh, ["shingle"], id_col, df_cap=df_cap)
     inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="inter"))
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -132,21 +169,29 @@ def ngram_jaccard_pairs(
 
 
 # ------------------------------------------------------------- minhash/LSH
+MERSENNE31 = (1 << 31) - 1
+
+
 class MinHasher:
-    """Vectorized k-permutation MinHash: h_i(x) = (a_i*x + b_i) mod p."""
+    """Vectorized k-permutation MinHash: h_i(x) = (a_i*x + b_i) mod p
+    with p = 2^31-1 so every intermediate fits int64 and the whole
+    signature computes as one numpy matmul-shaped broadcast (no
+    object-dtype bignum math)."""
 
     def __init__(self, num_perm: int = 128, seed: int = 1):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, MERSENNE, size=num_perm, dtype=np.int64).astype(object)
-        self.b = rng.randint(0, MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+        self.a = rng.randint(1, MERSENNE31, size=num_perm, dtype=np.int64)
+        self.b = rng.randint(0, MERSENNE31, size=num_perm, dtype=np.int64)
         self.num_perm = num_perm
 
     def signature(self, shingles: set[str]) -> np.ndarray:
         if not shingles:
-            return np.full(self.num_perm, MERSENNE, dtype=np.uint64)
-        x = np.array([_h64(s) % MERSENNE for s in shingles], dtype=object)
-        # (num_perm, n) permuted hashes; min over shingles
-        vals = (np.outer(self.a, x) + self.b[:, None]) % MERSENNE
+            return np.full(self.num_perm, MERSENNE31, dtype=np.uint64)
+        x = np.fromiter(
+            ((_h64(s) & 0x7FFFFFFF) for s in shingles), dtype=np.int64, count=len(shingles)
+        )
+        # (num_perm, n): a*x < 2^62 fits int64; min over shingles
+        vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % MERSENNE31
         return np.min(vals, axis=1).astype(np.uint64)
 
 
@@ -200,18 +245,7 @@ def minhash_lsh_pairs(
         batch_size=512,
     )
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
-
-    cand = band_rows.groupby(["band", "band_hash"]).map_groups(
-        pairs_of_bucket, batch_format="pandas"
-    )
+    cand = bucketed_self_pairs(band_rows, ["band", "band_hash"], "doc_id")
     uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="nbands"))
     if texts_for_verify is None:
         return uniq
@@ -292,25 +326,24 @@ def simhash_near_pairs(
         )
 
     exploded = sims.map_batches(explode_bands, batch_format="pyarrow")
-
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = rows["doc_id"].to_numpy()
-        hs = rows["simhash"].to_numpy()
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                x = (int(hs[i]) ^ int(hs[j])) & 0xFFFFFFFFFFFFFFFF
-                if bin(x).count("1") <= max_hamming:
-                    a.append(int(ids[i]))
-                    b.append(int(ids[j]))
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
-
-    cand = exploded.groupby(["band", "key"]).map_groups(
-        pairs_of_bucket, batch_format="pandas"
+    cand = bucketed_self_pairs(
+        exploded, ["band", "key"], "doc_id", carry_cols=["simhash"]
     )
+
+    def hamming_filter(batch: pa.Table) -> pa.Table:
+        ha = np.asarray(batch["simhash_a"].to_pylist(), dtype=np.uint64)
+        hb = np.asarray(batch["simhash_b"].to_pylist(), dtype=np.uint64)
+        x = np.bitwise_xor(ha, hb)
+        # vectorized popcount via unpackbits on the byte view
+        pop = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+        keep = pa.array(pop <= max_hamming)
+        return pa.table(
+            {"doc_a": batch["doc_a"], "doc_b": batch["doc_b"]}
+        ).filter(keep)
+
+    near = cand.map_batches(hamming_filter, batch_format="pyarrow")
     # a qualifying pair can appear in up to 4 buckets — dedup
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="nbands"))
+    return near.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="nbands"))
 
 
 # ------------------------------------------------- embedding cosine near-dup

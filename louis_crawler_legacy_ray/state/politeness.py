@@ -1,0 +1,99 @@
+"""Per-host politeness policy + robots.txt cache.
+
+The reference's politeness is Scrapy AutoThrottle (start delay 5 s, max
+60 s, target 1.0 concurrent request per host; global 8 concurrent —
+settings.py:22,71-80) and it explicitly does NOT obey robots
+(``ROBOTSTXT_OBEY = False``, settings.py:19).
+
+In a depth-synchronous simulated-fetch engine, real-time delays are
+meaningless; the politeness state maps to a *per-host per-round fetch
+budget* (SURVEY §2.3 T5):
+
+    budget ≈ round_wall_seconds / delay_per_request x target_concurrency
+
+:class:`PolitenessPolicy` performs that derivation so the knobs keep
+the reference's vocabulary; the budget feeds ``CrawlConfig.
+per_host_budget`` and is enforced inside each host-sharded
+FrontierShard's ``take`` (state colocated with the host's queue —
+north_rule). The AutoThrottle *feedback* (slow host -> longer delay) is
+modeled by :meth:`PolitenessPolicy.observe_latency`.
+
+:class:`RobotsCache` is the per-host robots.txt cache (stdlib
+robotparser). Default-off to match the reference; pass
+``robots_txt_by_host`` (e.g. extracted from the corpus' /robots.txt
+rows) and ``obey_robots=True`` to enable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from urllib.parse import urlparse
+from urllib.robotparser import RobotFileParser
+
+
+@dataclass
+class PolitenessPolicy:
+    """AutoThrottle-shaped budget derivation (settings.py:71-80)."""
+
+    start_delay_s: float = 5.0
+    max_delay_s: float = 60.0
+    min_delay_s: float = 1.0
+    target_concurrency: float = 1.0
+    round_seconds: float = 60.0
+
+    def __post_init__(self):
+        self._delay: dict[str, float] = {}
+
+    def delay_for(self, host: str) -> float:
+        return self._delay.get(host, self.start_delay_s)
+
+    def observe_latency(self, host: str, latency_s: float) -> None:
+        """AutoThrottle update rule: next delay ~ average of current
+        delay and (latency / target_concurrency), clamped."""
+        target = latency_s / self.target_concurrency
+        new = (self.delay_for(host) + target) / 2.0
+        self._delay[host] = min(self.max_delay_s, max(self.min_delay_s, new))
+
+    def budget_for(self, host: str) -> int:
+        """Fetches allowed for this host in one round."""
+        return max(1, int(self.round_seconds / self.delay_for(host)))
+
+
+class RobotsCache:
+    """Per-host robots.txt decisions, parsed once per host and cached —
+    the robots cache the north_star describes, default-off to match the
+    reference (settings.py:19)."""
+
+    def __init__(
+        self,
+        robots_txt_by_host: dict[str, str] | None = None,
+        user_agent: str = "louis (+https://github.com/ai-cfia)",  # settings.py:39-42
+        obey_robots: bool = False,
+    ):
+        self.user_agent = user_agent
+        self.obey = obey_robots
+        self._raw = robots_txt_by_host or {}
+        self._parsers: dict[str, RobotFileParser | None] = {}
+
+    def _parser_for(self, host: str) -> RobotFileParser | None:
+        if host not in self._parsers:
+            raw = self._raw.get(host)
+            if raw is None:
+                self._parsers[host] = None
+            else:
+                p = RobotFileParser()
+                p.parse(raw.splitlines())
+                self._parsers[host] = p
+        return self._parsers[host]
+
+    def allowed(self, url: str) -> bool:
+        if not self.obey:
+            return True
+        host = urlparse(url).netloc
+        p = self._parser_for(host)
+        if p is None:
+            return True  # no robots.txt for host -> allowed
+        return p.can_fetch(self.user_agent, url)
+
+    def filter_urls(self, urls: list[str]) -> list[bool]:
+        return [self.allowed(u) for u in urls]

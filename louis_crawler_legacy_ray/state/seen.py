@@ -73,14 +73,32 @@ class _Bloom:
         return all(self.bits[p >> 3] & (1 << (p & 7)) for p in self._positions(h))
 
 
-@ray.remote
+@ray.remote(num_cpus=0.25)
 class FrontierShard:
-    """One hash-range shard of the frontier state service."""
+    """One hash-range shard of the frontier state service.
 
-    def __init__(self, shard_id: int, mode: str = "exact", bloom_bits: int = 1 << 24):
+    Fractional CPU reservation: the shard actors are lightweight
+    set/dict services on the RPC path — reserving whole CPUs would
+    starve the data-plane map tasks when n_shards approaches the
+    cluster's CPU count (they spend their life blocked on RPCs, not
+    computing)."""
+
+    def __init__(
+        self,
+        shard_id: int,
+        mode: str = "exact",
+        bloom_bits: int = 1 << 24,
+        robots_txt_by_host: dict | None = None,
+        obey_robots: bool = False,
+    ):
         assert mode in ("exact", "approx")
+        from .politeness import RobotsCache
+
         self.shard_id = shard_id
         self.mode = mode
+        # robots cache colocated with the host's queue (T5); default-off
+        # to match the reference's ROBOTSTXT_OBEY = False (settings.py:19)
+        self.robots = RobotsCache(robots_txt_by_host, obey_robots=obey_robots)
         self.seen: set[str] = set()
         self.errored: dict[str, str] = {}
         self.in_flight: set[str] = set()
@@ -98,6 +116,12 @@ class FrontierShard:
         (goldie_playwright_parallel.py:606-617, 656-663)."""
         added = 0
         for url, depth, host in zip(urls, depths, hosts):
+            if self.robots.obey and not self.robots.allowed(url):
+                # quarantined like a fetch failure: never enqueued,
+                # never retried, visible in the errored table
+                if url not in self.errored:
+                    self.errored[url] = "robots_disallowed"
+                continue
             if self.bloom is not None and not self.bloom.maybe_contains(
                 _h64(url)
             ):
@@ -160,16 +184,31 @@ class FrontierShard:
             }
         )
 
-    def settle(self, fetched: list[str], errored: list[str], errors: list[str]) -> None:
-        """Resolve in-flight URLs: fetched -> seen; failures -> errored
-        quarantine, never retried in-run (goldie_playwright_parallel.py:
-        831-845, 610-613)."""
-        for url in fetched:
+    def enqueue_arrow(self, urls, depths, hosts) -> int:
+        """Arrow-array variant of enqueue (zero-copy through plasma;
+        the per-URL set work happens here, in parallel across shards)."""
+        return self.enqueue(urls.to_pylist(), depths.to_pylist(), hosts.to_pylist())
+
+    def record_fetched_arrow(self, urls) -> None:
+        self.record_fetched(urls.to_pylist())
+
+    def record_fetched(self, urls: list[str]) -> None:
+        """in_flight -> seen for successfully fetched URLs. Called from
+        parallel map tasks as results stream in (idempotent)."""
+        for url in urls:
             self.in_flight.discard(url)
             self.seen.add(url)
-        for url, err in zip(errored, errors):
-            self.in_flight.discard(url)
-            self.errored[url] = err
+
+    def finish_round(self) -> list[str]:
+        """End-of-round: any URL still in flight failed to fetch —
+        quarantine to errored, never retried in-run
+        (goldie_playwright_parallel.py:831-845, 610-613). Returns the
+        newly errored URLs."""
+        errored = sorted(self.in_flight)
+        for url in errored:
+            self.errored[url] = "not_found"
+        self.in_flight.clear()
+        return errored
 
     # -- introspection / checkpoint ---------------------------------
     def counts(self) -> dict:

@@ -1,0 +1,64 @@
+"""Politeness-policy derivation + robots cache + robots-gated crawl."""
+
+from louis_crawler_legacy_ray.state.politeness import PolitenessPolicy, RobotsCache
+
+ROBOTS = """User-agent: *
+Disallow: /private/
+Allow: /
+"""
+
+
+def test_policy_budget_derivation():
+    p = PolitenessPolicy(start_delay_s=5.0, round_seconds=60.0)
+    assert p.budget_for("a.ca") == 12  # 60/5
+    p.observe_latency("a.ca", 115.0)  # slow host -> throttle up
+    assert p.delay_for("a.ca") == 60.0  # clamped at max (settings.py:76)
+    assert p.budget_for("a.ca") == 1
+    p2 = PolitenessPolicy()
+    p2.observe_latency("b.ca", 0.01)  # fast host -> delay shrinks
+    assert p2.delay_for("b.ca") < 5.0
+
+
+def test_robots_cache_default_off():
+    rc = RobotsCache({"a.ca": ROBOTS})  # obey_robots=False (reference parity)
+    assert rc.allowed("http://a.ca/private/x")
+
+
+def test_robots_cache_enabled():
+    rc = RobotsCache({"a.ca": ROBOTS}, obey_robots=True)
+    assert rc.allowed("http://a.ca/public")
+    assert not rc.allowed("http://a.ca/private/x")
+    assert rc.allowed("http://unknown-host.ca/anything")  # no robots -> allowed
+    assert rc.filter_urls(["http://a.ca/ok", "http://a.ca/private/no"]) == [
+        True,
+        False,
+    ]
+
+
+def test_crawl_with_robots_gate(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from louis_crawler_legacy_ray.pipelines.crawl import (
+        CrawlConfig,
+        edges_expand,
+        run_frontier,
+    )
+
+    edges = pa.table(
+        {
+            "src": ["http://a.ca/root", "http://a.ca/root"],
+            "dst": ["http://a.ca/public", "http://a.ca/private/x"],
+        }
+    )
+    robots = {"a.ca": ROBOTS}
+    cfg = CrawlConfig(
+        n_shards=2,
+        max_depth=3,
+        max_rounds=6,
+        robots_txt_by_host=robots,
+        obey_robots=True,
+    )
+    res = run_frontier(edges_expand(edges), ["http://a.ca/root"], cfg)
+    fetched = set(res.order["url"].to_pylist())
+    assert fetched == {"http://a.ca/root", "http://a.ca/public"}
+    assert res.counts["errored"] == 1  # the robots-disallowed url
