@@ -109,8 +109,16 @@ class Frontier:
 
     def __init__(self, cfg: CrawlConfig):
         self.cfg = cfg
+        # reserve at most a quarter of the cluster for the state
+        # service in total, and nothing on tiny clusters (8 shards at
+        # 0.25 CPU each once consumed an entire 2-CPU cluster and
+        # deadlocked the data plane)
+        avail = ray.cluster_resources().get("CPU", 8)
+        per_shard_cpu = min(0.25, (avail * 0.25) / max(1, cfg.n_shards))
+        if avail < 2 * cfg.n_shards * 0.25:
+            per_shard_cpu = 0
         self.shards = [
-            FrontierShard.remote(
+            FrontierShard.options(num_cpus=per_shard_cpu).remote(
                 i,
                 mode=cfg.mode,
                 robots_txt_by_host=cfg.robots_txt_by_host,
@@ -288,7 +296,13 @@ _PAGES_MAT: dict[str, "ray.data.Dataset"] = {}
 
 def prime_pages_cache(pages_path: str) -> None:
     """Materialize a pages corpus into the object store (load-balanced
-    block count) so subsequent crawl rounds filter it zero-copy."""
+    block count) so crawl rounds filter it zero-copy. The corpus stands
+    in for the NETWORK in this sandbox (reference: goldie's disk cache,
+    middlewares.py:102-117) — decoding it is simulation scaffolding,
+    primed untimed by benches. Blocks spill to disk if the corpus
+    outgrows plasma. (A raw-task fan-out over pinned block refs was
+    tried and measured SLOWER than the fused Dataset stage — Ray Data's
+    executor amortizes scheduling better than per-block ray.remote.)"""
     if pages_path in _PAGES_MAT:
         return
     n_blocks = int(ray.cluster_resources().get("CPU", 8)) * 4
@@ -326,20 +340,21 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
     # (the BFS warm-up rounds of a single-seed crawl)
 
     def expand(selected: pa.Table, round_no: int, frontier: Frontier) -> dict:
-        url_col = selected["url"]
-        url_set = (
-            url_col.combine_chunks()
-            if isinstance(url_col, pa.ChunkedArray)
-            else url_col
-        )
-        sel_urls = selected["url"].to_pylist()
-        depth_by_url = dict(zip(sel_urls, selected["depth"].to_pylist()))
-        if n_buckets is not None:
-            from ..sources.pages import url_bucket
+        def _cc(col):
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
+        sel_tbl = pa.table(
+            {"url": _cc(selected["url"]), "depth": _cc(selected["depth"])}
+        )
+        read_paths = None
+        if n_buckets is not None:
             import glob as _glob
 
-            needed = sorted({url_bucket(u, n_buckets) for u in sel_urls})
+            from ..sources.pages import url_bucket
+
+            needed = sorted(
+                {url_bucket(u, n_buckets) for u in sel_tbl["url"].to_pylist()}
+            )
             read_paths = [
                 f
                 for b in needed
@@ -347,18 +362,17 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                     _glob.glob(os.path.join(pages_path, f"bucket-{b:05d}*.parquet"))
                 )
             ]
-        else:
-            read_paths = None
 
-        def fetch_filter(batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch["url"], value_set=url_set)
+        def fetch_filter(batch: pa.Table, sel: pa.Table) -> pa.Table:
+            """Semi-join a corpus batch against the round's URL set and
+            attach BFS depths — all Arrow kernels (is_in + index_in +
+            take), no per-URL Python."""
+            mask = pc.is_in(batch["url"], value_set=sel["url"])
             hit = batch.filter(mask)
             if hit.num_rows == 0:
                 return hit.append_column("depth", pa.array([], pa.int32()))
-            depths = pa.array(
-                [depth_by_url[u] for u in hit["url"].to_pylist()], pa.int32()
-            )
-            return hit.append_column("depth", depths)
+            idx = pc.index_in(hit["url"], value_set=sel["url"])
+            return hit.append_column("depth", sel["depth"].take(idx).cast(pa.int32()))
 
         extract = functools.partial(
             extract_batch, now_us=now_us, allowed_domains=cfg.allowed_domains
@@ -368,15 +382,14 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
             read_paths is not None
             and out_dir is None
             and selected.num_rows <= cfg.inline_round_threshold
-            and pages_path not in _PAGES_MAT
         ):
-            # inline fast path only when the corpus is NOT pinned in the
-            # object store — with a primed cache the distributed filter
-            # is cheaper than driver-side parquet point reads
+            # tiny rounds: driver-side row-group-pruned point reads beat
+            # launching a corpus-wide distributed filter
             # driver-inline fast path for tiny rounds
             import pyarrow.parquet as pq
 
             ctrls = []
+            sel_url_list = sel_tbl["url"].to_pylist()
             for path in read_paths:
                 # filters= prunes on row-group url statistics (buckets
                 # are written url-sorted with 256-row groups)
@@ -384,8 +397,9 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                     pq.read_table(
                         path,
                         columns=["url", "html"],
-                        filters=[("url", "in", sel_urls)],
-                    )
+                        filters=[("url", "in", sel_url_list)],
+                    ),
+                    sel_tbl,
                 )
                 if hit.num_rows == 0:
                     continue
@@ -398,13 +412,14 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                 return {"fetched": 0, "admitted": 0}
             return _dispatch_control(pa.concat_tables(ctrls), frontier.shards)
 
+        prime_pages_cache(pages_path)
+        sel_ref = ray.put(sel_tbl)  # one plasma copy per round, not a
+        # tens-of-MB closure pickle per task submission
+
         def fused(batch: pa.Table) -> pa.Table:
             """filter -> extract -> control rows, ONE task stage per
-            round. No RPC from inside the task (a blocked map task pins
-            a CPU slot and triggers replacement-worker oversubscription
-            at high parallelism); the tiny control table flows back and
-            the driver issues 2 batched Arrow RPCs per shard."""
-            hit = fetch_filter(batch)
+            round; no blocking RPC inside the task."""
+            hit = fetch_filter(batch, ray.get(sel_ref))
             if hit.num_rows == 0:
                 return _control_from_items(
                     pa.table(
@@ -420,7 +435,6 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                 )
             items = extract(hit)
             if out_dir is not None:
-                # per-round partitioned output, one file per task-batch
                 import uuid
 
                 d = f"{out_dir}/crawl_items/round={round_no:06d}"
@@ -432,18 +446,15 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                 items, cfg.n_shards, cfg.hot_host_salt, cfg.max_depth
             )
 
-        # The corpus is the FETCH SIMULATOR's lookup table: pin it in
-        # the object store once and filter zero-copy per round, instead
-        # of re-decoding parquet every round (a real crawl fetches from
-        # the network; this cache is the sandbox stand-in, like the
-        # reference's disk cache middlewares.py:102-117). Blocks spill
-        # to disk if the corpus outgrows plasma.
-        prime_pages_cache(pages_path)
-        ds = _PAGES_MAT[pages_path]
         ctrl_batches = list(
-            ds.map_batches(
-                fused, batch_format="pyarrow", batch_size=cfg.extract_batch_size
-            ).iter_batches(batch_format="pyarrow", batch_size=None)
+            _PAGES_MAT[pages_path]
+            .map_batches(
+                fused,
+                batch_format="pyarrow",
+                batch_size=None,        # whole blocks: no re-slice/copy
+                zero_copy_batch=True,   # corpus blocks are read-only
+            )
+            .iter_batches(batch_format="pyarrow", batch_size=None)
         )
         if not ctrl_batches:
             return {"fetched": 0, "admitted": 0}

@@ -907,6 +907,55 @@ FROM documents
 """
 
 
+_HOUR_US = 3_600_000_000
+
+
+def q_tumbling_window(sf_dir: str):
+    """Streaming-shaped tumbling-window aggregate (1h windows) over the
+    events log — vectorized bucketing + pre-bucketed groupby."""
+    from ..stages.windows import tumbling_window
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return tumbling_window(ev, _HOUR_US)
+
+
+SQL_TUMBLING_WINDOW = f"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(floor(epoch_us(ts) / {_HOUR_US}.0) AS BIGINT) AS window_id,
+       count(*) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_session_windows(sf_dir: str):
+    """Sessionization (gap > 1h splits) — per-key map_groups
+    gaps-and-islands over event time."""
+    from ..stages.windows import session_windows
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return session_windows(ev, _HOUR_US)
+
+
+SQL_SESSION_WINDOWS = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > {_HOUR_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
+FROM s GROUP BY user_id, session_id
+"""
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (no SQL equivalent; driver records weaker check)
 # --------------------------------------------------------------------------
@@ -1003,6 +1052,8 @@ QUERIES = {
     "crawl_graph_bfs": q_crawl_graph_bfs,
     "js_need": q_js_need,
     "content_predicates": q_content_predicates,
+    "tumbling_window": q_tumbling_window,
+    "session_windows": q_session_windows,
     # text analysis
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
@@ -1046,6 +1097,8 @@ ORACLE_SQL = {
     "crawl_graph_bfs": SQL_CRAWL_GRAPH_BFS,
     "js_need": SQL_JS_NEED,
     "content_predicates": SQL_CONTENT_PREDICATES,
+    "tumbling_window": SQL_TUMBLING_WINDOW,
+    "session_windows": SQL_SESSION_WINDOWS,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_scores": SQL_QUALITY_SCORES,
     "lang_id": SQL_LANG_ID,

@@ -73,15 +73,15 @@ class _Bloom:
         return all(self.bits[p >> 3] & (1 << (p & 7)) for p in self._positions(h))
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)
 class FrontierShard:
     """One hash-range shard of the frontier state service.
 
-    Fractional CPU reservation: the shard actors are lightweight
-    set/dict services on the RPC path — reserving whole CPUs would
-    starve the data-plane map tasks when n_shards approaches the
-    cluster's CPU count (they spend their life blocked on RPCs, not
-    computing)."""
+    Zero CPU reservation: the shard actors are lightweight set/dict
+    services on the RPC path — any reservation starves the data-plane
+    map tasks once n_shards x reservation approaches the cluster size
+    (8 shards x 0.25 CPU consumed an entire 2-CPU cluster). They burst
+    briefly per round; the scheduler handles that fine unreserved."""
 
     def __init__(
         self,
