@@ -115,7 +115,7 @@ def build_bench_corpus(n_pages: int, pad: int) -> str:
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("LOUIS_BENCH_PAGES", "131071"))
+    n_pages = int(os.environ.get("LOUIS_BENCH_PAGES", "32767"))
     pad = int(os.environ.get("LOUIS_BENCH_PAD", "28000"))
 
     import ray
@@ -234,6 +234,9 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling evidence wants extract compute to dominate the fixed
+        # per-round cost: larger corpus than the quick default bench
+        env.setdefault("LOUIS_BENCH_PAGES", "131071")
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
             env=env,

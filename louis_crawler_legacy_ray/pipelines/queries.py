@@ -184,6 +184,47 @@ GROUP BY c_mktsegment
 """
 
 
+def q_order_lineitem_join(sf_dir: str):
+    """Large-large partitioned hash join (the explicit bucketed shuffle
+    join, ray_guide pattern): orders x lineitem, then grouped revenue
+    per order priority — both sides too big to broadcast by policy."""
+    from ..stages.joins import partitioned_hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+
+    li2 = li.map_batches(prep, batch_format="pyarrow")
+    joined = partitioned_hash_join(
+        orders, li2, "o_orderkey", "l_orderkey", num_buckets=32, how="inner"
+    )
+    out = joined.groupby("o_orderpriority").aggregate(
+        Sum("rev", alias_name="rev_raw"), Count(alias_name="n_lines")
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "o_orderpriority": t["o_orderpriority"],
+            "revenue_c": _cents(t["rev_raw"]),
+            "n_lines": t["n_lines"].cast(pa.int64()),
+        }
+    )
+
+
+SQL_ORDER_LINEITEM_JOIN = """
+SELECT o_orderpriority,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_c,
+       count(*) AS n_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def q_anti_join_unused_parts(sf_dir: str):
     """Anti-join (reference J1 shape, db.py:686-703): parts that never
     appear in a high-quantity (>45) order line. (Every part appears in
@@ -1032,6 +1073,7 @@ QUERIES = {
     # relational / reference operator mappings
     "q1_pricing_summary": q_q1_pricing_summary,
     "segment_revenue": q_segment_revenue,
+    "order_lineitem_join": q_order_lineitem_join,
     "anti_join_unused_parts": q_anti_join_unused_parts,
     "recency_top10": q_recency_top10,
     "frontier_order_topk": q_frontier_order_topk,
@@ -1078,6 +1120,7 @@ QUERIES = {
 ORACLE_SQL = {
     "q1_pricing_summary": SQL_Q1,
     "segment_revenue": SQL_SEGMENT_REVENUE,
+    "order_lineitem_join": SQL_ORDER_LINEITEM_JOIN,
     "anti_join_unused_parts": SQL_ANTI_JOIN_UNUSED_PARTS,
     "recency_top10": SQL_RECENCY_TOP10,
     "frontier_order_topk": SQL_FRONTIER_ORDER_TOPK,
