@@ -65,6 +65,8 @@ class CrawlConfig:
     robots_txt_by_host: dict | None = None  # host -> robots.txt body
     obey_robots: bool = False               # reference default: settings.py:19
     inline_round_threshold: int = 64        # tiny rounds run driver-inline
+    round_fanout: str = "tasks"             # "tasks" (raw ray.remote per pinned block; A/B-measured
+                                            # faster at 8 and 32 CPUs) | "dataset" (fused map_batches)
 
 
 def config_hash(cfg: CrawlConfig, seeds: list[str]) -> str:
@@ -306,15 +308,65 @@ def prime_pages_cache(pages_path: str) -> None:
     if pages_path in _PAGES_MAT:
         return
     n_blocks = int(ray.cluster_resources().get("CPU", 8)) * 4
-    _PAGES_MAT[pages_path] = (
+    mat = (
         ray.data.read_parquet(pages_path, columns=["url", "html"])
         .repartition(n_blocks)
         .materialize()
     )
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    # driver-owned copies so the refs outlive Dataset lifecycle
+    _PAGES_MAT[pages_path] = {
+        "mat": mat,
+        "refs": [ray.put(t) for t in ray.get(refs)],
+    }
 
 
 def clear_pages_cache() -> None:
     _PAGES_MAT.clear()
+
+
+@ray.remote
+def _fused_round_task(
+    block: pa.Table,
+    sel: pa.Table,
+    now_us: int,
+    allowed_domains,
+    n_shards: int,
+    salt: dict,
+    max_depth: int,
+    out_part: str | None,
+) -> pa.Table:
+    """One round x one pinned corpus block: semi-join + extract +
+    control rows, as a plain Ray task (round_fanout='tasks' path)."""
+    mask = pc.is_in(block["url"], value_set=sel["url"])
+    hit = block.filter(mask)
+    if hit.num_rows == 0:
+        return _control_from_items(
+            pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "depth": pa.array([], pa.int32()),
+                    "links": pa.array([], pa.list_(pa.string())),
+                }
+            ),
+            n_shards,
+            salt,
+            max_depth,
+        )
+    idx = pc.index_in(hit["url"], value_set=sel["url"])
+    hit = hit.append_column("depth", sel["depth"].take(idx).cast(pa.int32()))
+    items = extract_batch(hit, now_us=now_us, allowed_domains=allowed_domains)
+    if out_part is not None:
+        import os as _os
+        import uuid as _uuid
+
+        import pyarrow.parquet as _pq
+
+        _os.makedirs(out_part, exist_ok=True)
+        _pq.write_table(items, f"{out_part}/part-{_uuid.uuid4().hex[:12]}.parquet")
+    return _control_from_items(items, n_shards, salt, max_depth)
 
 
 def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us: int):
@@ -416,6 +468,29 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
         sel_ref = ray.put(sel_tbl)  # one plasma copy per round, not a
         # tens-of-MB closure pickle per task submission
 
+        if cfg.round_fanout == "tasks":
+            out_part = (
+                f"{out_dir}/crawl_items/round={round_no:06d}"
+                if out_dir is not None
+                else None
+            )
+            ctrl_refs = [
+                _fused_round_task.remote(
+                    block_ref,
+                    sel_ref,
+                    now_us,
+                    cfg.allowed_domains,
+                    cfg.n_shards,
+                    cfg.hot_host_salt,
+                    cfg.max_depth,
+                    out_part,
+                )
+                for block_ref in _PAGES_MAT[pages_path]["refs"]
+            ]
+            return _dispatch_control(
+                pa.concat_tables(ray.get(ctrl_refs)), frontier.shards
+            )
+
         def fused(batch: pa.Table) -> pa.Table:
             """filter -> extract -> control rows, ONE task stage per
             round; no blocking RPC inside the task."""
@@ -447,7 +522,7 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
             )
 
         ctrl_batches = list(
-            _PAGES_MAT[pages_path]
+            _PAGES_MAT[pages_path]["mat"]
             .map_batches(
                 fused,
                 batch_format="pyarrow",
