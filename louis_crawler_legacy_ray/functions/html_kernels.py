@@ -33,6 +33,41 @@ def normalize_ws(s: str) -> str:
     return _WS_RE.sub(" ", s).strip()
 
 
+def clean_html_playwright(html: str) -> str:
+    """The M5 'playwright' cleaning profile (reference
+    base_playwright.py:121-156): content-root fallbacks main -> article
+    -> .content/#content/.main-content/#main-content -> whole document;
+    extra drops (style, nav, header, footer); empty elements (no text,
+    no <img>) removed. The goldie profile (:func:`clean_html`) is the
+    canonical golden-tested one (SURVEY §2.2 M5 note); this variant is
+    selectable via ``extract_page(profile='playwright')``."""
+    doc = parse_html(html)
+    root = doc.find("main") or doc.find("article")
+    if root is None:
+        root = doc.find(
+            lambda e: e.has_class("content")
+            or e.has_class("main-content")
+            or e.attrs.get("id") in ("content", "main-content")
+        )
+    if root is None:
+        root = doc
+    for tag in ("aside", "script", "style", "nav", "header", "footer"):
+        for el in root.find_all(tag):
+            el.extract()
+    for cls in ("pagedetails", "nojs-hide", "alert"):
+        for el in root.select_class(cls):
+            el.extract()
+    strip_comments(root if root.name != "[document]" else root)
+    # remove empty elements (no stripped text, no img descendant)
+    for el in list(root.iter_elements()):
+        if el.parent is None:
+            continue
+        if not el.get_text().strip() and el.find("img") is None and el.name != "img":
+            el.extract()
+    inner = root.inner_html() if root.name == "[document]" else root.to_html()
+    return normalize_ws("<html><body>" + inner + "</body></html>")
+
+
 def clean_html(html: str) -> str:
     """Clean a page to its <main> content (goldie.py:47-61):
 
@@ -86,6 +121,7 @@ def extract_page(
     html: str,
     now: int = 0,
     allowed_domains: list[str] | None = None,
+    profile: str = "goldie",
 ) -> dict:
     """Full goldie ``convert_to_crawl_item`` (goldie.py:10-45) plus the
     M2 link set used for new frontier requests (requests.py:4-20).
@@ -102,11 +138,12 @@ def extract_page(
     last_updated = extract_last_updated(doc)
     hrefs = extract_hrefs(doc)
     canon_url = fix_vhost(url)
+    cleaner = clean_html if profile == "goldie" else clean_html_playwright
     return {
         "url": canon_url,
         "title": title,
         "lang": detect_language(canon_url),
-        "html_content": clean_html(html),
+        "html_content": cleaner(html),
         "last_crawled": now,
         "last_updated": last_updated,
         "children": extract_children(hrefs, url, allowed_domains),
