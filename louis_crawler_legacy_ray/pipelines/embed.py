@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import ray.data
 
+from ..stages import pool_size
+
 from ..stages.embed import EmbedderActor
 from ..stages.joins import broadcast_anti_join
 
@@ -31,8 +33,10 @@ def embed_chunks(
     mode: str = "stub",
     dim: int = 1536,
     batch_size: int = 256,
-    concurrency=(1, 4),
+    concurrency=None,
 ) -> ray.data.Dataset:
+    if concurrency is None:
+        concurrency = pool_size()
     return chunks.map_batches(
         EmbedderActor,
         fn_constructor_kwargs={"mode": mode, "dim": dim},

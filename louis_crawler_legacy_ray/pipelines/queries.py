@@ -25,6 +25,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
+
+from ..stages import pool_size
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..sources.pages import SITE, pages_from_documents, write_pages_parquet
@@ -1075,7 +1077,7 @@ def q_chunk_documents(sf_dir: str):
         ChunkerActor,
         batch_format="pyarrow",
         batch_size=128,
-        concurrency=(1, 4),
+        concurrency=pool_size(),
     )
 
 
@@ -1095,7 +1097,7 @@ def q_media_decode(sf_dir: str):
         fn_constructor_kwargs={"real": False},
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=(1, 4),
+        concurrency=pool_size(),
     )
 
 

@@ -18,6 +18,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from . import pool_size
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -133,7 +135,7 @@ def lsh_topk(
         LSHIndexStage,
         fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=pool_size(),
     )
     probe_arr = pa.array(sorted(probe), pa.int64())
     cand = bucketed.map_batches(

@@ -27,6 +27,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+
+from . import pool_size
 from ray.data.aggregate import Count, Min
 
 _WORD_RE = re.compile(r"[a-z0-9]+")
@@ -241,7 +243,7 @@ def minhash_lsh_pairs(
         MinHashStage,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=pool_size(),
         batch_size=512,
     )
 
