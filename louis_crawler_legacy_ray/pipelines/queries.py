@@ -990,6 +990,64 @@ FROM documents
 """
 
 
+def q_asof_last_order(sf_dir: str):
+    """As-of join (custom operator the reference lacks, task brief):
+    for each event, the latest order of the same customer at or before
+    the event time. Orders deduped to one per (custkey, date) keeping
+    max orderkey so ties are deterministic in both engines."""
+    from ..stages.asof import asof_join_broadcast
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    ).to_pandas()
+    orders = orders.rename(columns={"o_custkey": "user_id"})
+    # explicit unit: event ts is timestamp[us]; align the right side
+    orders["rts"] = orders["o_orderdate"].astype("datetime64[us]").astype("int64")
+    out = asof_join_broadcast(
+        ev, orders, "user_id", "ts", "rts", "o_orderkey", "last_orderkey"
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"].cast(pa.int64()),
+                "user_id": b["user_id"].cast(pa.int64()),
+                "last_orderkey": b["last_orderkey"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ASOF_LAST_ORDER = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate)
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       CAST(o.o_orderkey AS BIGINT) AS last_orderkey
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HLL sketch approx COUNT(DISTINCT user_id) next to the exact
+    count (mergeable-sketch pattern; approx by nature -> rows-only)."""
+    from ..stages.sketches import approx_distinct
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    res = approx_distinct(ev, "user_id", p=12)
+    exact = _read(sf_dir, "events", ["user_id"]).unique("user_id")
+    return pa.table(
+        {
+            "approx_distinct": pa.array([int(round(res["estimate"]))], pa.int64()),
+            "exact_distinct": pa.array([len(exact)], pa.int64()),
+            "hll_p": pa.array([res["p"]], pa.int64()),
+        }
+    )
+
+
 _HOUR_US = 3_600_000_000
 
 
@@ -1138,6 +1196,8 @@ QUERIES = {
     "content_predicates": q_content_predicates,
     "tumbling_window": q_tumbling_window,
     "session_windows": q_session_windows,
+    "asof_last_order": q_asof_last_order,
+    "approx_distinct_users": q_approx_distinct_users,
     # text analysis
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
@@ -1185,6 +1245,7 @@ ORACLE_SQL = {
     "content_predicates": SQL_CONTENT_PREDICATES,
     "tumbling_window": SQL_TUMBLING_WINDOW,
     "session_windows": SQL_SESSION_WINDOWS,
+    "asof_last_order": SQL_ASOF_LAST_ORDER,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_scores": SQL_QUALITY_SCORES,
     "lang_id": SQL_LANG_ID,

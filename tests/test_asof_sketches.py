@@ -1,0 +1,67 @@
+"""As-of join + HLL sketch tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from louis_crawler_legacy_ray.stages.asof import asof_join_broadcast
+from louis_crawler_legacy_ray.stages.sketches import HLL, approx_distinct
+
+
+def test_asof_join_basic(ray_session):
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+                "ts": pa.array([5, 15, 25, 10, 10], pa.int64()),
+            }
+        )
+    )
+    right = pd.DataFrame(
+        {"k": [1, 1, 2], "rts": [10, 20, 10], "v": [100, 200, 300]}
+    )
+    out = (
+        asof_join_broadcast(left, right, "k", "ts", "rts", "v", "last_v")
+        .to_pandas()
+        .sort_values(["k", "ts"])
+    )
+    # k=1: ts5 -> none; ts15 -> v@10=100; ts25 -> v@20=200
+    assert out[out["k"] == 1]["last_v"].tolist() == [None, 100, 200] or \
+           [None if pd.isna(x) else int(x) for x in out[out["k"] == 1]["last_v"]] == [None, 100, 200]
+    # k=2 exact-ts match included (<=)
+    assert int(out[out["k"] == 2]["last_v"].iloc[0]) == 300
+    # k=3 no right rows -> null
+    assert pd.isna(out[out["k"] == 3]["last_v"].iloc[0])
+
+
+def test_asof_tie_keeps_max_value(ray_session):
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64()), "ts": pa.array([10], pa.int64())})
+    )
+    right = pd.DataFrame({"k": [1, 1], "rts": [10, 10], "v": [7, 9]})
+    out = asof_join_broadcast(left, right, "k", "ts", "rts", "v", "x").to_pandas()
+    assert int(out["x"].iloc[0]) == 9  # dedup keeps max value at equal ts
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.RandomState(0)
+    values = [f"item-{i}" for i in range(20000)]
+    h1, h2 = HLL(12), HLL(12)
+    from louis_crawler_legacy_ray.stages.sketches import _hash64_col
+
+    h1.add_hashes(_hash64_col(values[:12000]))
+    h2.add_hashes(_hash64_col(values[8000:]))  # overlap 8000..12000
+    est = h1.merge(h2).estimate()
+    assert abs(est - 20000) / 20000 < 0.05  # ~1.6% stderr at p=12
+    # serialization round-trip
+    assert HLL.from_bytes(h1.to_bytes()).estimate() == est
+
+
+def test_approx_distinct_dataset(ray_session):
+    n = 5000
+    ds = ray.data.from_arrow(
+        pa.table({"u": pa.array([i % 1000 for i in range(n)], pa.int64())})
+    ).repartition(4)
+    res = approx_distinct(ds, "u", p=12)
+    assert abs(res["estimate"] - 1000) / 1000 < 0.05
