@@ -118,8 +118,14 @@ class Element:
         return [e for e in self.iter_elements() if matcher(e)]
 
     def find(self, matcher):
-        found = self.find_all(matcher)
-        return found[0] if found else None
+        """First matching descendant, short-circuiting the traversal."""
+        if isinstance(matcher, str):
+            tag = matcher
+            matcher = lambda e: e.name == tag  # noqa: E731
+        for e in self.iter_elements():
+            if matcher(e):
+                return e
+        return None
 
     def select_class(self, cls: str) -> list["Element"]:
         return self.find_all(lambda e: e.has_class(cls))
@@ -199,7 +205,7 @@ class Element:
                 child._collect_text(out)
             # comments contribute no text
 
-    def serialize(self, out: list[str]) -> None:
+    def serialize(self, out: list[str], skip_comments: bool = False) -> None:
         attrs = "".join(
             f' {k}="{v}"' for k, v in self.attrs.items() if isinstance(v, str)
         )
@@ -208,12 +214,17 @@ class Element:
             return
         out.append(f"<{self.name}{attrs}>")
         for child in self.children:
-            child.serialize(out)
+            if skip_comments and isinstance(child, Comment):
+                continue
+            if isinstance(child, Element):
+                child.serialize(out, skip_comments)
+            else:
+                child.serialize(out)
         out.append(f"</{self.name}>")
 
-    def to_html(self) -> str:
+    def to_html(self, skip_comments: bool = False) -> str:
         out: list[str] = []
-        self.serialize(out)
+        self.serialize(out, skip_comments)
         return "".join(out)
 
     def inner_html(self) -> str:
