@@ -234,9 +234,10 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        # scaling evidence wants extract compute to dominate the fixed
-        # per-round cost: larger corpus than the quick default bench
-        env.setdefault("LOUIS_BENCH_PAGES", "131071")
+        # scaling evidence runs a 1M-URL frontier (vs the quick 32k
+        # default) so per-round constants amortize
+        env.setdefault("LOUIS_BENCH_PAGES", "1048575")
+        env.setdefault("LOUIS_BENCH_PAD", "2000")
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
             env=env,

@@ -331,6 +331,7 @@ def clear_pages_cache() -> None:
 def _fused_round_task(
     block: pa.Table,
     sel: pa.Table,
+    shards: list,
     now_us: int,
     allowed_domains,
     n_shards: int,
@@ -338,22 +339,22 @@ def _fused_round_task(
     max_depth: int,
     out_part: str | None,
 ) -> pa.Table:
-    """One round x one pinned corpus block: semi-join + extract +
-    control rows, as a plain Ray task (round_fanout='tasks' path)."""
+    """One round x one pinned corpus block: semi-join + extract, then
+    SEND the control rows straight to their owning shard actors
+    (fire-and-forget — no blocking ray.get in the data plane, and the
+    driver never conveys per-URL data). Returns only delivery counts;
+    the driver reconciles them against the shards' received counters
+    before closing the round. This is the multi-node control shape:
+    candidates flow task->shard through the object store, the driver
+    handles integers."""
     mask = pc.is_in(block["url"], value_set=sel["url"])
     hit = block.filter(mask)
     if hit.num_rows == 0:
-        return _control_from_items(
-            pa.table(
-                {
-                    "url": pa.array([], pa.string()),
-                    "depth": pa.array([], pa.int32()),
-                    "links": pa.array([], pa.list_(pa.string())),
-                }
-            ),
-            n_shards,
-            salt,
-            max_depth,
+        return pa.table(
+            {
+                "n_fetched_sent": pa.array([0], pa.int64()),
+                "n_candidates_sent": pa.array([0], pa.int64()),
+            }
         )
     idx = pc.index_in(hit["url"], value_set=sel["url"])
     hit = hit.append_column("depth", sel["depth"].take(idx).cast(pa.int32()))
@@ -366,7 +367,30 @@ def _fused_round_task(
 
         _os.makedirs(out_part, exist_ok=True)
         _pq.write_table(items, f"{out_part}/part-{_uuid.uuid4().hex[:12]}.parquet")
-    return _control_from_items(items, n_shards, salt, max_depth)
+    ctrl = _control_from_items(items, n_shards, salt, max_depth)
+    n_f = n_c = 0
+    for sid in range(n_shards):
+        sub = ctrl.filter(pc.equal(ctrl["shard"], sid))
+        if sub.num_rows == 0:
+            continue
+        f = sub.filter(pc.equal(sub["kind"], "f"))
+        c = sub.filter(pc.equal(sub["kind"], "c"))
+        if f.num_rows:
+            n_f += f.num_rows
+            shards[sid].record_fetched_arrow.remote(f["url"].combine_chunks())
+        if c.num_rows:
+            n_c += c.num_rows
+            shards[sid].enqueue_arrow.remote(
+                c["url"].combine_chunks(),
+                c["depth"].combine_chunks(),
+                c["host"].combine_chunks(),
+            )
+    return pa.table(
+        {
+            "n_fetched_sent": pa.array([n_f], pa.int64()),
+            "n_candidates_sent": pa.array([n_c], pa.int64()),
+        }
+    )
 
 
 def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us: int):
@@ -469,15 +493,22 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
         # tens-of-MB closure pickle per task submission
 
         if cfg.round_fanout == "tasks":
+            import time as _time
+
             out_part = (
                 f"{out_dir}/crawl_items/round={round_no:06d}"
                 if out_dir is not None
                 else None
             )
-            ctrl_refs = [
+            base = ray.get([s.received.remote() for s in frontier.shards])
+            a_before = sum(
+                ray.get([s.admitted_total.remote() for s in frontier.shards])
+            )
+            count_refs = [
                 _fused_round_task.remote(
                     block_ref,
                     sel_ref,
+                    frontier.shards,
                     now_us,
                     cfg.allowed_domains,
                     cfg.n_shards,
@@ -487,9 +518,27 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                 )
                 for block_ref in _PAGES_MAT[pages_path]["refs"]
             ]
-            return _dispatch_control(
-                pa.concat_tables(ray.get(ctrl_refs)), frontier.shards
+            counts = pa.concat_tables(ray.get(count_refs))
+            exp_f = int(pc.sum(counts["n_fetched_sent"]).as_py() or 0)
+            exp_c = int(pc.sum(counts["n_candidates_sent"]).as_py() or 0)
+            # reconcile: wait until every fire-and-forget delivery landed
+            deadline = _time.monotonic() + 120
+            while True:
+                got = ray.get([s.received.remote() for s in frontier.shards])
+                df = sum(g[0] - b[0] for g, b in zip(got, base))
+                dc = sum(g[1] - b[1] for g, b in zip(got, base))
+                if df >= exp_f and dc >= exp_c:
+                    break
+                if _time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"round {round_no}: shard delivery stalled "
+                        f"({df}/{exp_f} fetched, {dc}/{exp_c} candidates)"
+                    )
+                _time.sleep(0.005)
+            a_after = sum(
+                ray.get([s.admitted_total.remote() for s in frontier.shards])
             )
+            return {"fetched": exp_f, "admitted": a_after - a_before}
 
         def fused(batch: pa.Table) -> pa.Table:
             """filter -> extract -> control rows, ONE task stage per

@@ -108,6 +108,11 @@ class FrontierShard:
         self.bloom = _Bloom(bloom_bits) if mode == "approx" else None
         # politeness: per-host budget carry (AutoThrottle stand-in, T5)
         self.host_backlog: dict[str, int] = {}
+        # delivery counters for fire-and-forget task->shard RPCs: the
+        # driver reconciles these against per-task sent counts instead
+        # of shipping control rows through itself
+        self.recv_fetched = 0
+        self.recv_candidates = 0
 
     # -- ingest ------------------------------------------------------
     def enqueue(self, urls: list[str], depths: list[int], hosts: list[str]) -> int:
@@ -187,10 +192,19 @@ class FrontierShard:
     def enqueue_arrow(self, urls, depths, hosts) -> int:
         """Arrow-array variant of enqueue (zero-copy through plasma;
         the per-URL set work happens here, in parallel across shards)."""
+        self.recv_candidates += len(urls)
         return self.enqueue(urls.to_pylist(), depths.to_pylist(), hosts.to_pylist())
 
     def record_fetched_arrow(self, urls) -> None:
+        self.recv_fetched += len(urls)
         self.record_fetched(urls.to_pylist())
+
+    def received(self) -> tuple[int, int]:
+        return (self.recv_fetched, self.recv_candidates)
+
+    def admitted_total(self) -> int:
+        """pending+seen+errored+in_flight ever admitted (for stats)."""
+        return len(self.pending) + len(self.seen) + len(self.errored) + len(self.in_flight)
 
     def record_fetched(self, urls: list[str]) -> None:
         """in_flight -> seen for successfully fetched URLs. Called from
