@@ -1,0 +1,50 @@
+"""Crawl with out_dir: per-round partitioned crawl_items written from
+the round tasks themselves (both fan-out modes)."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+
+from louis_crawler_legacy_ray.pipelines.crawl import CrawlConfig, run_crawl
+from louis_crawler_legacy_ray.sources.pages import (
+    lang_segment,
+    pages_from_documents,
+    synth_documents,
+    write_pages_parquet,
+)
+
+
+@pytest.mark.parametrize("fanout", ["tasks", "dataset"])
+def test_out_dir_written_per_round(ray_session, tmp_path, fanout):
+    docs = synth_documents(40, seed=13)
+    pages = pages_from_documents(docs)
+    d = str(tmp_path / "pages")
+    write_pages_parquet(pages, d, rows_per_file=16)
+    seed = (
+        f"http://inspection.canada.ca/"
+        f"{lang_segment(docs['lang'][0].as_py())}/{docs['source'][0].as_py()}/doc0"
+    )
+    out = str(tmp_path / f"out_{fanout}")
+    res = run_crawl(
+        d,
+        [seed],
+        CrawlConfig(
+            n_shards=2,
+            max_depth=5,
+            max_rounds=10,
+            round_fanout=fanout,
+            inline_round_threshold=0,  # force distributed rounds
+        ),
+        out_dir=out,
+    )
+    files = glob.glob(f"{out}/crawl_items/round=*/part-*.parquet")
+    assert files
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert total == res.counts["seen"]
+    # each written item has the extraction schema
+    cols = set(pq.read_table(files[0]).column_names)
+    assert {"url", "title", "lang", "html_content", "children", "links"} <= cols
+    # round partitioning exists (>= 2 distinct round dirs)
+    rounds = {f.split("round=")[1].split("/")[0] for f in files}
+    assert len(rounds) >= 2
