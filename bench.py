@@ -89,26 +89,34 @@ def build_bench_corpus(n_pages: int, pad: int) -> str:
     if not os.path.exists(done):
         import json as _json
         import multiprocessing as mp
+        import shutil
 
-        os.makedirs(out, exist_ok=True)
+        # atomic build (tmp dir + rename): concurrent bench processes
+        # never see a half-written corpus
+        tmp = f"{out}.build-{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
         n_slices = 16
         n_buckets = max(1, n_pages // 2048)
         with mp.Pool(min(n_slices, os.cpu_count() or 8)) as pool:
             pool.map(
                 _build_slice,
                 [
-                    (out, n_pages, pad, s, n_slices, n_buckets)
+                    (tmp, n_pages, pad, s, n_slices, n_buckets)
                     for s in range(n_slices)
                 ],
             )
             # merge the per-slice files into ONE url-sorted file per
             # bucket so frontier point-lookups touch a single file with
             # row-group pruning
-            pool.map(_merge_bucket, [(out, b) for b in range(n_buckets)])
-        with open(os.path.join(out, "_BUCKETS.json"), "w") as f:
+            pool.map(_merge_bucket, [(tmp, b) for b in range(n_buckets)])
+        with open(os.path.join(tmp, "_BUCKETS.json"), "w") as f:
             _json.dump({"n_buckets": n_buckets}, f)
-        with open(done, "w") as f:
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
             f.write("ok")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

@@ -60,11 +60,21 @@ def pages_corpus_dir(sf_dir: str, pad_bytes: int = 0) -> str:
     tag = hashlib.blake2b(key.encode(), digest_size=6).hexdigest()
     out = f"/tmp/louis_pages_{tag}"
     if not os.path.exists(os.path.join(out, "_DONE")):
+        # atomic build (tmp dir + rename) so concurrent driver processes
+        # never observe a half-written corpus
+        tmp = f"{out}.build-{os.getpid()}"
         docs = _docs_table(sf_dir)
         pages = pages_from_documents(docs, pad_bytes=pad_bytes)
-        write_pages_parquet(pages, out, rows_per_file=4096)
-        with open(os.path.join(out, "_DONE"), "w") as f:
+        write_pages_parquet(pages, tmp, rows_per_file=4096)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
             f.write("ok")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            # another process won the race; use its corpus
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     _PAGES_CACHE[key] = out
     return out
 
