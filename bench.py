@@ -123,8 +123,8 @@ def build_bench_corpus(n_pages: int, pad: int) -> str:
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("LOUIS_BENCH_PAGES", "32767"))
-    pad = int(os.environ.get("LOUIS_BENCH_PAD", "28000"))
+    n_pages = int(os.environ.get("LOUIS_BENCH_PAGES", "131071"))
+    pad = int(os.environ.get("LOUIS_BENCH_PAD", "2000"))
 
     import ray
 
