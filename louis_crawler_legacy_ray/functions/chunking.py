@@ -55,9 +55,18 @@ def smooth(el: Element) -> None:
 def compute_tokens(block: Element, enc: Encoder) -> dict:
     """Tokenize a block's text, caching in attrs (chunking.py:14-36)."""
     if "tokens" in block.attrs:
+        # cached values may be native (our own caching) or HTML-attr
+        # strings (reference coerces with int()/json.loads,
+        # chunking.py:16-20 — tests/responses/wrapped.html relies on it)
+        import json as _json
+
         text_content = block.attrs["text_content"]
         token_count = block.attrs["token_count"]
+        if isinstance(token_count, str):
+            token_count = int(token_count)
         tokens = block.attrs["tokens"]
+        if isinstance(tokens, str):
+            tokens = _json.loads(tokens)
     else:
         text_content = _WS_RE.sub(" ", block.get_text()).strip()
         tokens = enc.encode(text_content)

@@ -11,16 +11,50 @@ louis/crawler/chunking.py heading-block grouping):
   - get_text, document-order traversal, sibling/parent navigation
   - mutations used by the chunker: wrap / unwrap / append (move)
 
-The serializer is deterministic and canonical: ``<tag a="v">...</tag>``,
-text emitted verbatim (input text is expected to be already-escaped
-HTML), void elements self-contained. This is semantics-equivalent to the
-reference's bs4(lxml) path, not byte-equivalent to lxml's private
-formatting.
+The serializer matches ``str(BeautifulSoup(..., 'lxml'))`` output rules
+byte-for-byte on well-formed input (reference tests/test_goldie.py:46-50
+pins the literal bytes): attributes sorted alphabetically (bs4
+Tag.decode sorts attrs.items()), text re-escaped with bs4's 'minimal'
+formatter (& < > only; non-ASCII such as NBSP emitted literally),
+attribute values escaped + quoted via bs4's quoted_attribute_value
+(prefer double quotes; single quotes when the value contains '"';
+&quot; when it contains both), script/style contents emitted raw (bs4
+skips entity substitution inside Script/Stylesheet strings), void
+elements as ``<br/>``. Verified against the reference's real fixture
+corpus in tests/test_golden_reference.py.
 """
 
 from __future__ import annotations
 
 from html.parser import HTMLParser
+
+# bs4 'minimal' formatter (EntitySubstitution.substitute_xml): only
+# & < > are escaped in text; quotes and non-ASCII pass through.
+_TEXT_ESC = {"&": "&amp;", "<": "&lt;", ">": "&gt;"}
+
+
+def escape_text(s: str) -> str:
+    if "&" in s or "<" in s or ">" in s:
+        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    return s
+
+
+def quote_attr(value: str) -> str:
+    """bs4 EntitySubstitution.quoted_attribute_value: substitute_xml on
+    the value, then pick the quote char."""
+    value = escape_text(value)
+    quote = '"'
+    if '"' in value:
+        if "'" in value:
+            value = value.replace('"', "&quot;")
+        else:
+            quote = "'"
+    return f"{quote}{value}{quote}"
+
+
+# contents of these elements are CDATA-like: bs4 marks their strings
+# Script/Stylesheet and skips entity substitution on output.
+_RAW_TEXT_TAGS = frozenset({"script", "style"})
 
 VOID_ELEMENTS = frozenset(
     {
@@ -41,8 +75,8 @@ class Text:
     def name(self):  # text nodes have no tag name (mirrors soup strings)
         return None
 
-    def serialize(self, out: list[str]) -> None:
-        out.append(self.data)
+    def serialize(self, out: list[str], raw: bool = False) -> None:
+        out.append(self.data if raw else escape_text(self.data))
 
     def __repr__(self):
         return f"Text({self.data!r})"
@@ -59,7 +93,7 @@ class Comment:
     def name(self):
         return None
 
-    def serialize(self, out: list[str]) -> None:
+    def serialize(self, out: list[str], raw: bool = False) -> None:
         out.append(f"<!--{self.data}-->")
 
     def __repr__(self):
@@ -206,20 +240,26 @@ class Element:
             # comments contribute no text
 
     def serialize(self, out: list[str], skip_comments: bool = False) -> None:
+        # bs4 Tag.decode sorts attributes alphabetically on output —
+        # the reference's golden bytes depend on it (test_goldie.py:48:
+        # source order property,class,typeof serializes class,property,typeof)
         attrs = "".join(
-            f' {k}="{v}"' for k, v in self.attrs.items() if isinstance(v, str)
+            f" {k}={quote_attr(v)}"
+            for k, v in sorted(self.attrs.items())
+            if isinstance(v, str)
         )
         if self.name in VOID_ELEMENTS and not self.children:
             out.append(f"<{self.name}{attrs}/>")
             return
         out.append(f"<{self.name}{attrs}>")
+        raw = self.name in _RAW_TEXT_TAGS
         for child in self.children:
             if skip_comments and isinstance(child, Comment):
                 continue
             if isinstance(child, Element):
                 child.serialize(out, skip_comments)
             else:
-                child.serialize(out)
+                child.serialize(out, raw)
         out.append(f"</{self.name}>")
 
     def to_html(self, skip_comments: bool = False) -> str:
@@ -229,8 +269,12 @@ class Element:
 
     def inner_html(self) -> str:
         out: list[str] = []
+        raw = self.name in _RAW_TEXT_TAGS
         for child in self.children:
-            child.serialize(out)
+            if isinstance(child, Element):
+                child.serialize(out)
+            else:
+                child.serialize(out, raw)
         return "".join(out)
 
     def __repr__(self):
@@ -289,13 +333,44 @@ def ensure_body(doc: Element) -> Element:
         for node in list(doc.children):
             html_el.append(node)
         doc.append(html_el)
+    head = html_el.find(lambda e: e.name == "head")
+    if head is None:
+        head = Element("head")
+        html_el.append(head)
     body = Element("body")
     for node in list(html_el.children):
         if isinstance(node, Element) and node.name in ("head", "body"):
             continue
-        body.append(node)
+        # lxml promotes head-only content of fragments into <head>, so
+        # e.g. a top-level <title> contributes no body text
+        # (tests/responses/fragment2.html's chunk text depends on this)
+        if isinstance(node, Element) and node.name in (
+            "title", "meta", "link", "base", "style",
+        ):
+            head.append(node)
+        else:
+            body.append(node)
     html_el.append(body)
     return body
+
+
+def stripped_strings(root: Element) -> list[str]:
+    """Non-empty stripped text nodes in document order — bs4's
+    soup.stripped_strings (the reference asserts this list verbatim on
+    cleaned html_content, tests/test_goldie.py:64-86)."""
+    out: list[str] = []
+
+    def _walk(el: Element) -> None:
+        for c in el.children:
+            if isinstance(c, Text):
+                s = c.data.strip()
+                if s:
+                    out.append(s)
+            elif isinstance(c, Element):
+                _walk(c)
+
+    _walk(root)
+    return out
 
 
 def strip_comments(root: Element) -> None:

@@ -1112,10 +1112,8 @@ FROM s GROUP BY user_id, session_id
 # --------------------------------------------------------------------------
 
 def q_minhash_pairs(sf_dir: str):
-    docs_t = _docs_table(sf_dir)
-    texts = dict(zip(docs_t["doc_id"].to_pylist(), docs_t["text"].to_pylist()))
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return dd.minhash_lsh_pairs(docs, verify_tau=0.5, texts_for_verify=texts)
+    return dd.minhash_lsh_pairs(docs, verify_tau=0.5, verify_docs=docs)
 
 
 def q_simhash_pairs(sf_dir: str):

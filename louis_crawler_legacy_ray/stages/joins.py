@@ -122,6 +122,10 @@ def partitioned_hash_join(
     """
     import pandas as pd
 
+    # normalize to Arrow blocks so schema().types are pa.DataType even
+    # when an input comes from a pandas map_groups stage
+    left = left.map_batches(lambda b: b, batch_format="pyarrow")
+    right = right.map_batches(lambda b: b, batch_format="pyarrow")
     lschema, rschema = left.schema(), right.schema()
     lcols = list(lschema.names)
     rcols = list(rschema.names)
@@ -156,9 +160,20 @@ def partitioned_hash_join(
     rt = right.map_batches(tag("r", right_key), batch_format="pyarrow")
     both = lt.union(rt)
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+    # emit Arrow with the target schema pinned: empty or NaN-bearing
+    # pandas merge results otherwise float-ify int columns per group and
+    # the dataset ends up with mixed block schemas
+    target_fields = all_fields
+
+    def join_group(g: pd.DataFrame) -> pa.Table:
         lg = g[g["__side"] == "l"][lcols]
         rg = g[g["__side"] == "r"][rcols]
-        return lg.merge(rg, left_on=left_key, right_on=right_key, how=how)
+        m = lg.merge(rg, left_on=left_key, right_on=right_key, how=how)
+        return pa.table(
+            {
+                name: pa.array(m[name], type=typ, from_pandas=True)
+                for name, typ in target_fields
+            }
+        )
 
     return both.groupby("__bucket").map_groups(join_group, batch_format="pandas")

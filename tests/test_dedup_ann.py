@@ -60,11 +60,11 @@ def test_ngram_jaccard_pairs(ray_session):
 
 
 def test_minhash_lsh_finds_near_dups(ray_session):
-    texts = {0: BASE, 1: BASE, 2: NEAR, 3: OTHER}
+    docs = ray.data.from_arrow(_docs())
     out = minhash_lsh_pairs(
-        ray.data.from_arrow(_docs()),
+        docs,
         verify_tau=0.5,
-        texts_for_verify=texts,
+        verify_docs=docs,
     ).to_pandas()
     pairs = set(zip(out["doc_a"], out["doc_b"]))
     assert (0, 1) in pairs
