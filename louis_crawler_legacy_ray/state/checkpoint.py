@@ -43,7 +43,6 @@ def write_checkpoint(
     final = _round_dir(ckpt_dir, round_no)
     tmp = final + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(final, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     dumps = ray.get([s.dump.remote() for s in shards])
     counts = {"seen": 0, "pending": 0, "errored": 0}
@@ -67,7 +66,15 @@ def write_checkpoint(
     os.rename(
         os.path.join(tmp, "_lineage.json.tmp"), os.path.join(tmp, "_lineage.json")
     )
+    # overwrite via rename-aside: the previous copy of this round stays
+    # recoverable until the new one is fully in place (a crash between a
+    # delete and the rename must never lose the round's only copy)
+    old = final + ".old"
+    if os.path.exists(final):
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(final, old)
     os.rename(tmp, final)
+    shutil.rmtree(old, ignore_errors=True)
     return final
 
 
@@ -77,7 +84,8 @@ def latest_complete_round(ckpt_dir: str) -> int | None:
         return None
     best = None
     for name in os.listdir(ckpt_dir):
-        if not name.startswith("round="):
+        if not name.startswith("round=") or "." in name:
+            # skip round=N.tmp / round=N.old transients
             continue
         if os.path.exists(os.path.join(ckpt_dir, name, "_lineage.json")):
             r = int(name.split("=", 1)[1])

@@ -206,6 +206,18 @@ class FrontierShard:
         """pending+seen+errored+in_flight ever admitted (for stats)."""
         return len(self.pending) + len(self.seen) + len(self.errored) + len(self.in_flight)
 
+    def requeue(self, urls: list[str], depths: list[int], hosts: list[str]) -> int:
+        """Return un-taken URLs from in_flight to pending (the driver's
+        global round_limit slice hands back the overflow so a capped
+        round never exceeds — or silently drops — frontier URLs)."""
+        n = 0
+        for url, depth, host in zip(urls, depths, hosts):
+            if url in self.in_flight:
+                self.in_flight.discard(url)
+                self.pending[url] = (depth, host)
+                n += 1
+        return n
+
     def record_fetched(self, urls: list[str]) -> None:
         """in_flight -> seen for successfully fetched URLs. Called from
         parallel map tasks as results stream in (idempotent)."""
