@@ -449,6 +449,15 @@ def _fused_round_task(
     items = extract_batch(hit, now_us=now_us, allowed_domains=allowed_domains)
     if out_part is not None:
         _write_items_part(items, out_part, f"part-{block_idx:05d}")
+    return _send_control(items, shards, n_shards, salt, max_depth)
+
+
+def _send_control(
+    items: pa.Table, shards, n_shards: int, salt: dict, max_depth: int
+) -> pa.Table:
+    """Fire-and-forget the round's control rows from inside a data task
+    to their owning shard actors; returns the per-kind sent counts for
+    the driver's delivery reconciliation."""
     ctrl = _control_from_items(items, n_shards, salt, max_depth)
     n_f = n_c = 0
     for sid in range(n_shards):
@@ -473,6 +482,129 @@ def _fused_round_task(
             "n_candidates_sent": pa.array([n_c], pa.int64()),
         }
     )
+
+
+def _await_round(count_refs, frontier: "Frontier", round_no: int, base, a_before) -> dict:
+    """Collect per-task sent counts and block until every
+    fire-and-forget task->shard delivery has landed (reconciliation
+    against the shards' received counters)."""
+    import time as _time
+
+    counts = pa.concat_tables(ray.get(count_refs))
+    exp_f = int(pc.sum(counts["n_fetched_sent"]).as_py() or 0)
+    exp_c = int(pc.sum(counts["n_candidates_sent"]).as_py() or 0)
+    deadline = _time.monotonic() + 120
+    while True:
+        got = ray.get([s.received.remote() for s in frontier.shards])
+        df = sum(g[0] - b[0] for g, b in zip(got, base))
+        dc = sum(g[1] - b[1] for g, b in zip(got, base))
+        if df >= exp_f and dc >= exp_c:
+            break
+        if _time.monotonic() > deadline:
+            raise TimeoutError(
+                f"round {round_no}: shard delivery stalled "
+                f"({df}/{exp_f} fetched, {dc}/{exp_c} candidates)"
+            )
+        _time.sleep(0.005)
+    a_after = sum(ray.get([s.admitted_total.remote() for s in frontier.shards]))
+    return {"fetched": exp_f, "admitted": a_after - a_before}
+
+
+@ray.remote
+def _fetch_round_task(
+    sel: pa.Table,
+    fetcher_factory,
+    shards: list,
+    now_us: int,
+    allowed_domains,
+    n_shards: int,
+    salt: dict,
+    max_depth: int,
+    out_part: str | None,
+    chunk_idx: int,
+) -> pa.Table:
+    """One round x one URL chunk through an injected fetcher (the
+    FetcherActor seam, stages/fetch.py): the factory builds/reuses the
+    session INSIDE the worker process (reference: one Playwright browser
+    per worker, playwright_middleware.py:48-63), fetches the chunk,
+    and the rest of the round — extract, per-round output part, control
+    dispatch — is identical to the corpus path."""
+    fetcher = fetcher_factory()
+    urls = sel["url"]
+    urls = urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls
+    pages = fetcher.fetch(urls)
+    if pages.num_rows == 0:
+        return pa.table(
+            {
+                "n_fetched_sent": pa.array([0], pa.int64()),
+                "n_candidates_sent": pa.array([0], pa.int64()),
+            }
+        )
+    idx = pc.index_in(pages["url"], value_set=urls)
+    depths = sel["depth"]
+    depths = depths.combine_chunks() if isinstance(depths, pa.ChunkedArray) else depths
+    pages = pages.append_column("depth", depths.take(idx).cast(pa.int32()))
+    items = extract_batch(pages, now_us=now_us, allowed_domains=allowed_domains)
+    if out_part is not None:
+        _write_items_part(items, out_part, f"part-{chunk_idx:05d}")
+    return _send_control(items, shards, n_shards, salt, max_depth)
+
+
+def fetcher_expand(
+    fetcher_factory,
+    cfg: CrawlConfig,
+    out_dir: str | None,
+    now_us: int,
+    chunk_size: int = 1024,
+):
+    """Expansion stage driven by an injected Fetcher (stages/fetch.py)
+    instead of the corpus semi-join: the round's URL set fans out in
+    chunks to fetch tasks. Interchangeable with pages_expand — same
+    control flow, frontier semantics, and per-round output layout."""
+
+    def expand(selected: pa.Table, round_no: int, frontier: Frontier) -> dict:
+        out_part = (
+            f"{out_dir}/crawl_items/round={round_no:06d}"
+            if out_dir is not None
+            else None
+        )
+        base = ray.get([s.received.remote() for s in frontier.shards])
+        a_before = sum(ray.get([s.admitted_total.remote() for s in frontier.shards]))
+        count_refs = [
+            _fetch_round_task.remote(
+                selected.slice(off, chunk_size),
+                fetcher_factory,
+                frontier.shards,
+                now_us,
+                cfg.allowed_domains,
+                cfg.n_shards,
+                cfg.hot_host_salt,
+                cfg.max_depth,
+                out_part,
+                off // chunk_size,
+            )
+            for off in range(0, selected.num_rows, chunk_size)
+        ]
+        if not count_refs:
+            return {"fetched": 0, "admitted": 0}
+        return _await_round(count_refs, frontier, round_no, base, a_before)
+
+    return expand
+
+
+def run_crawl_with_fetcher(
+    fetcher_factory,
+    seeds: list[str],
+    cfg: CrawlConfig,
+    out_dir: str | None = None,
+    now_us: int = 0,
+    resume: bool = False,
+) -> "CrawlResult":
+    """The goldie-equivalent crawl through an injected fetcher."""
+    expand = fetcher_expand(fetcher_factory, cfg, out_dir, now_us)
+    res = run_frontier(expand, seeds, cfg, resume=resume)
+    res.out_dir = out_dir
+    return res
 
 
 def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us: int):
@@ -582,8 +714,6 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
         # tens-of-MB closure pickle per task submission
 
         if cfg.round_fanout == "tasks":
-            import time as _time
-
             out_part = (
                 f"{out_dir}/crawl_items/round={round_no:06d}"
                 if out_dir is not None
@@ -622,27 +752,7 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
             ]
             if not count_refs:
                 return {"fetched": 0, "admitted": 0}
-            counts = pa.concat_tables(ray.get(count_refs))
-            exp_f = int(pc.sum(counts["n_fetched_sent"]).as_py() or 0)
-            exp_c = int(pc.sum(counts["n_candidates_sent"]).as_py() or 0)
-            # reconcile: wait until every fire-and-forget delivery landed
-            deadline = _time.monotonic() + 120
-            while True:
-                got = ray.get([s.received.remote() for s in frontier.shards])
-                df = sum(g[0] - b[0] for g, b in zip(got, base))
-                dc = sum(g[1] - b[1] for g, b in zip(got, base))
-                if df >= exp_f and dc >= exp_c:
-                    break
-                if _time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"round {round_no}: shard delivery stalled "
-                        f"({df}/{exp_f} fetched, {dc}/{exp_c} candidates)"
-                    )
-                _time.sleep(0.005)
-            a_after = sum(
-                ray.get([s.admitted_total.remote() for s in frontier.shards])
-            )
-            return {"fetched": exp_f, "admitted": a_after - a_before}
+            return _await_round(count_refs, frontier, round_no, base, a_before)
 
         def fused(batch: pa.Table) -> pa.Table:
             """filter -> extract -> control rows, ONE task stage per

@@ -158,22 +158,14 @@ GROUP BY l_returnflag, l_linestatus
 def q_segment_revenue(sf_dir: str):
     """Join + grouped aggregate: order revenue per customer market
     segment (broadcast dimension join, no shuffle join)."""
+    from ..stages.joins import broadcast_lookup_join
+
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    seg_by_cust = dict(
-        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
-    )
-
-    def f(b: pa.Table) -> pa.Table:
-        segs = [seg_by_cust[k] for k in b["o_custkey"].to_pylist()]
-        return pa.table(
-            {"c_mktsegment": pa.array(segs), "o_totalprice": b["o_totalprice"]}
-        )
-
     out = (
-        orders.map_batches(f, batch_format="pyarrow")
+        broadcast_lookup_join(orders, cust, "o_custkey", "c_custkey", ["c_mktsegment"])
         .groupby("c_mktsegment")
         .aggregate(Sum("o_totalprice", alias_name="rev_raw"), Count(alias_name="n_orders"))
     )
@@ -1041,6 +1033,41 @@ FROM events e ASOF LEFT JOIN o
 """
 
 
+def q_asof_last_order_big(sf_dir: str):
+    """The large-large as-of path: same semantics as asof_last_order but
+    neither side is broadcast — both are bucketed by hash(user_id) in one
+    shuffle and pd.merge_asof runs inside each bucket group (the scale
+    shape for two corpus-sized sides; task-brief custom operator)."""
+    from ..stages.asof import asof_join_partitioned
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["o_custkey"].cast(pa.int64()),
+                "rts": b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = asof_join_partitioned(
+        ev, orders, "user_id", "ts", "rts", "o_orderkey", "last_orderkey"
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"].cast(pa.int64()),
+                "user_id": b["user_id"].cast(pa.int64()),
+                "last_orderkey": b["last_orderkey"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HLL sketch approx COUNT(DISTINCT user_id) next to the exact
     count (mergeable-sketch pattern; approx by nature -> rows-only)."""
@@ -1205,6 +1232,7 @@ QUERIES = {
     "tumbling_window": q_tumbling_window,
     "session_windows": q_session_windows,
     "asof_last_order": q_asof_last_order,
+    "asof_last_order_big": q_asof_last_order_big,
     "approx_distinct_users": q_approx_distinct_users,
     # text analysis
     "token_counts": q_token_counts,
@@ -1254,6 +1282,7 @@ ORACLE_SQL = {
     "tumbling_window": SQL_TUMBLING_WINDOW,
     "session_windows": SQL_SESSION_WINDOWS,
     "asof_last_order": SQL_ASOF_LAST_ORDER,
+    "asof_last_order_big": SQL_ASOF_LAST_ORDER,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_scores": SQL_QUALITY_SCORES,
     "lang_id": SQL_LANG_ID,

@@ -343,17 +343,24 @@ def minhash_lsh_pairs(
 
 # ---------------------------------------------------------------- simhash
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (token-hash bit voting)."""
-    v = np.zeros(64, dtype=np.int64)
-    for w in words_of(text):
-        h = _h64(w)
-        for bit in range(64):
-            v[bit] += 1 if (h >> bit) & 1 else -1
-    out = 0
-    for bit in range(64):
-        if v[bit] > 0:
-            out |= 1 << bit
-    return out
+    """64-bit SimHash over word tokens (token-hash bit voting).
+
+    Vectorized bit voting: unpack all word hashes to a (n_words, 64)
+    bit matrix in one numpy op; column sums are the votes (sum of
+    +1/-1 per word == 2*ones - n). Byte/bit order pinned little-endian
+    so bit j of the result corresponds to (hash >> j) & 1 exactly as
+    the scalar loop did."""
+    ws = words_of(text)
+    if not ws:
+        return 0
+    hs = np.fromiter((_h64(w) for w in ws), dtype=np.uint64, count=len(ws))
+    hs = hs.astype("<u8", copy=False)
+    bits = np.unpackbits(
+        hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(ws)
+    out_bits = (votes > 0).astype(np.uint8)
+    return int(np.packbits(out_bits, bitorder="little").view("<u8")[0])
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:

@@ -173,3 +173,33 @@ def test_errored_quarantine_vs_duckdb_oracle(ray_session, tmp_path):
     # the two dead links were quarantined, the island never discovered
     assert res.counts["errored"] == 2
     assert "http://s.ca/island" not in set(res.order["url"].to_pylist())
+
+
+def test_injected_fetcher_matches_corpus_crawl(ray_session, tmp_path):
+    """The FetcherActor seam: swapping the corpus semi-join for an
+    injected DictFetcher leaves the crawl result unchanged (order,
+    seen set, errored quarantine)."""
+    from louis_crawler_legacy_ray.pipelines.crawl import run_crawl_with_fetcher
+    from louis_crawler_legacy_ray.stages.fetch import DictFetcher
+
+    pages = {
+        "http://f.ca/a": ["/b", "/dead"],
+        "http://f.ca/b": ["/c"],
+        "http://f.ca/c": ["/a"],
+    }
+    d = _corpus(tmp_path, "fetcher_corpus", pages)
+    cfg = dict(n_shards=2, max_depth=4, max_rounds=10)
+    clear_pages_cache()
+    via_corpus = run_crawl(d, ["http://f.ca/a"], CrawlConfig(**cfg))
+
+    html_by_url = {u: _page(u, ls) for u, ls in pages.items()}
+
+    def factory():
+        return DictFetcher(html_by_url)
+
+    via_fetcher = run_crawl_with_fetcher(
+        factory, ["http://f.ca/a"], CrawlConfig(**cfg)
+    )
+    assert via_corpus.order.to_pydict() == via_fetcher.order.to_pydict()
+    assert via_corpus.counts["seen"] == via_fetcher.counts["seen"]
+    assert via_corpus.counts["errored"] == via_fetcher.counts["errored"] == 1
