@@ -12,8 +12,10 @@ timings cover the other headline operators over $GRAFT_SF_DIR tables.
 
 Environment: GRAFT_SF_DIR (default /root/testdata/sf0.1),
 RAY_GRAFT_CPUS (default 32), LOUIS_BENCH_PAGES (corpus size, default
-32767 — 5 BFS rounds at fanout 8), LOUIS_BENCH_PAD (html padding
-bytes, default 20000 ≈ a small real-web page; fixtures run 1-152 KB).
+131071 — BFS covers it in ~6 rounds at fanout 8), LOUIS_BENCH_PAD
+(html padding bytes, default 28000 ≈ a mid-size real CFIA page;
+fixtures run 1-152 KB — heavy pages are the headline per VERDICT r1),
+LOUIS_BENCH_TRIALS (timed steady-state runs, default 2).
 """
 
 from __future__ import annotations
@@ -124,7 +126,8 @@ def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("LOUIS_BENCH_PAGES", "131071"))
-    pad = int(os.environ.get("LOUIS_BENCH_PAD", "2000"))
+    pad = int(os.environ.get("LOUIS_BENCH_PAD", "28000"))
+    trials = int(os.environ.get("LOUIS_BENCH_TRIALS", "2"))
 
     import ray
 
@@ -190,12 +193,14 @@ def run_bench() -> dict:
     cfg = CrawlConfig(n_shards=8, max_depth=20, max_rounds=24, extract_batch_size=512)
     run_crawl(corpus, [seed], cfg, out_dir=None)  # warm pass (worker/actor churn settles)
     # single-node wall time is noisy (+/-30-40% observed on this VM);
-    # report the min of two timed steady-state runs
-    crawl_sec = float("inf")
-    for _ in range(2):
+    # record every timed steady-state run (min is the headline; the
+    # scaling harness takes the median across >=3 trials)
+    trial_secs: list[float] = []
+    for _ in range(max(1, trials)):
         t0 = time.perf_counter()
         res = run_crawl(corpus, [seed], cfg, out_dir=None)
-        crawl_sec = min(crawl_sec, time.perf_counter() - t0)
+        trial_secs.append(round(time.perf_counter() - t0, 3))
+    crawl_sec = min(trial_secs)
     n_fetched = res.counts["seen"]
     timings["crawl_extract"] = round(crawl_sec, 3)
 
@@ -227,6 +232,7 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "urls_per_sec": round(n_fetched / crawl_sec, 1) if crawl_sec > 0 else None,
         "n_urls": n_fetched,
+        "trial_secs": trial_secs,
     }
     ray.shutdown()
     return result
@@ -235,17 +241,23 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same job, same input, fresh processes at 8 and 32 CPUs — the
     sandbox evidence for the N->4N cluster scaling criterion
-    (BASELINE.md)."""
+    (BASELINE.md). Each leg runs >=3 timed steady-state trials in one
+    warmed process and the MEDIAN defines the leg's throughput
+    (single-box wall time drifts +/-30-40%; VERDICT r1 asked for the
+    measurement to be stabilized, with per-trial numbers recorded).
+    Corpus: heavy 28 KB pages (the headline shape), 262k-URL frontier
+    so per-round constants amortize while 2 legs x (warm + 3 trials)
+    stay within a bench budget."""
+    import statistics
 
     lo = int(os.environ.get("LOUIS_SCALE_LO", "8"))
     hi = int(os.environ.get("LOUIS_SCALE_HI", "32"))
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        # scaling evidence runs a 1M-URL frontier (vs the quick 32k
-        # default) so per-round constants amortize
-        env.setdefault("LOUIS_BENCH_PAGES", "1048575")
-        env.setdefault("LOUIS_BENCH_PAD", "2000")
+        env.setdefault("LOUIS_BENCH_PAGES", "262143")
+        env.setdefault("LOUIS_BENCH_PAD", "28000")
+        env.setdefault("LOUIS_BENCH_TRIALS", "3")
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
             env=env,
@@ -256,17 +268,24 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     rlo, rhi = one(lo), one(hi)
-    tput_lo = rlo["urls_per_sec"]
-    tput_hi = rhi["urls_per_sec"]
+    med_lo = statistics.median(rlo["trial_secs"])
+    med_hi = statistics.median(rhi["trial_secs"])
+    tput_lo = round(rlo["n_urls"] / med_lo, 1)
+    tput_hi = round(rhi["n_urls"] / med_hi, 1)
     eff = (tput_hi / tput_lo) / (hi / lo)
     return {
-        "metric": f"scaling efficiency (urls/sec at {hi} cpus vs {lo} cpus, same input)",
+        "metric": (
+            f"scaling efficiency (median urls/sec of {len(rhi['trial_secs'])}"
+            f" trials at {hi} cpus vs {lo} cpus, same input)"
+        ),
         "value": round(eff, 3),
         "unit": "efficiency",
-        f"sec_{lo}": rlo["value"],
-        f"sec_{hi}": rhi["value"],
+        f"sec_{lo}": med_lo,
+        f"sec_{hi}": med_hi,
         f"urls_per_sec_{lo}": tput_lo,
         f"urls_per_sec_{hi}": tput_hi,
+        f"trials_{lo}": rlo["trial_secs"],
+        f"trials_{hi}": rhi["trial_secs"],
         "n_urls": rhi["n_urls"],
     }
 

@@ -43,6 +43,53 @@ def export_feed(ds: ray.data.Dataset, path: str, fmt: str = "json") -> str:
     return path
 
 
+VALID_STORAGE_MODES = ("database", "disk", "s3")
+
+
+def resolve_storage_mode(
+    mode: str | None = None,
+    s3_available: bool = True,
+    db_available: bool = True,
+) -> str:
+    """Storage-mode selection with graceful degradation (reference
+    db.py:35-57, S8): an invalid mode, or one whose backing dependency
+    is unavailable, falls back to 'disk' rather than failing the
+    pipeline. ``mode`` defaults to $CRAWLER_STORAGE_MODE."""
+    import os
+
+    mode = (mode or os.getenv("CRAWLER_STORAGE_MODE", "disk")).lower()
+    if mode not in VALID_STORAGE_MODES:
+        return "disk"
+    if mode == "s3" and not s3_available:
+        return "disk"
+    if mode == "database" and not db_available:
+        return "disk"
+    return mode
+
+
+def write_items_with_fallback(
+    ds: ray.data.Dataset,
+    primary_uri: str,
+    fallback_dir: str,
+) -> dict:
+    """S8: write the items to the primary (object-store) URI; if the
+    write fails — endpoint unreachable, credentials missing, bucket
+    absent — fall back to the local disk directory, mirroring the
+    reference's store_to_s3 -> store_to_disk degradation
+    (db.py:227-283 with the db.py:44-55 fallback rule). Returns
+    {'mode': 'primary'|'fallback', 'path': <where it landed>}.
+
+    The Dataset is materialized once up front so a failed primary
+    attempt does not recompute the pipeline for the fallback write."""
+    ds = ds.materialize()
+    try:
+        ds.write_parquet(primary_uri)
+        return {"mode": "primary", "path": primary_uri}
+    except Exception:
+        ds.write_parquet(fallback_dir)
+        return {"mode": "fallback", "path": fallback_dir}
+
+
 def list_stored_items(
     items_path: str, limit: int = 10, columns: list[str] | None = None
 ) -> ray.data.Dataset:

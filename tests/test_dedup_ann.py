@@ -171,3 +171,37 @@ def test_multimodal_plumbing(ray_session):
 
     with pytest.raises(NotImplementedError):
         ImageDecodeStage(real=True)(media_from_documents(_docs()))
+
+
+def test_attach_pair_docs_modes_agree(ray_session):
+    """The broadcast (small-scale) and partitioned (100TB-scale) text
+    attachment paths produce identical verified pairs."""
+    import ray.data as rd
+
+    from louis_crawler_legacy_ray.stages.dedup import attach_pair_docs
+
+    docs = rd.from_arrow(_docs())
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([0, 0, 1], pa.int64()),
+                "doc_b": pa.array([1, 2, 3], pa.int64()),
+            }
+        )
+    )
+    out_b = (
+        attach_pair_docs(pairs, docs, mode="broadcast")
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    out_p = (
+        attach_pair_docs(pairs, docs, mode="partitioned")
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert out_b[["doc_a", "doc_b", "text_a", "text_b"]].equals(
+        out_p[["doc_a", "doc_b", "text_a", "text_b"]]
+    )
+    assert len(out_b) == 3

@@ -63,3 +63,35 @@ def test_export_bad_format(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         export_feed(ray.data.from_arrow(_items()), str(tmp_path / "x"), "xml")
+
+
+def test_resolve_storage_mode_fallbacks():
+    from louis_crawler_legacy_ray.sources.io import resolve_storage_mode
+
+    assert resolve_storage_mode("s3", s3_available=True) == "s3"
+    assert resolve_storage_mode("s3", s3_available=False) == "disk"
+    assert resolve_storage_mode("database", db_available=False) == "disk"
+    assert resolve_storage_mode("blob") == "disk"  # invalid -> disk
+    assert resolve_storage_mode("DISK") == "disk"
+
+
+def test_write_items_with_fallback(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from louis_crawler_legacy_ray.sources.io import write_items_with_fallback
+
+    ds = ray.data.range(100)
+    fallback = str(tmp_path / "fallback_items")
+    # primary path is unwritable -> degrade to disk without losing rows
+    res = write_items_with_fallback(ds, "/proc/denied/items", fallback)
+    assert res["mode"] == "fallback"
+    total = sum(
+        pq.read_table(f"{fallback}/{f}").num_rows
+        for f in __import__("os").listdir(fallback)
+    )
+    assert total == 100
+
+    ok_dir = str(tmp_path / "primary_items")
+    res2 = write_items_with_fallback(ray.data.range(10), ok_dir, fallback)
+    assert res2["mode"] == "primary"
