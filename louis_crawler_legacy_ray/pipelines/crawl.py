@@ -679,7 +679,13 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
             read_paths is not None
             and out_dir is None
             and selected.num_rows <= cfg.inline_round_threshold
+            and pages_path not in _PAGES_MAT
         ):
+            # inline point reads only when the corpus is NOT pinned: a
+            # primed corpus serves tiny rounds from bucket-pruned pinned
+            # blocks with zero parquet IO, while the driver-inline reads
+            # pay a serial decompress per bucket file (2.8s flat on 28KB
+            # pages — the same at every cluster size, i.e. anti-scaling)
             # tiny rounds: driver-side row-group-pruned point reads beat
             # launching a corpus-wide distributed filter
             # driver-inline fast path for tiny rounds

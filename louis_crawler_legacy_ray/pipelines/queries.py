@@ -349,8 +349,21 @@ FROM events GROUP BY user_id
 
 def q_upsert_latest_event(sf_dir: str):
     """Last-write-wins upsert semantics (reference S5/D5, db.py:506-516):
-    latest event per user, tie-broken by event_id."""
+    latest event per user, tie-broken by event_id.
+
+    Pre-aggregated: each batch first reduces to one candidate row per
+    user (vectorized sort + drop_duplicates), so the shuffle carries at
+    most users x blocks rows instead of every event — the partial/
+    combiner shape for keep-latest at scale."""
     ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def partial_latest(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["ts", "event_id"], ascending=[False, False]
+        ).drop_duplicates("user_id", keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ev = ev.map_batches(partial_latest, batch_format="pyarrow")
 
     def latest2(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], ascending=[False, False]).head(1)

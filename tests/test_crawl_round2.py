@@ -203,3 +203,30 @@ def test_injected_fetcher_matches_corpus_crawl(ray_session, tmp_path):
     assert via_corpus.order.to_pydict() == via_fetcher.order.to_pydict()
     assert via_corpus.counts["seen"] == via_fetcher.counts["seen"]
     assert via_corpus.counts["errored"] == via_fetcher.counts["errored"] == 1
+
+
+def test_routing_fetcher_dual_path(ray_session):
+    """M12 smart routing (reference base_playwright.py:185-272): pages
+    flagged by the JS-need heuristic are refetched via the js fetcher;
+    content-rich pages stay on the regular path; routing decisions are
+    remembered per worker."""
+    from louis_crawler_legacy_ray.stages.fetch import DictFetcher, RoutingFetcher
+
+    rich = "<main>" + ("solid server-rendered words " * 40) + "</main>"
+    shell = '<main data-reactroot="">loading...</main>'
+    rendered = "<main>" + ("client content now present " * 40) + "</main>"
+    regular = DictFetcher({"http://r.ca/rich": rich, "http://r.ca/app": shell})
+    js = DictFetcher({"http://r.ca/app": rendered, "http://r.ca/rich": rich})
+    f = RoutingFetcher(regular, js)
+
+    import pyarrow as pa2
+
+    out = f.fetch(pa2.array(["http://r.ca/rich", "http://r.ca/app"]))
+    by_url = dict(zip(out["url"].to_pylist(), out["html"].to_pylist()))
+    assert by_url["http://r.ca/rich"] == rich          # regular path
+    assert by_url["http://r.ca/app"] == rendered       # refetched via js
+    assert "http://r.ca/app" in f.playwright_urls
+    assert "http://r.ca/rich" in f.regular_urls
+    # second round: known-js url goes straight to the js fetcher
+    out2 = f.fetch(pa2.array(["http://r.ca/app"]))
+    assert out2["html"].to_pylist() == [rendered]
