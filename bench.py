@@ -258,8 +258,18 @@ def run_scaling() -> dict:
         env.setdefault("LOUIS_BENCH_PAGES", "262143")
         env.setdefault("LOUIS_BENCH_PAD", "28000")
         env.setdefault("LOUIS_BENCH_TRIALS", "3")
+        cmd = [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")]
+        # pin the whole process tree to ncpu PHYSICAL cores: ray.init
+        # (num_cpus=N) only caps logical task slots — zero-CPU actors,
+        # Arrow/numpy thread pools and Ray system processes otherwise
+        # spill onto the box's remaining cores and inflate the small
+        # leg, understating true N-node vs 4N-node efficiency
+        import shutil as _sh
+
+        if _sh.which("taskset") and (os.cpu_count() or 0) >= ncpu:
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            cmd,
             env=env,
             capture_output=True,
             text=True,

@@ -118,7 +118,9 @@ class FrontierShard:
     def enqueue(self, urls: list[str], depths: list[int], hosts: list[str]) -> int:
         """Admit candidate URLs to pending; returns number admitted.
         Drop rule = reference's quadruple-set check
-        (goldie_playwright_parallel.py:606-617, 656-663)."""
+        (goldie_playwright_parallel.py:606-617, 656-663). (A C-level
+        set-difference variant was measured SLOWER than this loop — the
+        batch dict build dominates; the loop stays.)"""
         added = 0
         for url, depth, host in zip(urls, depths, hosts):
             if self.robots.obey and not self.robots.allowed(url):
@@ -220,10 +222,11 @@ class FrontierShard:
 
     def record_fetched(self, urls: list[str]) -> None:
         """in_flight -> seen for successfully fetched URLs. Called from
-        parallel map tasks as results stream in (idempotent)."""
-        for url in urls:
-            self.in_flight.discard(url)
-            self.seen.add(url)
+        parallel map tasks as results stream in (idempotent). C-level
+        set ops, no per-URL loop."""
+        s = set(urls)
+        self.in_flight -= s
+        self.seen |= s
 
     def finish_round(self) -> list[str]:
         """End-of-round: any URL still in flight failed to fetch —
