@@ -257,7 +257,7 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         env.setdefault("LOUIS_BENCH_PAGES", "262143")
         env.setdefault("LOUIS_BENCH_PAD", "28000")
-        env.setdefault("LOUIS_BENCH_TRIALS", "3")
+        env.setdefault("LOUIS_BENCH_TRIALS", "1")
         cmd = [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")]
         # pin the whole process tree to ncpu PHYSICAL cores: ray.init
         # (num_cpus=N) only caps logical task slots — zero-CPU actors,
@@ -277,15 +277,27 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    rlo, rhi = one(lo), one(hi)
-    med_lo = statistics.median(rlo["trial_secs"])
-    med_hi = statistics.median(rhi["trial_secs"])
-    tput_lo = round(rlo["n_urls"] / med_lo, 1)
-    tput_hi = round(rhi["n_urls"] / med_hi, 1)
+    # INTERLEAVE the legs (lo,hi, lo,hi, lo,hi): single-box wall time
+    # drifts over minutes (host contention / thermal), so a
+    # leg-blocked A/B measures the drift, not the scaling — alternate
+    # trials so both legs sample the same time window, then median
+    n_trials = int(os.environ.get("LOUIS_SCALE_TRIALS", "3"))
+    trials_lo: list[float] = []
+    trials_hi: list[float] = []
+    n_urls = None
+    for _ in range(n_trials):
+        rlo, rhi = one(lo), one(hi)
+        trials_lo.append(rlo["trial_secs"][0])
+        trials_hi.append(rhi["trial_secs"][0])
+        n_urls = rhi["n_urls"]
+    med_lo = statistics.median(trials_lo)
+    med_hi = statistics.median(trials_hi)
+    tput_lo = round(n_urls / med_lo, 1)
+    tput_hi = round(n_urls / med_hi, 1)
     eff = (tput_hi / tput_lo) / (hi / lo)
     return {
         "metric": (
-            f"scaling efficiency (median urls/sec of {len(rhi['trial_secs'])}"
+            f"scaling efficiency (median urls/sec of {n_trials} interleaved"
             f" trials at {hi} cpus vs {lo} cpus, same input)"
         ),
         "value": round(eff, 3),
@@ -294,9 +306,9 @@ def run_scaling() -> dict:
         f"sec_{hi}": med_hi,
         f"urls_per_sec_{lo}": tput_lo,
         f"urls_per_sec_{hi}": tput_hi,
-        f"trials_{lo}": rlo["trial_secs"],
-        f"trials_{hi}": rhi["trial_secs"],
-        "n_urls": rhi["n_urls"],
+        f"trials_{lo}": trials_lo,
+        f"trials_{hi}": trials_hi,
+        "n_urls": n_urls,
     }
 
 
