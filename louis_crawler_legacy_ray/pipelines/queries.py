@@ -1173,6 +1173,17 @@ def q_lsh_topk(sf_dir: str):
     return lsh_topk(ds, m[:5], [0, 1, 2, 3, 4], dim=m.shape[1], k=10, n_planes=8)
 
 
+def q_ivf_topk(sf_dir: str):
+    """IVF-coarse-quantized ANN top-10 (the other scale path next to
+    LSH: sampled k-means lists, nprobe probing; recall pytest vs the
+    exact baseline — approximate by design, rows-only)."""
+    from ..stages.ann import ivf_topk
+
+    m, ids = _emb_matrix(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, m[:5], [0, 1, 2, 3, 4], k=10, n_lists=16, nprobe=6)
+
+
 def q_chunk_documents(sf_dir: str):
     """hawn chunker over the synthetic pages corpus (stateful actor
     pool; token ids from the stand-in encoder — not SQL-expressible)."""
@@ -1263,6 +1274,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "rolling_fingerprints": q_rolling_fingerprints,
     "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "chunk_documents": q_chunk_documents,
     "embed_chunks": q_embed_chunks,
     "media_decode": q_media_decode,

@@ -4,10 +4,17 @@
   of the corpus against a broadcast query matrix, partial top-k per
   batch, tiny driver-side merge of the partials (k x n_queries rows,
   never the corpus). One corpus scan, no shuffle.
-* :class:`LSHIndexStage` / :func:`lsh_topk` — the scale path: random-
+* :class:`LSHIndexStage` / :func:`lsh_topk` — a scale path: random-
   hyperplane LSH buckets; queries probe their own bucket plus hamming-1
   neighbors. Approximate (recall tested against the brute-force
   baseline, not an oracle).
+* :func:`ivf_topk` — the other scale path: an IVF coarse quantizer.
+  Spherical k-means centroids are trained on a bounded driver-side
+  sample (dimension-sized state), broadcast once; one corpus pass
+  assigns each vector to its nearest centroid and keeps only vectors
+  in the union of the queries' ``nprobe`` closest lists; exact cosine
+  top-k runs on that candidate subset. Probed fraction ~ nprobe /
+  n_lists of the corpus, no shuffle.
 """
 
 from __future__ import annotations
@@ -143,3 +150,68 @@ def lsh_topk(
         batch_format="pyarrow",
     )
     return brute_force_topk(cand, queries, query_ids, k=k)
+
+
+def kmeans_fit(
+    sample: np.ndarray, n_lists: int, iters: int = 10, seed: int = 5
+) -> np.ndarray:
+    """Spherical k-means on a (bounded) sample — the IVF coarse
+    quantizer. Deterministic: seeded init from sample rows; empty lists
+    keep their previous centroid. Returns unit-norm (n_lists, dim)."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    n = len(sample)
+    centroids = sample[rng.choice(n, size=min(n_lists, n), replace=False)]
+    if len(centroids) < n_lists:
+        centroids = np.vstack(
+            [centroids, rng.normal(size=(n_lists - len(centroids), sample.shape[1]))]
+        )
+    centroids = _normalize(centroids)
+    for _ in range(iters):
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for c in range(n_lists):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 2048,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Approximate cosine top-k via an IVF index: train the coarse
+    quantizer on a bounded sample, then ONE corpus pass filters to the
+    union of every query's nprobe nearest lists (assignment computed
+    inside the task against the broadcast centroid matrix — no
+    shuffle, no per-vector state), and the exact kernel ranks the
+    candidates."""
+    sample_rows = ds.limit(train_sample).take_all()
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    centroids = kmeans_fit(sample, n_lists, seed=seed)
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qsims = qn @ centroids.T
+    nprobe = min(nprobe, n_lists)
+    probe_lists = np.unique(
+        np.argpartition(-qsims, nprobe - 1, axis=1)[:, :nprobe]
+    ).astype(np.int64)
+    probe_set = pa.array(probe_lists.tolist(), pa.int64())
+
+    def assign_filter(batch: pa.Table) -> pa.Table:
+        vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        lists = (vecs @ centroids.T).argmax(axis=1).astype(np.int64)
+        keep = pa.compute.is_in(pa.array(lists, pa.int64()), value_set=probe_set)
+        return batch.filter(keep)
+
+    cand = ds.map_batches(assign_filter, batch_format="pyarrow")
+    return brute_force_topk(cand, queries, query_ids, k=k, id_col=id_col, vec_col=vec_col)

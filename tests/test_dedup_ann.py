@@ -205,3 +205,36 @@ def test_attach_pair_docs_modes_agree(ray_session):
         out_p[["doc_a", "doc_b", "text_a", "text_b"]]
     )
     assert len(out_b) == 3
+
+
+def test_ivf_topk_recall(ray_session):
+    """IVF coarse-quantized ANN: self must be found, and recall@5 of the
+    exact top-5 stays high at nprobe=4/16."""
+    from louis_crawler_legacy_ray.stages.ann import ivf_topk
+
+    rng = np.random.RandomState(11)
+    m = rng.normal(size=(300, 16))
+    ids = np.arange(300, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array(m.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(4)
+    q = m[:4]
+    exact = brute_force_topk(ds, q, [0, 1, 2, 3], k=5)
+    approx = ivf_topk(ds, q, [0, 1, 2, 3], k=5, n_lists=16, nprobe=4, train_sample=300)
+    ex = {}
+    for r in exact.to_pylist():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ap = {}
+    for r in approx.to_pylist():
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for qid in (0, 1, 2, 3):
+        assert qid in ap[qid]  # self is always in its own probed list
+        hits += len(ex[qid] & ap[qid])
+        total += len(ex[qid])
+    assert hits / total >= 0.5  # random gaussians are a worst case for IVF
