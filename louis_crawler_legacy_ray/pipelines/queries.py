@@ -1173,6 +1173,52 @@ def q_lsh_topk(sf_dir: str):
     return lsh_topk(ds, m[:5], [0, 1, 2, 3, 4], dim=m.shape[1], k=10, n_planes=8)
 
 
+def q_cosine_near_lsh(sf_dir: str):
+    """Embedding near-dup SCALE path: hyperplane-band LSH candidates +
+    exact-cosine verify (no corpus matrix broadcast). The random
+    testdata has no high-similarity pairs, so the query plants one
+    deterministic near-duplicate per vector (seeded unit noise,
+    cos ≈ 0.99, copy id = vec_id + 1_000_000) and must recover the
+    planted pairs. Approximate recall by design — rows-only."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.dedup import cosine_near_pairs_lsh
+
+    first = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).slice(0, 1)
+    dim = len(first["embedding"][0].as_py())
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        vecs = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        pert = np.empty_like(unit)
+        for i, vid in enumerate(ids):  # per-row seeded noise: deterministic
+            n = np.random.RandomState(int(vid) + 1).normal(size=dim)
+            n /= np.linalg.norm(n)
+            pert[i] = unit[i] + 0.15 * n
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    np.concatenate([ids, ids + 1_000_000]), pa.int64()
+                ),
+                "embedding": pa.array(
+                    np.concatenate([unit, pert]).tolist(),
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+
+    aug = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    out = cosine_near_pairs_lsh(aug, dim=dim, tau=0.9)
+    return out.select_columns(["doc_a", "doc_b"])
+
+
 def q_ivf_topk(sf_dir: str):
     """IVF-coarse-quantized ANN top-10 (the other scale path next to
     LSH: sampled k-means lists, nprobe probing; recall pytest vs the
@@ -1275,6 +1321,7 @@ QUERIES = {
     "rolling_fingerprints": q_rolling_fingerprints,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
+    "cosine_near_lsh": q_cosine_near_lsh,
     "chunk_documents": q_chunk_documents,
     "embed_chunks": q_embed_chunks,
     "media_decode": q_media_decode,

@@ -268,6 +268,7 @@ def attach_pair_docs(
     num_buckets: int = 16,
     mode: str = "auto",
     broadcast_cap: int = 200_000,
+    out_names: tuple[str, str] = ("text_a", "text_b"),
 ) -> ray.data.Dataset:
     """Join ``text_a``/``text_b`` onto a (doc_a, doc_b) pair table from
     the documents dataset. Scale shape (VERDICT r1 'What's wrong' #3):
@@ -307,14 +308,16 @@ def attach_pair_docs(
     )
     cand_ids = _collect_unique_ids(ids, id_col)
 
-    def filter_and_rename(side: str):
+    name_a, name_b = out_names
+
+    def filter_and_rename(side: str, out_name: str):
         def f(batch: pa.Table) -> pa.Table:
             keep = pc.is_in(batch[id_col].cast(pa.int64()), value_set=cand_ids)
             sub = batch.filter(keep.fill_null(False))
             return pa.table(
                 {
                     f"doc_{side}": sub[id_col].cast(pa.int64()),
-                    f"text_{side}": sub[text_col],
+                    out_name: sub[text_col],
                 }
             )
 
@@ -327,18 +330,16 @@ def attach_pair_docs(
         cand_tbl = pa.concat_tables(
             list(
                 docs.map_batches(
-                    filter_and_rename("a"), batch_format="pyarrow"
+                    filter_and_rename("a", name_a), batch_format="pyarrow"
                 ).iter_batches(batch_format="pyarrow")
             )
         )
-        cand_b = pa.table(
-            {"doc_b": cand_tbl["doc_a"], "text_b": cand_tbl["text_a"]}
-        )
-        j = broadcast_lookup_join(pairs, cand_tbl, "doc_a", "doc_a", ["text_a"])
-        return broadcast_lookup_join(j, cand_b, "doc_b", "doc_b", ["text_b"])
+        cand_b = pa.table({"doc_b": cand_tbl["doc_a"], name_b: cand_tbl[name_a]})
+        j = broadcast_lookup_join(pairs, cand_tbl, "doc_a", "doc_a", [name_a])
+        return broadcast_lookup_join(j, cand_b, "doc_b", "doc_b", [name_b])
 
-    docs_a = docs.map_batches(filter_and_rename("a"), batch_format="pyarrow")
-    docs_b = docs.map_batches(filter_and_rename("b"), batch_format="pyarrow")
+    docs_a = docs.map_batches(filter_and_rename("a", name_a), batch_format="pyarrow")
+    docs_b = docs.map_batches(filter_and_rename("b", name_b), batch_format="pyarrow")
     j = partitioned_hash_join(pairs, docs_a, "doc_a", "doc_a", num_buckets)
     return partitioned_hash_join(j, docs_b, "doc_b", "doc_b", num_buckets)
 
@@ -602,6 +603,116 @@ def connected_components(
 
 
 # ------------------------------------------------- embedding cosine near-dup
+class CosineLSHBandStage:
+    """Random-hyperplane banding for embedding near-dup candidates: each
+    vector emits one row per band, keyed by the band's sign-bit pattern
+    (any-band collision => candidate pair). Hyperplanes from a fixed
+    seed, built once per actor. For tau >= 0.9 (angle <= 26°, plane-split
+    prob <= 0.14), 8 bands x 8 bits give recall ~1 - (1 - 0.86^8)^8 ≈
+    0.97 while unrelated vectors (split prob 0.5) collide per band at
+    2^-8 — the corpus never goes all-pairs."""
+
+    def __init__(
+        self,
+        dim: int,
+        n_bands: int = 8,
+        band_bits: int = 8,
+        seed: int = 7,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(n_bands * band_bits, dim))
+        self.n_bands = n_bands
+        self.band_bits = band_bits
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        vecs = np.array(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        bits = (vecs @ self.planes.T) > 0  # (n, n_bands*band_bits)
+        weights = 1 << np.arange(self.band_bits, dtype=np.int64)
+        out_ids, out_bands, out_keys = [], [], []
+        for band in range(self.n_bands):
+            sl = bits[:, band * self.band_bits : (band + 1) * self.band_bits]
+            keys = (sl * weights).sum(axis=1)
+            out_ids.append(ids)
+            out_bands.append(np.full(len(ids), band, dtype=np.int32))
+            out_keys.append(keys)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(out_ids), pa.int64()),
+                "band": pa.array(np.concatenate(out_bands), pa.int32()),
+                "key": pa.array(np.concatenate(out_keys), pa.int64()),
+            }
+        )
+
+
+def cosine_near_pairs_lsh(
+    ds: ray.data.Dataset,
+    dim: int,
+    tau: float = 0.9,
+    n_bands: int = 8,
+    band_bits: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """The SCALE path for embedding-cosine near-dup (the exact
+    :func:`cosine_near_pairs` broadcasts the corpus matrix): hyperplane
+    band buckets -> bucketed candidate pairs -> join the candidate
+    vectors back (never the corpus) -> exact cosine verify >= tau.
+    Returns (doc_a, doc_b, cosine). Effective only for high tau — at low
+    similarity hyperplane banding degenerates toward all-pairs (inherent
+    to LSH, documented)."""
+    band_rows = ds.map_batches(
+        CosineLSHBandStage,
+        fn_constructor_kwargs={
+            "dim": dim,
+            "n_bands": n_bands,
+            "band_bits": band_bits,
+            "seed": seed,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        concurrency=pool_size(),
+    )
+    cand = bucketed_self_pairs(band_rows, ["band", "key"], "vec_id")
+    uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="nbands"))
+    with_vecs = attach_pair_docs(
+        uniq, ds, id_col=id_col, text_col=vec_col, out_names=("vec_a", "vec_b")
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        va = np.array(batch["vec_a"].to_pylist(), dtype=np.float64)
+        vb = np.array(batch["vec_b"].to_pylist(), dtype=np.float64)
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        cos = (va * vb).sum(axis=1) / na / nb
+        out = pa.table(
+            {
+                "doc_a": batch["doc_a"].cast(pa.int64()),
+                "doc_b": batch["doc_b"].cast(pa.int64()),
+                "cosine": pa.array(cos, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["cosine"], pa.scalar(tau)))
+
+    return with_vecs.map_batches(verify, batch_format="pyarrow")
+
+
 def cosine_near_pairs(
     ds: ray.data.Dataset,
     matrix: np.ndarray,

@@ -238,3 +238,38 @@ def test_ivf_topk_recall(ray_session):
         hits += len(ex[qid] & ap[qid])
         total += len(ex[qid])
     assert hits / total >= 0.5  # random gaussians are a worst case for IVF
+
+
+def test_cosine_near_pairs_lsh_recall(ray_session):
+    """LSH-banded near-dup (the scale path) recovers planted near-dups
+    that the exact broadcast operator finds, with exact-threshold
+    precision (the verify step recomputes true cosine)."""
+    from louis_crawler_legacy_ray.stages.dedup import cosine_near_pairs_lsh
+
+    rng = np.random.RandomState(2)
+    dim = 16
+    base = rng.normal(size=(60, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = rng.normal(size=(60, dim))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    pert = base + 0.15 * noise  # cos ~0.99 with its base vector
+    m = np.vstack([base, pert])
+    ids = np.arange(120, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array(m.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(3)
+
+    out = cosine_near_pairs_lsh(ds, dim=dim, tau=0.9).to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    planted = {(i, i + 60) for i in range(60)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9
+    # precision is exact: every returned pair truly has cosine >= tau
+    mm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for a, b in got:
+        assert float(mm[a] @ mm[b]) >= 0.9
