@@ -1236,10 +1236,14 @@ def q_chunk_documents(sf_dir: str):
     from ..stages.chunk import ChunkerActor
 
     items = _extracted_items(sf_dir)
+    # batch_size 32 (was 128): chunking cost varies ~10x per page, and
+    # coarse batches left a 2 s straggler task dominating the stage wall
+    # (ds.stats(): UDF 216 ms min / 2.02 s max over 17 tasks) — finer
+    # batches let the actor pool balance the skew
     return items.select_columns(["url", "html_content", "last_crawled"]).map_batches(
         ChunkerActor,
         batch_format="pyarrow",
-        batch_size=128,
+        batch_size=32,
         concurrency=pool_size(),
     )
 
