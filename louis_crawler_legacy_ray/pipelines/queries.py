@@ -1274,6 +1274,98 @@ def q_frame_sample(sf_dir: str):
     return media.map_batches(FrameSampleStage, batch_format="pyarrow", concurrency=1)
 
 
+def q_c4_line_filter(sf_dir: str):
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, the
+    SQL-expressible core): drop lines that lack terminal punctuation
+    or carry < 3 words; emit cleaned text + per-doc line accounting."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ts.c4_line_filter_batch, batch_format="pyarrow"
+    )
+
+
+SQL_C4_LINE_FILTER = rf"""
+WITH l AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+k AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         list_filter(lines, x -> regexp_matches(x, '{ts.C4_LINE_END_PATTERN}')
+                     AND len(regexp_extract_all(x, '{ts.WORD_PATTERN}')) >= {ts.C4_MIN_LINE_WORDS}) AS kept
+  FROM l)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       array_to_string(kept, chr(10)) AS clean_text,
+       len(kept) > 0 AS keep
+FROM k
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language sample: the 5 doc_ids with the
+    smallest Knuth multiplicative hash per lang — reproducible across
+    engines/block layouts (stages/sample.py combiner shape)."""
+    from ..stages.sample import stratified_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(docs, key_col="lang", id_col="doc_id", k=5)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id FROM (
+  SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (CAST(doc_id AS BIGINT) * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents) WHERE rn <= 5
+"""
+
+
+def q_vocab_stats(sf_dir: str):
+    """Corpus vocabulary stats: top-50 terms by total frequency with
+    document frequency. Per-batch Counter partials (one row per
+    distinct term per block) feed a term-keyed groupby — the shuffle
+    never carries per-token rows."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    partials = docs.map_batches(ts.vocab_partial_batch, batch_format="pyarrow")
+    agg = partials.groupby("term").aggregate(
+        Sum("total_tf", alias_name="total_tf"), Sum("df", alias_name="df")
+    )
+    return agg.sort(["total_tf", "term"], descending=[True, False]).limit(50)
+
+
+SQL_VOCAB_STATS = """
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents)
+SELECT term, CAST(count(*) AS BIGINT) AS total_tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM t GROUP BY term
+ORDER BY total_tf DESC, term LIMIT 50
+"""
+
+
+def q_dedup_survivors(sf_dir: str):
+    """The corpus after near-dup removal: one survivor (min doc_id)
+    per connected component of the n-gram-Jaccard >= 0.5 graph,
+    singletons included — i.e. the doc list a training run would
+    actually consume downstream of dedup_clusters."""
+    labels = q_dedup_clusters(sf_dir)
+    return labels.map_batches(
+        lambda b: b.filter(pc.equal(b["doc_id"], b["cluster_id"])).select(
+            ["doc_id"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DEDUP_SURVIVORS = SQL_DEDUP_CLUSTERS.replace(
+    "SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node",
+    """SELECT doc_id FROM (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node)
+WHERE doc_id = cluster_id""",
+)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1313,6 +1405,10 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
+    "c4_line_filter": q_c4_line_filter,
+    "stratified_sample": q_stratified_sample,
+    "vocab_stats": q_vocab_stats,
+    "dedup_survivors": q_dedup_survivors,
     # dedup / similarity
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1363,6 +1459,10 @@ ORACLE_SQL = {
     "quality_scores": SQL_QUALITY_SCORES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
+    "c4_line_filter": SQL_C4_LINE_FILTER,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "vocab_stats": SQL_VOCAB_STATS,
+    "dedup_survivors": SQL_DEDUP_SURVIVORS,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,

@@ -1,0 +1,63 @@
+"""Deterministic stratified sampling over a keyed table.
+
+Training-data pipelines need reproducible per-stratum samples ("K docs
+per language") that do not depend on block layout or worker count. The
+selector here is a Knuth multiplicative hash of the id — a total order
+any engine (and the DuckDB oracle) can recompute — so the sample is a
+pure function of the data, not of the execution.
+
+Scale shape: each batch first reduces to its own K smallest hashes per
+stratum (combiner), so the groupby shuffle carries at most
+K x strata x blocks rows regardless of input size; the final per-
+stratum top-K runs over those partials only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+KNUTH = 2654435761
+HASH_MOD = 1 << 32
+
+
+def sample_hash(ids: np.ndarray) -> np.ndarray:
+    """(id * 2654435761) mod 2^32 — fits int64 for ids < 2^31."""
+    return (ids.astype(np.int64) * KNUTH) % HASH_MOD
+
+
+def stratified_sample(
+    ds,
+    key_col: str,
+    id_col: str,
+    k: int,
+):
+    """K rows per distinct ``key_col`` value: the K ids with the
+    smallest multiplicative hash (ties impossible below 2^32 ids;
+    id asc as the formal tie-break)."""
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                key_col: b[key_col].to_pandas(),
+                id_col: b[id_col].to_pandas().astype(np.int64),
+            }
+        )
+        df["_h"] = sample_hash(df[id_col].to_numpy())
+        df = (
+            df.sort_values(["_h", id_col])
+            .groupby(key_col, sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_h", id_col]).head(k)
+        return pd.DataFrame({key_col: g[key_col].values, id_col: g[id_col].values})
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(final_topk, batch_format="pandas")
+    )

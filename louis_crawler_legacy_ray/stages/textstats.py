@@ -160,3 +160,70 @@ def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Tab
             "rolling_fp": pa.array([rolling_hash(t) for t in texts], pa.int64()),
         }
     )
+
+
+# line-level C4-style cleaning (Raffel et al. 2020 §2.2 heuristics,
+# simplified to the SQL-expressible core): a line survives iff it ends
+# in terminal punctuation and carries at least 3 words. Both sides of
+# the oracle use the same RE2/`re`-compatible patterns.
+C4_LINE_END_PATTERN = r'[.!?"]\s*$'
+C4_MIN_LINE_WORDS = 3
+
+_C4_END_RE = re.compile(C4_LINE_END_PATTERN)
+
+
+def c4_line_filter_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """C4-style line filtering: keep lines ending in terminal
+    punctuation with >= 3 words; emit the cleaned text plus line
+    accounting. Stateless map_batches stage — at 100 TB this runs
+    embarrassingly parallel with no shuffle."""
+    texts = batch[text_col].to_pylist()
+    n_lines: list[int] = []
+    n_kept: list[int] = []
+    cleaned: list[str] = []
+    for t in texts:
+        lines = (t or "").split("\n")
+        kept = [
+            ln
+            for ln in lines
+            if _C4_END_RE.search(ln)
+            and len(_WORD_RE.findall(ln)) >= C4_MIN_LINE_WORDS
+        ]
+        n_lines.append(len(lines))
+        n_kept.append(len(kept))
+        cleaned.append("\n".join(kept))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "clean_text": pa.array(cleaned, pa.string()),
+            "keep": pa.array([k > 0 for k in n_kept], pa.bool_()),
+        }
+    )
+
+
+_VOCAB_RE = re.compile(r"[a-z0-9]+")
+
+
+def vocab_partial_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Partial (combiner) vocabulary counts for one batch: term ->
+    (total tf, docs containing). Emitting pre-aggregated partials is
+    the scale shape — the downstream groupby('term') shuffle carries
+    one row per distinct term per block instead of one per token."""
+    from collections import Counter
+
+    tf: Counter = Counter()
+    df: Counter = Counter()
+    for t in batch[text_col].to_pylist():
+        terms = _VOCAB_RE.findall((t or "").lower())
+        tf.update(terms)
+        df.update(set(terms))
+    keys = list(tf.keys())
+    return pa.table(
+        {
+            "term": pa.array(keys, pa.string()),
+            "total_tf": pa.array([tf[k] for k in keys], pa.int64()),
+            "df": pa.array([df[k] for k in keys], pa.int64()),
+        }
+    )

@@ -1,0 +1,65 @@
+"""Unit tests for the stratified sampler, C4 line filter, and vocab
+combiner — beyond the DuckDB oracle: block-layout invariance and edge
+cases the synthetic corpus does not exercise."""
+
+import pyarrow as pa
+import ray.data
+
+from louis_crawler_legacy_ray.stages import textstats as ts
+from louis_crawler_legacy_ray.stages.sample import sample_hash, stratified_sample
+
+
+def _sample_ids(ds, k):
+    out = stratified_sample(ds, key_col="lang", id_col="doc_id", k=k).to_pandas()
+    return sorted(map(tuple, out[["lang", "doc_id"]].itertuples(index=False)))
+
+
+def test_stratified_sample_block_layout_invariant(ray_session):
+    rows = [{"doc_id": i, "lang": ["en", "fr", "de"][i % 3]} for i in range(200)]
+    one = ray.data.from_items(rows).repartition(1)
+    many = ray.data.from_items(rows).repartition(16)
+    assert _sample_ids(one, 4) == _sample_ids(many, 4)
+
+
+def test_stratified_sample_matches_naive(ray_session):
+    import numpy as np
+
+    rows = [{"doc_id": i, "lang": "en" if i < 60 else "fr"} for i in range(100)]
+    got = _sample_ids(ray.data.from_items(rows), 3)
+    expect = []
+    for lang, lo, hi in [("en", 0, 60), ("fr", 60, 100)]:
+        ids = np.arange(lo, hi)
+        order = np.lexsort((ids, sample_hash(ids)))
+        expect += [(lang, int(ids[j])) for j in order[:3]]
+    assert got == sorted(expect)
+
+
+def test_stratified_sample_small_stratum(ray_session):
+    rows = [{"doc_id": 1, "lang": "xx"}, {"doc_id": 2, "lang": "xx"}]
+    assert len(_sample_ids(ray.data.from_items(rows), 5)) == 2
+
+
+def test_c4_line_filter_edges():
+    b = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "",  # empty doc -> one empty line, nothing kept
+                "Ends with period but two words.",  # wait: 5 words, kept
+                "short one.\r",  # CR before EOL: \s* absorbs it, <3 words
+                'He said "stop".\nNo terminal punct\nThree words here!',
+            ],
+        }
+    )
+    out = ts.c4_line_filter_batch(b).to_pydict()
+    assert out["n_lines"] == [1, 1, 1, 3]
+    assert out["n_kept"] == [0, 1, 0, 2]
+    assert out["clean_text"][3] == 'He said "stop".\nThree words here!'
+    assert out["keep"] == [False, True, False, True]
+
+
+def test_vocab_partial_counts_df_once_per_doc():
+    b = pa.table({"doc_id": [1, 2], "text": ["a a a b", "a c"]})
+    out = ts.vocab_partial_batch(b)
+    d = {r["term"]: (r["total_tf"], r["df"]) for r in out.to_pylist()}
+    assert d == {"a": (4, 2), "b": (1, 1), "c": (1, 1)}
