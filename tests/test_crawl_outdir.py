@@ -48,3 +48,25 @@ def test_out_dir_written_per_round(ray_session, tmp_path, fanout):
     # round partitioning exists (>= 2 distinct round dirs)
     rounds = {f.split("round=")[1].split("/")[0] for f in files}
     assert len(rounds) >= 2
+
+
+def test_write_items_part_retry_overwrites(tmp_path):
+    """A task retry re-writing the same (round, block) part must
+    replace the earlier attempt's rows, never append a duplicate
+    file (the exactly-once invariant for per-round crawl_items)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from louis_crawler_legacy_ray.pipelines.crawl import _write_items_part
+
+    out = str(tmp_path / "round=1")
+    first = pa.table({"url": ["a", "b"], "n": [1, 2]})
+    second = pa.table({"url": ["a", "b", "c"], "n": [1, 2, 3]})
+    _write_items_part(first, out, "part-00003")
+    _write_items_part(second, out, "part-00003")  # the retry
+    files = glob.glob(f"{out}/*.parquet")
+    assert files == [f"{out}/part-00003.parquet"]
+    assert pq.read_table(files[0]).num_rows == 3
+    assert not glob.glob(f"{out}/.*tmp*")  # no stray tmp attempts
