@@ -1274,6 +1274,90 @@ def q_frame_sample(sf_dir: str):
     return media.map_batches(FrameSampleStage, batch_format="pyarrow", concurrency=1)
 
 
+_DAY_US = 86_400_000_000
+
+
+def q_sliding_window(sf_dir: str):
+    """Sliding/hopping windowed aggregate: 1h windows every 15min over
+    events, counted per event_type (stages/windows.py:sliding_window —
+    vectorized 4x fan-out before the single groupby)."""
+    from ..stages.windows import sliding_window
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    out = sliding_window(ev, window_us=_HOUR_US, hop_us=_HOUR_US // 4)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "window_id": b["window_id"].cast(pa.int64()),
+                "event_type": b["event_type"],
+                "n_events": b["n_events"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SLIDING_WINDOW = f"""
+SELECT CAST(epoch_us(ts) // {_HOUR_US // 4} - i AS BIGINT) AS window_id,
+       event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events CROSS JOIN UNNEST(generate_series(0, 3)) AS t(i)
+GROUP BY 1, 2
+"""
+
+
+def q_interval_join(sf_dir: str):
+    """Non-equi range join: events against the 6 earliest event days'
+    2-day promo intervals (overlapping, so events can match twice) —
+    broadcast small side + vectorized interval masks, no shuffle
+    (stages/joins.py:broadcast_interval_join)."""
+    from ..stages.joins import broadcast_interval_join
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def day_of(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        day = pc.multiply(pc.divide(us, _DAY_US), _DAY_US)
+        return pa.table({"day_us": day})
+
+    days = (
+        ev.map_batches(day_of, batch_format="pyarrow")
+        .groupby("day_us")
+        .aggregate(Count(alias_name="n"))
+        .sort("day_us")
+        .limit(6)
+        .take_all()
+    )  # 6 rows — the small side a real pipeline would broadcast
+    starts = [int(r["day_us"]) for r in days]
+    ends = [s + 2 * _DAY_US for s in starts]
+    joined = broadcast_interval_join(ev, starts, ends)
+    return (
+        joined.groupby(["interval_start_us", "event_type"])
+        .aggregate(Count(alias_name="n_events"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "interval_start_us": b["interval_start_us"].cast(pa.int64()),
+                    "event_type": b["event_type"],
+                    "n_events": b["n_events"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_INTERVAL_JOIN = f"""
+WITH d AS (
+  SELECT DISTINCT (epoch_us(ts) // {_DAY_US}) * {_DAY_US} AS day_us
+  FROM events ORDER BY day_us LIMIT 6)
+SELECT CAST(d.day_us AS BIGINT) AS interval_start_us, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events e JOIN d
+  ON epoch_us(e.ts) >= d.day_us AND epoch_us(e.ts) < d.day_us + {2 * _DAY_US}
+GROUP BY 1, 2
+"""
+
+
 def q_c4_line_filter(sf_dir: str):
     """C4-style line-level cleaning (Raffel et al. 2020 §2.2, the
     SQL-expressible core): drop lines that lack terminal punctuation
@@ -1405,6 +1489,8 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
+    "sliding_window": q_sliding_window,
+    "interval_join": q_interval_join,
     "c4_line_filter": q_c4_line_filter,
     "stratified_sample": q_stratified_sample,
     "vocab_stats": q_vocab_stats,
@@ -1459,6 +1545,8 @@ ORACLE_SQL = {
     "quality_scores": SQL_QUALITY_SCORES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
+    "sliding_window": SQL_SLIDING_WINDOW,
+    "interval_join": SQL_INTERVAL_JOIN,
     "c4_line_filter": SQL_C4_LINE_FILTER,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "vocab_stats": SQL_VOCAB_STATS,

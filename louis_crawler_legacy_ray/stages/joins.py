@@ -177,3 +177,44 @@ def partitioned_hash_join(
         )
 
     return both.groupby("__bucket").map_groups(join_group, batch_format="pandas")
+
+
+def broadcast_interval_join(
+    ds: ray.data.Dataset,
+    starts_us: list[int],
+    ends_us: list[int],
+    ts_col: str = "ts",
+    out_col: str = "interval_start_us",
+) -> ray.data.Dataset:
+    """Non-equi range join against a SMALL interval table: emit one row
+    per (event, containing interval) — events matching several
+    overlapping intervals are duplicated, events matching none drop.
+
+    Scale shape: the interval list is broadcast via closure capture
+    (pickled once to the object store) and membership is a vectorized
+    per-interval mask — no shuffle, no per-row Python. For a LARGE
+    interval side, pre-bucket both sides by coarse time range and run
+    this per bucket."""
+    import numpy as np
+
+    iv = sorted(zip(starts_us, ends_us))
+    s_arr = np.array([s for s, _ in iv], dtype=np.int64)
+    e_arr = np.array([e for _, e in iv], dtype=np.int64)
+
+    def match(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch[ts_col], pa.int64()).to_numpy()
+        idx_parts, iv_parts = [], []
+        for i in range(len(s_arr)):
+            hit = np.flatnonzero((ts_us >= s_arr[i]) & (ts_us < e_arr[i]))
+            idx_parts.append(hit)
+            iv_parts.append(np.full(hit.size, s_arr[i], dtype=np.int64))
+        if not idx_parts:
+            idx = np.empty(0, dtype=np.int64)
+            ivs = np.empty(0, dtype=np.int64)
+        else:
+            idx = np.concatenate(idx_parts)
+            ivs = np.concatenate(iv_parts)
+        taken = batch.take(pa.array(idx, pa.int64()))
+        return taken.append_column(out_col, pa.array(ivs, pa.int64()))
+
+    return ds.map_batches(match, batch_format="pyarrow")

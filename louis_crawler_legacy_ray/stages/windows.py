@@ -127,3 +127,45 @@ def session_windows(
         ),
         batch_format="pyarrow",
     )
+
+
+def sliding_window(
+    events: ray.data.Dataset,
+    window_us: int,
+    hop_us: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> ray.data.Dataset:
+    """Sliding/hopping windows: fixed ``window_us`` windows starting
+    every ``hop_us`` (window_us must be a multiple of hop_us). Each
+    event lands in exactly window/hop windows; window_id counts hops,
+    window i covers [i*hop, i*hop + window).
+
+    Scale shape: the fan-out (x window/hop rows) happens vectorized
+    inside map_batches BEFORE the single (window_id, key) groupby — the
+    shuffle carries pre-bucketed rows, never a per-event Python loop."""
+    assert window_us % hop_us == 0
+    ratio = window_us // hop_us
+
+    def expand(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts_us = pc.cast(batch[ts_col], pa.int64()).to_numpy()
+        base = np.floor_divide(ts_us, hop_us)
+        # event belongs to windows base-0 .. base-(ratio-1)
+        win = np.repeat(base, ratio) - np.tile(
+            np.arange(ratio, dtype=np.int64), len(ts_us)
+        )
+        keys = np.repeat(np.asarray(batch[key_col].to_pylist(), dtype=object), ratio)
+        return pa.table(
+            {
+                "window_id": pa.array(win, pa.int64()),
+                key_col: pa.array(list(keys), pa.string()),
+            }
+        )
+
+    return (
+        events.map_batches(expand, batch_format="pyarrow")
+        .groupby(["window_id", key_col])
+        .aggregate(Count(alias_name="n_events"))
+    )

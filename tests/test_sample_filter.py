@@ -63,3 +63,47 @@ def test_vocab_partial_counts_df_once_per_doc():
     out = ts.vocab_partial_batch(b)
     d = {r["term"]: (r["total_tf"], r["df"]) for r in out.to_pylist()}
     assert d == {"a": (4, 2), "b": (1, 1), "c": (1, 1)}
+
+
+def test_interval_join_overlap_duplicates(ray_session):
+    """An event inside two overlapping intervals must emit two rows;
+    an event outside all intervals must drop."""
+    import pyarrow as pa
+    import ray.data
+
+    from louis_crawler_legacy_ray.stages.joins import broadcast_interval_join
+
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array([50, 150, 999], pa.timestamp("us")),
+                "tag": ["first_only", "both", "neither"],
+            }
+        )
+    )
+    out = broadcast_interval_join(
+        ev, starts_us=[0, 100], ends_us=[200, 300]
+    ).to_pandas()
+    got = sorted(zip(out["tag"], out["interval_start_us"]))
+    assert got == [("both", 0), ("both", 100), ("first_only", 0)]
+
+
+def test_sliding_window_membership(ray_session):
+    """Each event contributes to exactly window/hop windows and the
+    window ids cover [t-window, t] hops."""
+    import pyarrow as pa
+    import ray.data
+
+    from louis_crawler_legacy_ray.stages.windows import sliding_window
+
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array([1000], pa.timestamp("us")),
+                "event_type": ["x"],
+            }
+        )
+    )
+    out = sliding_window(ev, window_us=400, hop_us=100).to_pandas()
+    assert sorted(out["window_id"]) == [7, 8, 9, 10]
+    assert (out["n_events"] == 1).all()
