@@ -1274,6 +1274,28 @@ def q_frame_sample(sf_dir: str):
     return media.map_batches(FrameSampleStage, batch_format="pyarrow", concurrency=1)
 
 
+def q_duplicate_ngrams(sf_dir: str):
+    """Substring-level dup signal (Lee et al. 2022 at word granularity):
+    5-grams shared by >= 2 docs with doc/occurrence counts
+    (stages/dedup.py:duplicate_ngrams — per-block Counter partials)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dd.duplicate_ngrams(docs, k=5, min_docs=2)
+
+
+SQL_DUPLICATE_NGRAMS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS gram
+  FROM toks, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5)
+SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
 _DAY_US = 86_400_000_000
 
 
@@ -1489,6 +1511,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
+    "duplicate_ngrams": q_duplicate_ngrams,
     "sliding_window": q_sliding_window,
     "interval_join": q_interval_join,
     "c4_line_filter": q_c4_line_filter,
@@ -1545,6 +1568,7 @@ ORACLE_SQL = {
     "quality_scores": SQL_QUALITY_SCORES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
+    "duplicate_ngrams": SQL_DUPLICATE_NGRAMS,
     "sliding_window": SQL_SLIDING_WINDOW,
     "interval_join": SQL_INTERVAL_JOIN,
     "c4_line_filter": SQL_C4_LINE_FILTER,

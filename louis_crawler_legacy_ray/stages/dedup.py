@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from . import pool_size
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
 _WORD_RE = re.compile(r"[a-z0-9]+")
 
@@ -810,3 +810,62 @@ def cosine_near_pairs(
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def duplicate_ngrams(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> ray.data.Dataset:
+    """Duplicate word-k-gram spans across documents (the substring-
+    level dedup signal of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", at word granularity): every
+    k-gram appearing in >= min_docs distinct docs, with its total
+    occurrence count.
+
+    Scale shape: per-batch Counter partials emit one row per distinct
+    gram per block (n_occurrences summed, n_docs exact because a doc
+    lives in exactly one block), then ONE groupby(gram) + filter — the
+    shuffle never carries per-position rows."""
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        occ: Counter = Counter()
+        docs: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            w = words_of(t)
+            grams = [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)]
+            occ.update(grams)
+            docs.update(set(grams))
+        keys = list(occ.keys())
+        return pa.table(
+            {
+                "gram": pa.array(keys, pa.string()),
+                "n_occurrences": pa.array([occ[g] for g in keys], pa.int64()),
+                "n_docs": pa.array([docs[g] for g in keys], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(
+            Sum("n_occurrences", alias_name="n_occurrences"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch["n_docs"], pa.scalar(min_docs))
+        out = batch.filter(m)
+        return pa.table(
+            {
+                "gram": out["gram"],
+                "n_docs": out["n_docs"].cast(pa.int64()),
+                "n_occurrences": out["n_occurrences"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(keep, batch_format="pyarrow")
