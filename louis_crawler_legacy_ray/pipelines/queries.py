@@ -679,6 +679,25 @@ SELECT url, CAST(min(depth) AS INTEGER) AS depth FROM walk GROUP BY url
 )
 
 
+def q_crawl_pages_bfs_404(sf_dir: str):
+    """The 404/quarantine path under the correctness gate (VERDICT r1
+    next-10): seeds include a URL with no page in the corpus. The
+    frontier must quarantine it in `errored` and exclude it from the
+    crawl order, so the oracle is the SAME recursive walk over only
+    the pages that exist."""
+    from .crawl import CrawlConfig, run_crawl
+
+    docs = _docs_table(sf_dir)
+    lang0, src0 = docs["lang"][0].as_py(), docs["source"][0].as_py()
+    seg0 = "fra" if lang0 == "fr" else lang0
+    seed = f"{SITE}/{seg0}/{src0}/doc0"
+    bogus = f"{SITE}/{seg0}/{src0}/does-not-exist-404"
+    cfg = CrawlConfig(n_shards=4, max_depth=6, max_rounds=16)
+    res = run_crawl(pages_corpus_dir(sf_dir), [seed, bogus], cfg)
+    assert res.counts["errored"] >= 1, "missing seed must be quarantined"
+    return res.order.select(["url", "depth"])
+
+
 def q_crawl_graph_bfs(sf_dir: str):
     """The frontier engine as a pure BFS over a typed-node graph built
     from the relational tables (customer->order->part->supplier->
@@ -1498,6 +1517,7 @@ QUERIES = {
     "extract_children": q_extract_children,
     "link_edges": q_link_edges,
     "crawl_pages_bfs": q_crawl_pages_bfs,
+    "crawl_pages_bfs_404": q_crawl_pages_bfs_404,
     "crawl_graph_bfs": q_crawl_graph_bfs,
     "js_need": q_js_need,
     "content_predicates": q_content_predicates,
@@ -1557,6 +1577,7 @@ ORACLE_SQL = {
     "extract_children": SQL_EXTRACT_CHILDREN,
     "link_edges": SQL_LINK_EDGES,
     "crawl_pages_bfs": SQL_CRAWL_PAGES_BFS,
+    "crawl_pages_bfs_404": SQL_CRAWL_PAGES_BFS,
     "crawl_graph_bfs": SQL_CRAWL_GRAPH_BFS,
     "js_need": SQL_JS_NEED,
     "content_predicates": SQL_CONTENT_PREDICATES,
