@@ -221,6 +221,9 @@ def run_bench() -> dict:
     timed("embedding_topk", lambda d: Q.q_embedding_topk(d))
     timed("upsert_latest_event", Q.q_upsert_latest_event)
     timed("log_durations", Q.q_log_durations)
+    timed("c4_line_filter", Q.q_c4_line_filter)
+    timed("vocab_stats", Q.q_vocab_stats)
+    timed("duplicate_ngrams", Q.q_duplicate_ngrams)
 
     result = {
         "metric": "crawl+extract seconds over synthetic pages corpus "
