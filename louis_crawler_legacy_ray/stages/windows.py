@@ -150,19 +150,15 @@ def sliding_window(
     def expand(batch: pa.Table) -> pa.Table:
         import numpy as np
 
+        n = batch.num_rows
         ts_us = pc.cast(batch[ts_col], pa.int64()).to_numpy()
         base = np.floor_divide(ts_us, hop_us)
-        # event belongs to windows base-0 .. base-(ratio-1)
-        win = np.repeat(base, ratio) - np.tile(
-            np.arange(ratio, dtype=np.int64), len(ts_us)
-        )
-        keys = np.repeat(np.asarray(batch[key_col].to_pylist(), dtype=object), ratio)
-        return pa.table(
-            {
-                "window_id": pa.array(win, pa.int64()),
-                key_col: pa.array(list(keys), pa.string()),
-            }
-        )
+        # event belongs to windows base-0 .. base-(ratio-1); the key
+        # column rides along via Arrow take (no Python materialization)
+        win = np.repeat(base, ratio) - np.tile(np.arange(ratio, dtype=np.int64), n)
+        idx = np.repeat(np.arange(n, dtype=np.int64), ratio)
+        taken = batch.select([key_col]).take(pa.array(idx, pa.int64()))
+        return taken.append_column("window_id", pa.array(win, pa.int64()))
 
     return (
         events.map_batches(expand, batch_format="pyarrow")
