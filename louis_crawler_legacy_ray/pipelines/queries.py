@@ -1293,6 +1293,60 @@ def q_frame_sample(sf_dir: str):
     return media.map_batches(FrameSampleStage, batch_format="pyarrow", concurrency=1)
 
 
+def q_price_quantiles(sf_dir: str):
+    """Exact distributed discrete quantiles (p25/p50/p75) of
+    l_extendedprice cents per returnflag via a (key, value) histogram
+    (stages/sketches.py:histogram_quantiles — the shuffle carries
+    distinct values per block, never raw rows)."""
+    from ..stages.sketches import histogram_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(b["l_extendedprice"], pa.scalar(100.0)),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table({"l_returnflag": b["l_returnflag"], "price_c": c})
+
+    out = histogram_quantiles(
+        li.map_batches(cents, batch_format="pyarrow"),
+        key_col="l_returnflag",
+        value_col="price_c",
+        qs=[0.25, 0.5, 0.75],
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "q_pct": b["q_pct"].cast(pa.int64()),
+                "price_c": b["price_c"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PRICE_QUANTILES = """
+WITH c AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem)
+SELECT l_returnflag, CAST(25 AS BIGINT) AS q_pct,
+       quantile_disc(price_c, 0.25) AS price_c FROM c GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, CAST(50 AS BIGINT), quantile_disc(price_c, 0.50)
+FROM c GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, CAST(75 AS BIGINT), quantile_disc(price_c, 0.75)
+FROM c GROUP BY l_returnflag
+"""
+
+
 def q_duplicate_ngrams(sf_dir: str):
     """Substring-level dup signal (Lee et al. 2022 at word granularity):
     5-grams shared by >= 2 docs with doc/occurrence counts
@@ -1532,6 +1586,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "duplicate_ngrams": q_duplicate_ngrams,
+    "price_quantiles": q_price_quantiles,
     "sliding_window": q_sliding_window,
     "interval_join": q_interval_join,
     "c4_line_filter": q_c4_line_filter,
@@ -1590,6 +1645,7 @@ ORACLE_SQL = {
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
     "duplicate_ngrams": SQL_DUPLICATE_NGRAMS,
+    "price_quantiles": SQL_PRICE_QUANTILES,
     "sliding_window": SQL_SLIDING_WINDOW,
     "interval_join": SQL_INTERVAL_JOIN,
     "c4_line_filter": SQL_C4_LINE_FILTER,

@@ -10,6 +10,7 @@ is what any other sketch (KLL, theta, CountMin) would reuse.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pyarrow as pa
@@ -95,3 +96,64 @@ def approx_distinct(
     for row in ds.map_batches(sketch_batch, batch_format="pyarrow").iter_rows():
         merged.merge(HLL.from_bytes(row["sketch"], p))
     return {"estimate": merged.estimate(), "p": p}
+
+
+def histogram_quantiles(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    qs: list[float],
+) -> ray.data.Dataset:
+    """EXACT distributed discrete quantiles per key via a value
+    histogram: each block pre-aggregates (key, value) -> count, one
+    groupby merges the histograms, and a per-key walk picks the element
+    at 0-based rank floor((n-1)*q) — DuckDB ``quantile_disc``
+    semantics, so the result is oracle-checkable (unlike mergeable
+    approximate sketches).
+
+    Scale assumption (documented): the number of DISTINCT values per
+    key bounds the per-key group, not the row count — right for
+    discretized/monotone-mapped values (cents, sizes, scores); for
+    unbounded continuous domains use a t-digest-style sketch instead."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = (
+            b.select([key_col, value_col])
+            .to_pandas()
+            .groupby([key_col, value_col], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, value_col])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col)
+        cum = g["n"].cumsum().to_numpy()
+        tot = int(cum[-1])
+        vals = g[value_col].to_numpy()
+        out_q, out_v = [], []
+        for q in qs:
+            # DuckDB quantile_disc: 1-based rank ceil(n*q) (probed
+            # across n=2..13; exact for binary-fraction q)
+            rank = max(1, math.ceil(tot * q))
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            out_q.append(int(round(q * 100)))
+            out_v.append(vals[idx])
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]] * len(qs),
+                "q_pct": out_q,
+                value_col: out_v,
+            }
+        )
+
+    return hist.groupby(key_col).map_groups(walk, batch_format="pandas")

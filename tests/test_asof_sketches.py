@@ -65,3 +65,29 @@ def test_approx_distinct_dataset(ray_session):
     ).repartition(4)
     res = approx_distinct(ds, "u", p=12)
     assert abs(res["estimate"] - 1000) / 1000 < 0.05
+
+
+def test_histogram_quantiles_matches_numpy(ray_session):
+    """Exact discrete quantiles vs a naive sorted-rank computation,
+    including the ceil(n*q) DuckDB rank convention on even sizes."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from louis_crawler_legacy_ray.stages.sketches import histogram_quantiles
+
+    rng = np.random.RandomState(7)
+    keys = rng.choice(["a", "b"], size=400)
+    vals = rng.randint(0, 50, size=400)  # heavy ties - histogram path
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.int64())})
+    ).repartition(8)
+    out = histogram_quantiles(ds, "k", "v", qs=[0.25, 0.5, 0.75]).to_pandas()
+    for k in ["a", "b"]:
+        sv = np.sort(vals[keys == k])
+        for q in [0.25, 0.5, 0.75]:
+            expect = sv[max(1, math.ceil(len(sv) * q)) - 1]
+            got = out[(out["k"] == k) & (out["q_pct"] == int(q * 100))]["v"].iloc[0]
+            assert got == expect, (k, q, got, expect)
