@@ -1293,6 +1293,64 @@ def q_frame_sample(sf_dir: str):
     return media.map_batches(FrameSampleStage, batch_format="pyarrow", concurrency=1)
 
 
+def q_top_orders_per_customer(sf_dir: str):
+    """Group-wise top-k: each customer's 3 priciest orders with a
+    1-based rank (stages/sample.py:grouped_topk — per-batch combiner
+    keeps k per key before the shuffle)."""
+    from ..stages.sample import grouped_topk
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(b["o_totalprice"], pa.scalar(100.0)), pa.scalar(0.5)
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "price_c": c,
+            }
+        )
+
+    out = grouped_topk(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        key_col="o_custkey",
+        order_col="price_c",
+        k=3,
+        tiebreak_col="o_orderkey",
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "price_c": b["price_c"].cast(pa.int64()),
+                "rank": b["rank"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, price_c, rank FROM (
+  SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+         CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+         ) AS rank
+  FROM orders) WHERE rank <= 3
+"""
+
+
 def q_price_quantiles(sf_dir: str):
     """Exact distributed discrete quantiles (p25/p50/p75) of
     l_extendedprice cents per returnflag via a (key, value) histogram
@@ -1587,6 +1645,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "duplicate_ngrams": q_duplicate_ngrams,
     "price_quantiles": q_price_quantiles,
+    "top_orders_per_customer": q_top_orders_per_customer,
     "sliding_window": q_sliding_window,
     "interval_join": q_interval_join,
     "c4_line_filter": q_c4_line_filter,
@@ -1646,6 +1705,7 @@ ORACLE_SQL = {
     "fingerprints": SQL_FINGERPRINTS,
     "duplicate_ngrams": SQL_DUPLICATE_NGRAMS,
     "price_quantiles": SQL_PRICE_QUANTILES,
+    "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "sliding_window": SQL_SLIDING_WINDOW,
     "interval_join": SQL_INTERVAL_JOIN,
     "c4_line_filter": SQL_C4_LINE_FILTER,

@@ -61,3 +61,40 @@ def stratified_sample(
         .groupby(key_col)
         .map_groups(final_topk, batch_format="pandas")
     )
+
+
+def grouped_topk(
+    ds,
+    key_col: str,
+    order_col: str,
+    k: int,
+    tiebreak_col: str,
+    descending: bool = True,
+):
+    """Top-k rows per key by ``order_col`` (ties broken by
+    ``tiebreak_col`` ascending), with a 1-based ``rank`` column.
+
+    Same combiner shape as :func:`stratified_sample`: each batch keeps
+    only its own k best per key before the shuffle, so the groupby
+    carries at most k x keys x blocks rows."""
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            [order_col, tiebreak_col], ascending=[not descending, True]
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = best(df).groupby(key_col, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = best(g).head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(final, batch_format="pandas")
+    )

@@ -107,3 +107,39 @@ def test_sliding_window_membership(ray_session):
     out = sliding_window(ev, window_us=400, hop_us=100).to_pandas()
     assert sorted(out["window_id"]) == [7, 8, 9, 10]
     assert (out["n_events"] == 1).all()
+
+
+def test_grouped_topk_combiner_matches_single_block(ray_session):
+    """grouped_topk must be invariant to block layout (the per-batch
+    combiner may not change the global answer) and rank ties by the
+    tiebreak column ascending."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from louis_crawler_legacy_ray.stages.sample import grouped_topk
+
+    rng = np.random.RandomState(3)
+    t = pa.table(
+        {
+            "k": pa.array(rng.randint(0, 5, 300), pa.int64()),
+            "id": pa.array(np.arange(300), pa.int64()),
+            "v": pa.array(rng.randint(0, 10, 300), pa.int64()),  # many ties
+        }
+    )
+
+    def run(n_blocks):
+        out = grouped_topk(
+            ray.data.from_arrow(t).repartition(n_blocks),
+            key_col="k", order_col="v", k=3, tiebreak_col="id",
+        ).to_pandas()
+        return sorted(map(tuple, out[["k", "id", "v", "rank"]].itertuples(index=False)))
+
+    one, many = run(1), run(12)
+    assert one == many
+    # rank 1 of each key is the max v with the smallest id among maxes
+    import pandas as pd
+    df = t.to_pandas()
+    for k, g in df.groupby("k"):
+        top = g.sort_values(["v", "id"], ascending=[False, True]).iloc[0]
+        assert (k, top["id"], top["v"], 1) in one
