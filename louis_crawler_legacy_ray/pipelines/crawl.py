@@ -107,20 +107,61 @@ def _group_by_shard(urls: list[str], n_shards: int, hot_host_salt: dict):
 
 
 class Frontier:
-    """Driver-side handle over the shard actors."""
+    """Driver-side handle over the shard actors.
+
+    Shard actors are POOLED per n_shards across crawls in this process:
+    a fresh actor process pays ~0.5 s of spawn + Ray's one-time
+    Arrow-serializer setup, which otherwise lands inside round 0 of
+    every crawl. Reuse goes through ``FrontierShard.reset`` (full state
+    rebuild with the new crawl's config) — on a long-lived cluster this
+    is simply the frontier service staying up between jobs.
+
+    The pool holds ONE entry (the last n_shards used): pooled actors
+    keep their CPU reservations while idle, and letting pools for
+    every n_shards accumulate starved a 4-CPU test cluster of data-
+    plane CPUs.  A crawl with a different n_shards kills the old
+    actors first."""
+
+    _POOL: dict[int, list] = {}
 
     def __init__(self, cfg: CrawlConfig):
         self.cfg = cfg
-        # reserve at most a quarter of the cluster for the state
-        # service in total, and nothing on tiny clusters (8 shards at
-        # 0.25 CPU each once consumed an entire 2-CPU cluster and
-        # deadlocked the data plane)
-        avail = ray.cluster_resources().get("CPU", 8)
-        per_shard_cpu = min(0.25, (avail * 0.25) / max(1, cfg.n_shards))
-        if avail < 2 * cfg.n_shards * 0.25:
-            per_shard_cpu = 0
+        for other_n, actors in list(Frontier._POOL.items()):
+            if other_n != cfg.n_shards:
+                for a in actors:
+                    try:
+                        ray.kill(a)
+                    except Exception:
+                        pass
+                Frontier._POOL.pop(other_n, None)
+        pooled = Frontier._POOL.get(cfg.n_shards)
+        if pooled is not None:
+            try:
+                ray.get(
+                    [
+                        s.reset.remote(
+                            i,
+                            mode=cfg.mode,
+                            robots_txt_by_host=cfg.robots_txt_by_host,
+                            obey_robots=cfg.obey_robots,
+                        )
+                        for i, s in enumerate(pooled)
+                    ]
+                )
+                self.shards = pooled
+                return
+            except Exception:
+                # stale handles (e.g. Ray was restarted in-process)
+                Frontier._POOL.pop(cfg.n_shards, None)
+        # num_cpus=0: the shard actors are a bursty state service
+        # (short Arrow take/record calls), not a compute stage.  A CPU
+        # reservation here starves the data plane twice over — 8×0.25
+        # once consumed an entire 2-CPU cluster, and POOLED actors
+        # would hold the reservation even while idle between crawls.
+        # Oversubscribing a handful of lightweight actors is the
+        # standard Ray pattern for this.
         self.shards = [
-            FrontierShard.options(num_cpus=per_shard_cpu).remote(
+            FrontierShard.options(num_cpus=0).remote(
                 i,
                 mode=cfg.mode,
                 robots_txt_by_host=cfg.robots_txt_by_host,
@@ -128,8 +169,10 @@ class Frontier:
             )
             for i in range(cfg.n_shards)
         ]
-        # eager ping so actor startup happens here, not inside round 0
-        ray.get([s.counts.remote() for s in self.shards])
+        # eager Arrow-returning ping: actor startup AND the per-process
+        # Arrow-serializer warmup both happen here, not in round 0
+        ray.get([s.warm.remote() for s in self.shards])
+        Frontier._POOL[cfg.n_shards] = self.shards
 
     def enqueue_table(self, urls: list[str], depths: list[int]) -> int:
         """Driver-side enqueue (seeds / small candidate sets)."""

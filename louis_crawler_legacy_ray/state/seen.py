@@ -91,6 +91,20 @@ class FrontierShard:
         robots_txt_by_host: dict | None = None,
         obey_robots: bool = False,
     ):
+        self.reset(shard_id, mode, bloom_bits, robots_txt_by_host, obey_robots)
+
+    def reset(
+        self,
+        shard_id: int,
+        mode: str = "exact",
+        bloom_bits: int = 1 << 24,
+        robots_txt_by_host: dict | None = None,
+        obey_robots: bool = False,
+    ) -> None:
+        """Full re-initialization — lets a crawl REUSE a pooled shard
+        actor from a previous crawl (actor spawn + Ray's one-time
+        Arrow-serializer warmup cost ~0.5 s per fresh process, paid in
+        round 0 otherwise). Every field is rebuilt; nothing survives."""
         assert mode in ("exact", "approx")
         from .politeness import RobotsCache
 
@@ -113,6 +127,12 @@ class FrontierShard:
         # of shipping control rows through itself
         self.recv_fetched = 0
         self.recv_candidates = 0
+
+    def warm(self) -> pa.Table:
+        """Return an empty Arrow table: forces Ray's one-time
+        Arrow-serialization setup in this worker process during actor
+        creation instead of inside the first crawl round."""
+        return pa.table({"url": pa.array([], pa.string())})
 
     # -- ingest ------------------------------------------------------
     def enqueue(self, urls: list[str], depths: list[int], hosts: list[str]) -> int:
