@@ -1603,6 +1603,200 @@ WHERE doc_id = cluster_id""",
 )
 
 
+DECONTAM_N = 3           # word n-gram width of the overlap test
+DECONTAM_BENCH_MOD = 29  # doc_id % MOD == 0 plays the benchmark/test set
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3-style n-gram overlap): docs
+    sharing any word 3-gram with the synthetic benchmark subset
+    (doc_id % 29 == 0) are dropped; survivors listed. The benchmark
+    n-gram set is broadcast once (test sets are small); one corpus
+    pass, no shuffle (stages/decontam.py)."""
+    from ..stages.decontam import benchmark_ngrams, decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+
+    def _split(batch: pa.Table, keep_bench: bool) -> pa.Table:
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy()
+        m = pa.array((ids % DECONTAM_BENCH_MOD) == 0)
+        return batch.filter(m if keep_bench else pc.invert(m))
+
+    bench = docs.map_batches(
+        lambda b: _split(b, True), batch_format="pyarrow"
+    )
+    grams = benchmark_ngrams(bench, DECONTAM_N)
+    rest = docs.map_batches(
+        lambda b: _split(b, False), batch_format="pyarrow"
+    )
+    out = decontaminate(rest, grams, DECONTAM_N)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "lang": b["lang"],
+                "n_chars": b["n_chars"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+         array_to_string(list_slice(w, i, i + 2), ' ') AS g
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+        FROM words)),
+bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang,
+       CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id % 29 <> 0
+  AND NOT EXISTS (
+    SELECT 1 FROM grams gr JOIN bench b ON gr.g = b.g
+    WHERE gr.doc_id = d.doc_id)
+"""
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample: 20 orders drawn by the
+    exponential-race key hash(orderkey)/totalprice — heavier orders
+    win more often, result independent of block layout
+    (stages/sample.py weighted_sample combiner)."""
+    from ..stages.sample import weighted_sample
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    out = weighted_sample(orders, id_col="o_orderkey", weight_col="o_totalprice", k=20)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+                "price_c": pc.round(
+                    pc.multiply(b["o_totalprice"], pa.scalar(100.0))
+                ).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+FROM orders
+ORDER BY (CAST((o_orderkey * 2654435761) % 4294967296 AS DOUBLE)
+          / o_totalprice) ASC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label mean embedding, unnested to (label, dim, centroid, n)
+    scalar rows — the M-step of distributed k-means / the class-
+    centroid feature of SemDeDup-style curation. Shuffle carries
+    labels x dims x blocks scalars, never vectors
+    (stages/cluster.py label_centroids)."""
+    from ..stages.cluster import label_centroids
+
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+    return label_centroids(emb)
+
+
+SQL_LABEL_CENTROIDS = """
+WITH u AS (
+  SELECT label,
+         unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         unnest(embedding) AS e
+  FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       round(avg(CAST(e AS DOUBLE)), 6) AS centroid,
+       CAST(count(*) AS BIGINT) AS n
+FROM u GROUP BY label, dim
+"""
+
+
+KMEANS_N_CENTROIDS = 8
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Nearest-centroid assignment (k-means E-step / SemDeDup cluster
+    routing): centroids are the embeddings of vec_id 0..7, every
+    vector goes to its highest-cosine centroid (ties to the smaller
+    id). Centroid matrix broadcast once; one vectorized matmul pass
+    (stages/cluster.py assign_nearest_centroid)."""
+    import numpy as np
+
+    from ..stages.cluster import assign_nearest_centroid
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seeds = emb.map_batches(
+        lambda b: b.filter(
+            pc.less(b["vec_id"], pa.scalar(KMEANS_N_CENTROIDS))
+        ),
+        batch_format="pyarrow",
+    )
+    seed_rows = sorted(seeds.take_all(), key=lambda r: r["vec_id"])
+    centroids = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+    ids = [int(r["vec_id"]) for r in seed_rows]
+    return assign_nearest_centroid(emb, centroids, ids)
+
+
+SQL_KMEANS_ASSIGN = """
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(e.embedding, c.ce) AS sim
+  FROM embeddings e CROSS JOIN c),
+r AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+  FROM s)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS centroid_id
+FROM r WHERE rn = 1
+"""
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-3 salient terms per document by tf * ln(N/df) — document
+    frequency from per-block combiner partials, vocabulary-sized idf
+    table broadcast once, scoring in one stateless corpus pass
+    (stages/textstats.py tfidf_topk)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ts.tfidf_topk(docs, k=3)
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH wt AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM wt GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM wt GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS s
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rank
+  FROM scored)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS BIGINT) AS rank, term
+FROM ranked WHERE rank <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1652,6 +1846,12 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "vocab_stats": q_vocab_stats,
     "dedup_survivors": q_dedup_survivors,
+    "decontaminate": q_decontaminate,
+    "weighted_sample": q_weighted_sample,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    # vector clustering
+    "label_centroids": q_label_centroids,
+    "kmeans_assign": q_kmeans_assign,
     # dedup / similarity
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1712,6 +1912,11 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "vocab_stats": SQL_VOCAB_STATS,
     "dedup_survivors": SQL_DEDUP_SURVIVORS,
+    "decontaminate": SQL_DECONTAMINATE,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "label_centroids": SQL_LABEL_CENTROIDS,
+    "kmeans_assign": SQL_KMEANS_ASSIGN,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,

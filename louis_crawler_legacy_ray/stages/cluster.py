@@ -1,0 +1,122 @@
+"""Vector-column aggregates and clustering assignment over an
+embedding table — the building blocks of semantic curation pipelines
+(SemDeDup-style cluster-then-prune, k-means E-steps, per-class
+centroid features).
+
+Scale shapes:
+
+* :func:`label_centroids` — per-key mean vector. Each batch reduces to
+  one (key, sum-vector, count) partial per key, exploded to scalar
+  (key, dim, partial_sum, n) rows so the groupby shuffle carries
+  ``keys x dim x blocks`` scalar rows — never the vectors themselves.
+  The final divide runs on the aggregated (tiny) table.
+* :func:`assign_nearest_centroid` — one corpus pass against a
+  broadcast centroid matrix (``ray.put`` once, numpy matmul per
+  batch). No shuffle; the E-step of distributed k-means, also usable
+  as the IVF list assigner.
+
+Float discipline: sums accumulate in float64; the mean is rounded to 6
+decimals so the DuckDB oracle (sequential summation) and the parallel
+Ray sum agree bit-for-bit after rounding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _vecs(batch: pa.Table, vec_col: str) -> np.ndarray:
+    return np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+
+
+def label_centroids(
+    ds: ray.data.Dataset,
+    key_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """(key, dim, centroid, n): the mean embedding per key, unnested to
+    one row per dimension."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key_col].to_pylist())
+        vecs = _vecs(batch, vec_col)
+        uniq = np.unique(keys)
+        out_key, out_dim, out_sum, out_n = [], [], [], []
+        dims = np.arange(vecs.shape[1], dtype=np.int64)
+        for k in uniq:
+            sel = vecs[keys == k]
+            s = sel.sum(axis=0)
+            out_key.extend([int(k)] * len(dims))
+            out_dim.extend(dims.tolist())
+            out_sum.extend(s.tolist())
+            out_n.extend([len(sel)] * len(dims))
+        return pa.table(
+            {
+                "label": pa.array(out_key, pa.int64()),
+                "dim": pa.array(out_dim, pa.int64()),
+                "part_sum": pa.array(out_sum, pa.float64()),
+                "part_n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(
+            Sum("part_sum", alias_name="vsum"), Sum("part_n", alias_name="vn")
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        mean = pc.divide(b["vsum"], pc.cast(b["vn"], pa.float64()))
+        return pa.table(
+            {
+                "label": b["label"].cast(pa.int64()),
+                "dim": b["dim"].cast(pa.int64()),
+                "centroid": pc.round(mean, ndigits=round_to),
+                "n": b["vn"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def assign_nearest_centroid(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    centroid_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """(id, centroid_id): each vector's nearest centroid by cosine,
+    ties to the smaller centroid id. Centroid matrix is broadcast via
+    ``ray.put``; assignment is one vectorized matmul per batch."""
+    norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cref = ray.put(centroids.astype(np.float64) / norms)
+    ids_arr = np.asarray(centroid_ids, dtype=np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cn = ray.get(cref)
+        vecs = _vecs(batch, vec_col)
+        vn = np.linalg.norm(vecs, axis=1, keepdims=True)
+        vn[vn == 0] = 1.0
+        sims = (vecs / vn) @ cn.T  # (n, n_centroids)
+        # stable argmax with tie -> smaller centroid id: centroid_ids
+        # are sorted ascending, np.argmax takes the first maximum
+        order = np.argsort(ids_arr)
+        best = sims[:, order].argmax(axis=1)
+        return pa.table(
+            {
+                "vec_id": batch[id_col].cast(pa.int64()),
+                "centroid_id": pa.array(ids_arr[order][best], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

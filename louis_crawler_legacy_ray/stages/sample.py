@@ -98,3 +98,42 @@ def grouped_topk(
         .groupby(key_col)
         .map_groups(final, batch_format="pandas")
     )
+
+
+def weighted_sample(
+    ds,
+    id_col: str,
+    weight_col: str,
+    k: int,
+):
+    """Deterministic weighted sample without replacement: the k rows
+    with the smallest race key ``hash(id) / weight`` (an exponential-
+    race selector — heavier rows draw smaller keys more often), ties
+    by id. Like :func:`stratified_sample` the key is a pure function
+    of the data, so the sample is independent of block layout and
+    worker count, and the DuckDB oracle recomputes the same total
+    order (integer-hash -> IEEE double division is exactly rounded in
+    both engines).
+
+    Combiner shape: per-batch k smallest keys, then one tiny merge of
+    the k x blocks partials.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        w = b[weight_col].to_numpy().astype(np.float64)
+        key = sample_hash(ids).astype(np.float64) / w
+        order = np.lexsort((ids, key))[:k]
+        t = b.take(pa.array(order))
+        return t.append_column("_race_key", pa.array(key[order], pa.float64()))
+
+    merged = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_race_key", id_col]).head(k)
+        return df.drop(columns=["_race_key"]).reset_index(drop=True)
+
+    # partials are k x blocks rows -> single-group final merge
+    return merged.repartition(1).map_batches(
+        final, batch_format="pandas"
+    )

@@ -227,3 +227,66 @@ def vocab_partial_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "df": pa.array([df[k] for k in keys], pa.int64()),
         }
     )
+
+
+def tfidf_topk(
+    ds,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """(doc_id, rank, term): each document's top-k terms by
+    tf * ln(N/df), ties (score desc, term asc) — the classic salient-
+    term extractor of curation/indexing pipelines.
+
+    Scale shape: document frequency comes from the same pre-aggregated
+    per-block partials as vocab_stats (the shuffle carries one row per
+    distinct term per block), and the resulting idf table — vocabulary-
+    sized, millions of rows at web scale, not corpus-sized — is
+    broadcast once via ray.put; the scoring pass is then a single
+    stateless map over the corpus. The per-doc top-k never leaves the
+    worker.
+    """
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    n_docs = ds.count()
+    df_tbl = (
+        ds.map_batches(vocab_partial_batch, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    idf = {
+        r["term"]: math.log(n_docs / r["df"])
+        for b in df_tbl.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    idf_ref = ray.put(idf)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        idf_map = ray.get(idf_ref)
+        out_id, out_rank, out_term = [], [], []
+        ids = batch[id_col].to_pylist()
+        for i, t in zip(ids, batch[text_col].to_pylist()):
+            tf = Counter(_VOCAB_RE.findall((t or "").lower()))
+            scored = sorted(
+                ((term, cnt * idf_map[term]) for term, cnt in tf.items()),
+                key=lambda ts_: (-ts_[1], ts_[0]),
+            )[:k]
+            for rank, (term, _score) in enumerate(scored, 1):
+                out_id.append(i)
+                out_rank.append(rank)
+                out_term.append(term)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "rank": pa.array(out_rank, pa.int64()),
+                "term": pa.array(out_term, pa.string()),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow")
