@@ -1797,6 +1797,208 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_pii_redact(sf_dir: str):
+    """PII scrub over the events props column: email + digit-run
+    redaction as two vectorized RE2 kernel passes
+    (stages/textstats.py pii_redact_batch). Embarrassingly parallel —
+    no shuffle, column-pruned read."""
+    return _read(sf_dir, "events", ["event_id", "props"]).map_batches(
+        ts.pii_redact_batch, batch_format="pyarrow"
+    )
+
+
+SQL_PII_REDACT = rf"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       regexp_replace(
+         regexp_replace(props, '{ts.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+         '{ts.NUM_PATTERN}', '<NUM>', 'g') AS props_clean
+FROM events
+"""
+
+
+def q_repetition_filter(sf_dir: str):
+    """Gopher-style repetition signal: duplicate-word fraction per doc
+    with a keep decision at tau=0.5 (stages/textstats.py
+    repetition_batch). Stateless map_batches."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ts.repetition_batch, batch_format="pyarrow"
+    )
+
+
+SQL_REPETITION_FILTER = rf"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_extract_all(text, '{ts.WORD_PATTERN}') AS ws
+  FROM documents),
+m AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS word_count,
+         CAST(len(list_distinct(ws)) AS BIGINT) AS distinct_words
+  FROM w)
+SELECT doc_id, word_count, distinct_words,
+       CASE WHEN word_count = 0 THEN 0.0
+            ELSE 1.0 - CAST(distinct_words AS DOUBLE) / CAST(word_count AS DOUBLE)
+       END AS dup_frac,
+       CASE WHEN word_count = 0 THEN 0.0
+            ELSE 1.0 - CAST(distinct_words AS DOUBLE) / CAST(word_count AS DOUBLE)
+       END <= {ts.REPETITION_TAU} AS keep
+FROM m
+"""
+
+
+TOKEN_BUDGET = 10_000
+PACK_CAPACITY = 512
+SHUFFLE_SEED = 42
+
+
+def _doc_token_counts(sf_dir: str) -> ray.data.Dataset:
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(ts.token_count_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "token_count"])
+    )
+
+
+def q_token_budget_select(sf_dir: str):
+    """Select documents in doc_id order until a global token budget is
+    exhausted — the 'cut the corpus at N tokens' curation step. Global
+    cumulative sum via the two-phase distributed scan
+    (stages/scan.py prefix_sum: per-bucket totals -> O(buckets) driver
+    offsets -> within-bucket vectorized cumsum)."""
+    from ..stages.scan import prefix_sum, range_bucket
+
+    scanned = prefix_sum(
+        _doc_token_counts(sf_dir), ["doc_id"], "token_count",
+        range_bucket("doc_id", 64),
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less_equal(b["prefix_incl"], pa.scalar(TOKEN_BUDGET)))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "token_count": t["token_count"].cast(pa.int64()),
+                "cum_tokens": t["prefix_incl"].cast(pa.int64()),
+            }
+        )
+
+    return scanned.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_TOKEN_BUDGET_SELECT = rf"""
+WITH tc AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(regexp_extract_all(text, '{ts.TOKEN_PATTERN}')) AS BIGINT) AS token_count
+  FROM documents),
+s AS (
+  SELECT doc_id, token_count,
+         CAST(SUM(token_count) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM tc)
+SELECT doc_id, token_count, cum_tokens FROM s WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
+def q_pack_sequences(sf_dir: str):
+    """GPT-style concat-and-split sequence packing: documents are
+    concatenated in doc_id order and split into fixed 512-token bins
+    (documents may span bins). Each doc's bin span is pure arithmetic
+    on its exclusive/inclusive token prefix sums — the same distributed
+    scan, no sequential pass."""
+    from ..stages.scan import prefix_sum, range_bucket
+
+    scanned = prefix_sum(
+        _doc_token_counts(sf_dir), ["doc_id"], "token_count",
+        range_bucket("doc_id", 64),
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["token_count"], pa.scalar(0)))
+        excl = t["prefix_excl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        incl = t["prefix_incl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "token_count": t["token_count"].cast(pa.int64()),
+                "bin_start": pa.array(excl // PACK_CAPACITY, pa.int64()),
+                "bin_end": pa.array((incl - 1) // PACK_CAPACITY, pa.int64()),
+                "bin_offset": pa.array(excl % PACK_CAPACITY, pa.int64()),
+            }
+        )
+
+    return scanned.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_PACK_SEQUENCES = rf"""
+WITH tc AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(regexp_extract_all(text, '{ts.TOKEN_PATTERN}')) AS BIGINT) AS token_count
+  FROM documents),
+s AS (
+  SELECT doc_id, token_count,
+         CAST(SUM(token_count) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS incl
+  FROM tc)
+SELECT doc_id, token_count,
+       (incl - token_count) // {PACK_CAPACITY} AS bin_start,
+       (incl - 1) // {PACK_CAPACITY} AS bin_end,
+       (incl - token_count) % {PACK_CAPACITY} AS bin_offset
+FROM s WHERE token_count > 0
+"""
+
+
+def q_shuffle_rank(sf_dir: str):
+    """Deterministic seeded corpus shuffle with EXACT global positions
+    (resumable training-data ordering): shuffle_key = md5(seed:doc_id),
+    rank = count of docs with a smaller key — computed as a prefix
+    count with hex-prefix range buckets over the key (stages/scan.py).
+    No global sort materialization; driver holds 256 offsets."""
+    from ..stages.scan import hex_prefix_bucket, prefix_sum
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        keys = [
+            hashlib.md5(f"{SHUFFLE_SEED}:{i}".encode()).hexdigest() for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "shuffle_key": pa.array(keys, pa.string()),
+                "one": pa.array([1] * len(ids), pa.int64()),
+            }
+        )
+
+    ranked = prefix_sum(
+        docs.map_batches(keyed, batch_format="pyarrow"),
+        ["shuffle_key"], "one", hex_prefix_bucket("shuffle_key"),
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "shuffle_key": b["shuffle_key"],
+                "shuffle_rank": b["prefix_excl"].cast(pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_SHUFFLE_RANK = f"""
+WITH k AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents)
+SELECT doc_id, shuffle_key,
+       CAST(row_number() OVER (ORDER BY shuffle_key) - 1 AS BIGINT) AS shuffle_rank
+FROM k
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1852,6 +2054,11 @@ QUERIES = {
     # vector clustering
     "label_centroids": q_label_centroids,
     "kmeans_assign": q_kmeans_assign,
+    "pii_redact": q_pii_redact,
+    "repetition_filter": q_repetition_filter,
+    "token_budget_select": q_token_budget_select,
+    "pack_sequences": q_pack_sequences,
+    "shuffle_rank": q_shuffle_rank,
     # dedup / similarity
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1917,6 +2124,11 @@ ORACLE_SQL = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
+    "pii_redact": SQL_PII_REDACT,
+    "repetition_filter": SQL_REPETITION_FILTER,
+    "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "shuffle_rank": SQL_SHUFFLE_RANK,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,

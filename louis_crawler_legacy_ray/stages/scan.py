@@ -1,0 +1,99 @@
+"""Distributed prefix scan (cumulative sum over a global order).
+
+The classic two-phase parallel scan expressed on Ray Data:
+
+1. bucket every row by an ORDER-PRESERVING bucket key (range buckets
+   over the order column — bucket keys sort in the same order as the
+   rows they contain);
+2. one small ``groupby(bucket).sum`` whose result (one row PER BUCKET,
+   not per input row) is pulled to the driver and turned into exclusive
+   per-bucket offsets;
+3. one ``groupby(bucket).map_groups`` that sorts each bucket locally
+   and emits ``offset[bucket] + local_cumsum``.
+
+Driver-side state is O(n_buckets) — a few thousand scalars at 100 TB —
+never O(rows).  The within-bucket pass is a single vectorized
+``np.cumsum``.  This primitive powers the training-data curation ops
+that need a global sequential semantics without sequential execution:
+token-budget corpus selection, GPT-style concat-and-split sequence
+packing, and exact global ranks for a deterministic (seeded) corpus
+shuffle.  The reference engine has no scan operator; these extend its
+inventory per the task brief (large-scale training-data pipeline ops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+BUCKET_COL = "_scan_bucket"
+
+
+def prefix_sum(
+    ds: ray.data.Dataset,
+    order_cols: list[str],
+    val_col: str,
+    bucket_fn: Callable[[pa.Table], pa.Array],
+    out_excl: str = "prefix_excl",
+    out_incl: str = "prefix_incl",
+) -> ray.data.Dataset:
+    """Attach exclusive/inclusive running sums of ``val_col`` in the
+    global order defined by ``order_cols``.
+
+    ``bucket_fn(batch) -> int64 array`` must be order-preserving:
+    for rows a, b with order(a) < order(b), bucket(a) <= bucket(b).
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(BUCKET_COL, bucket_fn(batch))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    # phase 1: per-bucket totals -> driver (O(n_buckets) rows only)
+    totals = bucketed.groupby(BUCKET_COL).aggregate(
+        Sum(val_col, alias_name="_bsum")
+    )
+    rows = sorted(totals.take_all(), key=lambda r: r[BUCKET_COL])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in rows:
+        offsets[r[BUCKET_COL]] = acc
+        acc += int(r["_bsum"])
+
+    # phase 2: within-bucket vectorized cumsum + broadcast offset
+    def scan_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        vals = g[val_col].to_numpy(dtype=np.int64)
+        incl = np.cumsum(vals) + offsets[int(g[BUCKET_COL].iloc[0])]
+        g[out_incl] = incl
+        g[out_excl] = incl - vals
+        return g.drop(columns=[BUCKET_COL])
+
+    return bucketed.groupby(BUCKET_COL).map_groups(scan_group, batch_format="pandas")
+
+
+def range_bucket(col: str, width: int) -> Callable[[pa.Table], pa.Array]:
+    """Order-preserving buckets for an int64 order column: id // width."""
+
+    def fn(batch: pa.Table) -> pa.Array:
+        ids = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.array(ids // width, pa.int64())
+
+    return fn
+
+
+def hex_prefix_bucket(col: str, chars: int = 2) -> Callable[[pa.Table], pa.Array]:
+    """Order-preserving buckets for a lowercase-hex string order column
+    (e.g. an md5 shuffle key): the first ``chars`` hex digits as an int
+    — 256 buckets for chars=2, uniform by construction of the hash."""
+
+    def fn(batch: pa.Table) -> pa.Array:
+        keys = batch[col].to_pylist()
+        return pa.array([int(k[:chars], 16) for k in keys], pa.int64())
+
+    return fn

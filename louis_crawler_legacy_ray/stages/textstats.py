@@ -290,3 +290,60 @@ def tfidf_topk(
         )
 
     return ds.map_batches(topk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- PII scrub
+# Vectorized PII redaction: pyarrow.compute.replace_substring_regex is
+# RE2, DuckDB's regexp_replace(..., 'g') is RE2 — identical dialect, so
+# the oracle is exact. Email first, then digit runs (order matters for
+# digits inside addresses); both sides apply the same order.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+NUM_PATTERN = r"[0-9]+"
+
+
+def pii_redact_batch(
+    batch: pa.Table, text_col: str = "props", id_col: str = "event_id"
+) -> pa.Table:
+    """Scrub emails and digit runs from a text column (zero-copy in,
+    two RE2 kernel passes, no Python per-row loop)."""
+    import pyarrow.compute as _pc
+
+    s = batch[text_col].cast(pa.string())
+    s = _pc.replace_substring_regex(s, EMAIL_PATTERN, "<EMAIL>")
+    s = _pc.replace_substring_regex(s, NUM_PATTERN, "<NUM>")
+    return pa.table(
+        {id_col: batch[id_col].cast(pa.int64()), "props_clean": s}
+    )
+
+
+# ------------------------------------------------------- repetition filter
+# Gopher-style (Rae et al. 2021, Table A1) repetition signal, reduced
+# to the SQL-expressible core: the duplicate-word fraction
+# 1 - distinct_words/word_count. One IEEE division + one subtraction of
+# exact integers — bit-identical between numpy/Python and DuckDB.
+REPETITION_TAU = 0.5
+
+
+def repetition_batch(
+    batch: pa.Table, text_col: str = "text", tau: float = REPETITION_TAU
+) -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    n_words: list[int] = []
+    n_distinct: list[int] = []
+    fracs: list[float] = []
+    for t in texts:
+        ws = _WORD_RE.findall(t or "")
+        n = len(ws)
+        d = len(set(ws))
+        n_words.append(n)
+        n_distinct.append(d)
+        fracs.append(0.0 if n == 0 else 1.0 - d / n)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "word_count": pa.array(n_words, pa.int64()),
+            "distinct_words": pa.array(n_distinct, pa.int64()),
+            "dup_frac": pa.array(fracs, pa.float64()),
+            "keep": pa.array([f <= tau for f in fracs], pa.bool_()),
+        }
+    )
