@@ -1999,6 +1999,138 @@ FROM k
 """
 
 
+PAGERANK_ITERS = 3
+_PR_SCALE = 10**12
+_PR_BASE = (_PR_SCALE * 15) // 100
+
+
+def q_pagerank(sf_dir: str):
+    """Distributed PageRank (3 synchronous iterations, damping 0.85)
+    over the REAL extracted link graph — pages corpus -> byte-identity
+    extract kernel -> link edges -> stages/graph.py pagerank. Exact
+    int64 arithmetic (scale 1e12) so the result is bit-identical to
+    the unrolled-SQL oracle regardless of block layout or summation
+    order. The oracle derives the same edges arithmetically
+    (doc i -> (2i+1)%n, (2i+2)%n), so a regression in extraction,
+    edge dedup, the partitioned join, or the rank update all surface
+    here."""
+    from ..stages.graph import pagerank
+    from .ingest import extract_edges
+
+    items = _extracted_items(sf_dir)
+    edges_u = extract_edges(items.select_columns(["url", "depth", "links"]))
+
+    def to_ids(b: pa.Table) -> pa.Table:
+        if "src" not in b.column_names:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "src": pa.array(
+                    [_doc_id_from_url(u) for u in b["src"].to_pylist()], pa.int64()
+                ),
+                "dst": pa.array(
+                    [_doc_id_from_url(u) for u in b["dst"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    edges = edges_u.map_batches(to_ids, batch_format="pyarrow")
+    nodes = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda b: pa.table({"v": b["doc_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    ranks = pagerank(edges, nodes, iterations=PAGERANK_ITERS)
+    return ranks.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["v"].cast(pa.int64()), "rank_scaled": b["r"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _pr_iter_sql(i: int) -> str:
+    return f"""
+a{i} AS (
+  SELECT e.dst AS v, SUM(r.r // o.d) AS s
+  FROM e JOIN r{i - 1} r ON r.v = e.src JOIN outd o ON o.src = e.src
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT n.v,
+         CAST({_PR_BASE} + (85 * COALESCE(a.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN a{i} a ON a.v = n.v)"""
+
+
+SQL_PAGERANK = (
+    f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS v FROM documents),
+e AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CAST((2 * doc_id + 1) % nn.n AS BIGINT) AS dst FROM documents, nn
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT),
+         CAST((2 * doc_id + 2) % nn.n AS BIGINT) FROM documents, nn),
+outd AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+r0 AS (SELECT v, CAST({_PR_SCALE} AS BIGINT) AS r FROM nodes),"""
+    + ",".join(_pr_iter_sql(i) for i in range(1, PAGERANK_ITERS + 1))
+    + f"""
+SELECT v AS doc_id, r AS rank_scaled FROM r{PAGERANK_ITERS}
+"""
+)
+
+
+BLOOM_PRICE_MIN = 490_000.0
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-filter semi-join scale path (stages/bloom.py): lineitem
+    rows for top-price orders. The distributed bloom build + vectorized
+    probe prunes ~98% of lineitem before the exact PARTITIONED verify
+    join, so the shuffle moves only survivors — the result is exact
+    (false positives removed by the verify), hence SQL-oracled."""
+    from ..stages.bloom import bloom_semi_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda b: b.filter(pc.greater(b["o_totalprice"], pa.scalar(BLOOM_PRICE_MIN))),
+        batch_format="pyarrow",
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    out = bloom_semi_join(
+        li, orders.select_columns(["o_orderkey"]), "l_orderkey", "o_orderkey",
+        verify="partitioned",
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        if "l_orderkey" not in b.column_names:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "l_partkey": pa.array([], pa.int64()),
+                    "qty_cents": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"].cast(pa.int64()),
+                "l_partkey": b["l_partkey"].cast(pa.int64()),
+                "qty_cents": _cents(b["l_quantity"]),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_BLOOM_SEMI_JOIN = f"""
+SELECT l_orderkey, l_partkey,
+       CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_cents
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > {BLOOM_PRICE_MIN})
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2059,6 +2191,9 @@ QUERIES = {
     "token_budget_select": q_token_budget_select,
     "pack_sequences": q_pack_sequences,
     "shuffle_rank": q_shuffle_rank,
+    # graph / scale joins
+    "pagerank": q_pagerank,
+    "bloom_semi_join": q_bloom_semi_join,
     # dedup / similarity
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -2129,6 +2264,8 @@ ORACLE_SQL = {
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "shuffle_rank": SQL_SHUFFLE_RANK,
+    "pagerank": SQL_PAGERANK,
+    "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,

@@ -1,0 +1,142 @@
+"""Bloom-filter semi-join: prune a huge probe side by a key set whose
+bloom fits in one broadcast even when the key set itself does not.
+
+At 100 TB the classic failure mode of a semi-join is shuffling the
+entire probe side just to discard 98% of it.  The bloom path instead:
+
+1. builds the filter DISTRIBUTED — ``map_batches`` emits one fixed-size
+   partial bitmap per block (``m_bits/8`` bytes, packed), the driver
+   OR-reduces them (O(m) driver state, independent of key count) and
+   ``ray.put``s the result ONCE;
+2. filters the probe side with a vectorized membership test (splitmix64
+   double hashing, k probes, pure numpy — no Python per row);
+3. runs an EXACT verification join on the survivors only, so bloom
+   false positives never reach the output: ``verify="broadcast"`` when
+   the build-side key set is driver-small, ``verify="partitioned"``
+   (bucketed shuffle join of survivors x distinct build keys) when it
+   is not — the shuffle then moves only the ~selectivity fraction of
+   the probe side.
+
+The reference's crawl uses the same shape implicitly: its URL-seen
+check is a semi-join of candidates against the seen set
+(louis/crawler/middlewares.py seen filtering); this stage generalizes
+it to arbitrary key columns as a reusable operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (wrapping)."""
+    with np.errstate(over="ignore"):
+        z = x + _GOLDEN
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _hash_pair(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    u = keys.astype(np.uint64, copy=False)
+    h1 = _splitmix64(u)
+    h2 = _splitmix64(u ^ _GOLDEN) | np.uint64(1)
+    return h1, h2
+
+
+def build_bloom(
+    ds: ray.data.Dataset, key: str, m_bits: int = 1 << 20, k: int = 4
+) -> "ray.ObjectRef":
+    """Distributed bloom build over an int64 key column.  Returns a
+    ``ray.put`` ref of the packed bitmap (``m_bits // 8`` bytes)."""
+    nbytes = m_bits // 8
+
+    def partial(b: pa.Table) -> pa.Table:
+        bits = np.zeros(nbytes, np.uint8)
+        if key in b.column_names and len(b):
+            ks = b[key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            h1, h2 = _hash_pair(ks)
+            for i in range(k):
+                with np.errstate(over="ignore"):
+                    pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+                np.bitwise_or.at(
+                    bits,
+                    (pos >> np.uint64(3)).astype(np.int64),
+                    (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+                )
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.large_binary())})
+
+    acc = np.zeros(nbytes, np.uint8)
+    for row in ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).iter_rows():
+        acc |= np.frombuffer(row["bits"], np.uint8)
+    return ray.put(acc)
+
+
+def bloom_semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    verify: str = "broadcast",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """EXACT semi-join of ``left`` against ``right``'s key set, with a
+    broadcast bloom pre-filter so only probable matches reach the
+    verification join.  Output = left rows whose key exists in right."""
+    bits_ref = build_bloom(right, right_key, m_bits=m_bits, k=k)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if left_key not in batch.column_names or not len(batch):
+            return batch
+        bits = ray.get(bits_ref)
+        ks = batch[left_key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h1, h2 = _hash_pair(ks)
+        keep = np.ones(len(ks), bool)
+        for i in range(k):
+            with np.errstate(over="ignore"):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+            keep &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1 > 0
+        return batch.filter(pa.array(keep))
+
+    survivors = left.map_batches(prune, batch_format="pyarrow")
+
+    if verify == "broadcast":
+        from .joins import broadcast_semi_join
+
+        return broadcast_semi_join(survivors, right, left_key, right_key)
+
+    # partitioned verify: distinct build keys -> bucketed shuffle join of
+    # the (already pruned) survivors; moves only the selected fraction.
+    from ray.data.aggregate import Count
+
+    from .joins import partitioned_hash_join
+
+    keys = (
+        right.select_columns([right_key])
+        .groupby(right_key)
+        .aggregate(Count(alias_name="_n"))
+        .select_columns([right_key])
+    )
+    joined = partitioned_hash_join(
+        survivors, keys, left_key, right_key, num_buckets=num_buckets
+    )
+    drop = [c for c in (right_key, "_n") if c != left_key]
+
+    def clean(b: pa.Table) -> pa.Table:
+        for c in drop:
+            if c in b.column_names:
+                b = b.drop_columns([c])
+        return b
+
+    return joined.map_batches(clean, batch_format="pyarrow")

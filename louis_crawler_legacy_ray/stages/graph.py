@@ -1,0 +1,117 @@
+"""Distributed link-graph algorithms over edge Datasets.
+
+PageRank is the canonical "what do I crawl next" priority signal the
+reference's frontier lacks (its ordering is pure BFS depth,
+louis/crawler/spiders ordering; SURVEY §2 O1) — at 10^10-URL scale a
+crawler re-prioritizes its frontier from the link graph it has already
+emitted.  This module implements synchronous-iteration PageRank as a
+pure Ray Data pipeline:
+
+- edges and ranks stay Datasets end-to-end; one partitioned hash join
+  (edges x ranks on src) + one ``groupby(dst).Sum`` per iteration — the
+  standard bulk-synchronous shape, two all-to-all exchanges per round
+  over (int64, int64) rows only;
+- the rank table (one row per node) is materialized between iterations
+  so iteration k+1's plan does not replay iteration k — blocks live in
+  the object store (spillable), never on the driver;
+- **exact integer arithmetic**: ranks are int64 scaled by ``scale``;
+  per-edge contribution is ``rank // outdeg`` and the damping update is
+  ``(15*scale)//100 + (85*sum)//100``.  Integer sums are
+  order-independent, so the result is bit-identical to the DuckDB
+  oracle regardless of block layout — float PageRank could never
+  hash-match across engines.
+
+Dangling nodes (no out-edges) simply leak their mass, and nodes with
+no in-edges settle at the base mass ``(15*scale)//100``; both match
+the oracle because the zero-contribution rows are unioned in
+explicitly.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+PAGERANK_SCALE = 10**12
+DAMP_NUM = 85  # damping 0.85 as an exact rational
+DAMP_DEN = 100
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    iterations: int = 3,
+    scale: int = PAGERANK_SCALE,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Iterative PageRank over ``edges`` (src:int64, dst:int64) for the
+    node set ``nodes`` (v:int64).  Returns (v, rank_scaled:int64).
+
+    Every node starts at ``scale``; after each round
+    ``rank(v) = (15*scale)//100 + (85 * sum_{u->v} rank(u)//outdeg(u))//100``.
+    """
+    from .joins import partitioned_hash_join
+
+    base = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+
+    outd = edges.groupby("src").aggregate(Count(alias_name="outdeg"))
+    edges_d = partitioned_hash_join(
+        edges, outd, "src", "src", num_buckets=num_buckets
+    ).materialize()
+
+    def init(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "v": b["v"].cast(pa.int64()),
+                "r": pa.array([scale] * len(b), pa.int64()),
+            }
+        )
+
+    ranks = nodes.map_batches(init, batch_format="pyarrow").materialize()
+
+    def zeros(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dst": b["v"].cast(pa.int64()),
+                "contrib": pa.array([0] * len(b), pa.int64()),
+            }
+        )
+
+    for _ in range(iterations):
+        joined = partitioned_hash_join(
+            edges_d, ranks, "src", "v", num_buckets=num_buckets
+        )
+
+        def contrib(b: pa.Table) -> pa.Table:
+            if "dst" not in b.column_names:  # empty bucket block
+                return pa.table(
+                    {"dst": pa.array([], pa.int64()), "contrib": pa.array([], pa.int64())}
+                )
+            r = b["r"].cast(pa.int64())
+            d = b["outdeg"].cast(pa.int64())
+            return pa.table(
+                {
+                    "dst": b["dst"].cast(pa.int64()),
+                    "contrib": pc.divide(r, d),  # int64/int64 -> floor div
+                }
+            )
+
+        contribs = joined.map_batches(contrib, batch_format="pyarrow").union(
+            ranks.map_batches(zeros, batch_format="pyarrow")
+        )
+        agg = contribs.groupby("dst").aggregate(Sum("contrib", alias_name="s"))
+
+        def update(b: pa.Table) -> pa.Table:
+            s = b["s"].cast(pa.int64())
+            r = pc.add(
+                pa.scalar(base, pa.int64()),
+                pc.divide(pc.multiply(s, pa.scalar(DAMP_NUM, pa.int64())),
+                          pa.scalar(DAMP_DEN, pa.int64())),
+            )
+            return pa.table({"v": b["dst"].cast(pa.int64()), "r": r})
+
+        ranks = agg.map_batches(update, batch_format="pyarrow").materialize()
+
+    return ranks

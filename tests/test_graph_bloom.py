@@ -1,0 +1,99 @@
+"""Unit tests for distributed PageRank (stages/graph.py) and the
+bloom-filter semi-join (stages/bloom.py) beyond the DuckDB oracles:
+naive-recompute parity on a hand-built graph, block-layout invariance,
+bloom no-false-negative guarantee and both verify modes."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from louis_crawler_legacy_ray.stages.bloom import (
+    _hash_pair,
+    bloom_semi_join,
+    build_bloom,
+)
+from louis_crawler_legacy_ray.stages.graph import pagerank
+
+EDGES = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]  # node 3 has no in-edges
+NODES = [0, 1, 2, 3]
+
+
+def _naive_pagerank(edges, nodes, iters, scale=10**12):
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: scale for v in nodes}
+    base = (scale * 15) // 100
+    for _ in range(iters):
+        agg = {v: 0 for v in nodes}
+        for s, d in edges:
+            agg[d] += r[s] // outdeg[s]
+        r = {v: base + (85 * agg[v]) // 100 for v in nodes}
+    return r
+
+
+def _ranks_dict(edges, nodes, iters, parts):
+    e = ray.data.from_items([{"src": s, "dst": d} for s, d in edges]).repartition(parts)
+    n = ray.data.from_items([{"v": v} for v in nodes]).repartition(parts)
+    df = pagerank(e, n, iterations=iters).to_pandas()
+    return dict(zip(df["v"], df["r"]))
+
+
+def test_pagerank_matches_naive(ray_session):
+    for iters in (1, 3):
+        got = _ranks_dict(EDGES, NODES, iters, parts=2)
+        assert got == _naive_pagerank(EDGES, NODES, iters)
+
+
+def test_pagerank_block_layout_invariant(ray_session):
+    assert _ranks_dict(EDGES, NODES, 2, parts=1) == _ranks_dict(
+        EDGES, NODES, 2, parts=5
+    )
+
+
+def test_pagerank_dangling_and_isolated(ray_session):
+    # node 9 dangling-and-isolated: keeps only the base mass
+    edges = [(0, 1), (1, 0)]
+    nodes = [0, 1, 9]
+    got = _ranks_dict(edges, nodes, 2, parts=2)
+    assert got == _naive_pagerank(edges, nodes, 2)
+    assert got[9] == (10**12 * 15) // 100
+
+
+def test_hash_pair_is_deterministic_and_odd():
+    ks = np.array([0, 1, 2**62, -5], dtype=np.int64)
+    h1a, h2a = _hash_pair(ks)
+    h1b, h2b = _hash_pair(ks.copy())
+    assert (h1a == h1b).all() and (h2a == h2b).all()
+    assert (h2a % 2 == 1).all()  # double hashing needs odd stride
+
+
+def test_bloom_semi_join_exact_both_modes(ray_session):
+    left = ray.data.from_items(
+        [{"k": i, "val": i * 10} for i in range(2000)]
+    ).repartition(8)
+    keys = [7, 42, 999, 1500, 1999]
+    right = ray.data.from_items([{"rk": k} for k in keys])
+    for mode in ("broadcast", "partitioned"):
+        out = bloom_semi_join(left, right, "k", "rk", verify=mode)
+        df = out.to_pandas().sort_values("k").reset_index(drop=True)
+        assert list(df["k"]) == keys, mode
+        assert list(df["val"]) == [k * 10 for k in keys], mode
+
+
+def test_bloom_prune_has_no_false_negatives(ray_session):
+    # probe the raw bitmap directly: every inserted key must test positive
+    m_bits, k = 1 << 14, 4
+    keys = np.arange(0, 5000, 7, dtype=np.int64)
+    ds = ray.data.from_items([{"rk": int(x)} for x in keys]).repartition(4)
+    import ray as _ray
+
+    bits = _ray.get(build_bloom(ds, "rk", m_bits=m_bits, k=k))
+    h1, h2 = _hash_pair(keys)
+    ok = np.ones(len(keys), bool)
+    for i in range(k):
+        with np.errstate(over="ignore"):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        ok &= (bits[(pos >> np.uint64(3)).astype(np.int64)]
+               >> (pos & np.uint64(7)).astype(np.uint8)) & 1 > 0
+    assert ok.all()
