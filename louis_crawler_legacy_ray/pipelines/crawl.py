@@ -451,7 +451,7 @@ def clear_pages_cache() -> None:
 
 @ray.remote
 def _fused_round_task(
-    block: pa.Table,
+    blocks: list,
     sel: pa.Table,
     shards: list,
     now_us: int,
@@ -462,32 +462,42 @@ def _fused_round_task(
     out_part: str | None,
     block_idx: int = 0,
 ) -> pa.Table:
-    """One round x one pinned corpus block: semi-join + extract, then
-    SEND the control rows straight to their owning shard actors
-    (fire-and-forget — no blocking ray.get in the data plane, and the
-    driver never conveys per-URL data). Returns only delivery counts;
-    the driver reconciles them against the shards' received counters
-    before closing the round. This is the multi-node control shape:
-    candidates flow task->shard through the object store, the driver
-    handles integers."""
-    if block.num_rows == 0 or "url" not in block.column_names:
-        # over-partitioned tiny corpora yield empty schema-less blocks
-        return pa.table(
-            {
-                "n_fetched_sent": pa.array([0], pa.int64()),
-                "n_candidates_sent": pa.array([0], pa.int64()),
-            }
-        )
-    mask = pc.is_in(block["url"], value_set=sel["url"])
-    hit = block.filter(mask)
-    if hit.num_rows == 0:
-        return pa.table(
-            {
-                "n_fetched_sent": pa.array([0], pa.int64()),
-                "n_candidates_sent": pa.array([0], pa.int64()),
-            }
-        )
-    idx = pc.index_in(hit["url"], value_set=sel["url"])
+    """One round x one GROUP of pinned corpus blocks: semi-join +
+    extract, then SEND the control rows straight to their owning shard
+    actors (fire-and-forget — no blocking ray.get in the data plane,
+    and the driver never conveys per-URL data). Returns only delivery
+    counts; the driver reconciles them against the shards' received
+    counters before closing the round. This is the multi-node control
+    shape: candidates flow task->shard through the object store, the
+    driver handles integers.
+
+    ``blocks`` is a list of block ObjectRefs (resolved here, zero-copy
+    from plasma): the driver sizes the number of tasks to the ROUND
+    (ceil(selected/1024)), not to the corpus block count, so a tiny
+    round costs a handful of task launches even on a corpus with
+    thousands of blocks — per-round overhead ∝ round size. The is_in
+    value-set index over the round's URLs is built once per task, then
+    reused across the group's blocks."""
+    empty = pa.table(
+        {
+            "n_fetched_sent": pa.array([0], pa.int64()),
+            "n_candidates_sent": pa.array([0], pa.int64()),
+        }
+    )
+    sel_urls = sel["url"].combine_chunks()
+    hits: list[pa.Table] = []
+    for block in ray.get(list(blocks)):
+        if block.num_rows == 0 or "url" not in block.column_names:
+            # over-partitioned tiny corpora yield empty schema-less blocks
+            continue
+        mask = pc.is_in(block["url"], value_set=sel_urls)
+        hit = block.filter(mask)
+        if hit.num_rows:
+            hits.append(hit)
+    if not hits:
+        return empty
+    hit = pa.concat_tables(hits) if len(hits) > 1 else hits[0]
+    idx = pc.index_in(hit["url"], value_set=sel_urls)
     hit = hit.append_column("depth", sel["depth"].take(idx).cast(pa.int32()))
     items = extract_batch(hit, now_us=now_us, allowed_domains=allowed_domains)
     if out_part is not None:
@@ -784,9 +794,17 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                     for (i, r), bb in zip(block_refs, cache["block_buckets"])
                     if not needed.isdisjoint(bb)
                 ]
+            # task count follows the ROUND, not the corpus: a tiny
+            # round on a thousand-block corpus launches a handful of
+            # grouped tasks, each resolving its blocks zero-copy from
+            # plasma (refs passed inside a list are NOT auto-resolved)
+            n_tasks = max(1, min(len(block_refs), -(-selected.num_rows // 1024)))
+            groups: list[list] = [[] for _ in range(n_tasks)]
+            for j, (_, r) in enumerate(block_refs):
+                groups[j % n_tasks].append(r)
             count_refs = [
                 _fused_round_task.remote(
-                    block_ref,
+                    grp,
                     sel_ref,
                     frontier.shards,
                     now_us,
@@ -795,9 +813,10 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                     cfg.hot_host_salt,
                     cfg.max_depth,
                     out_part,
-                    i,
+                    g,
                 )
-                for i, block_ref in block_refs
+                for g, grp in enumerate(groups)
+                if grp
             ]
             if not count_refs:
                 return {"fetched": 0, "admitted": 0}
