@@ -1768,6 +1768,127 @@ FROM r WHERE rn = 1
 """
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup cluster-then-prune curation (arXiv:2303.09540):
+    vectors route to their nearest of the 8 seed centroids (the
+    kmeans_assign convention: embeddings of vec_id 0..7, ties to the
+    smaller id), then within each cluster any vector with a
+    lower-id cosine>=0.42 neighbour is dropped. Survivors only —
+    the per-cluster O(c^2) prune replaces the corpus-wide all-pairs
+    of cosine_near_pairs (stages/cluster.py semdedup_survivors)."""
+    import numpy as np
+
+    from ..stages.cluster import semdedup_survivors
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seeds = emb.map_batches(
+        lambda b: b.filter(pc.less(b["vec_id"], pa.scalar(KMEANS_N_CENTROIDS))),
+        batch_format="pyarrow",
+    )
+    seed_rows = sorted(seeds.take_all(), key=lambda r: r["vec_id"])
+    centroids = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+    ids = [int(r["vec_id"]) for r in seed_rows]
+    return semdedup_survivors(emb, centroids, ids, tau=0.42)
+
+
+SQL_SEMDEDUP = """
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(e.embedding, c.ce) AS sim
+  FROM embeddings e CROSS JOIN c),
+a AS (
+  SELECT vec_id, cid AS centroid_id
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        FROM s) WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT y.vec_id
+  FROM a x JOIN a y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+  WHERE list_cosine_similarity(ex.embedding, ey.embedding) >= 0.42)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+       CAST(a.centroid_id AS BIGINT) AS centroid_id
+FROM a WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+def q_percentile_filter(sf_dir: str):
+    """Per-language percentile quality gate: keep documents whose
+    token count is >= their language's 25th-percentile token count.
+    Two corpus passes — exact per-key quantile_disc thresholds via the
+    (lang, token_count)->count histogram shuffle
+    (stages/sketches.py histogram_quantiles: distinct values per key
+    bound the shuffle, never row counts), thresholds broadcast as a
+    languages-sized dict, then one vectorized filter pass."""
+    from ..stages.sketches import histogram_quantiles
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def tok(b: pa.Table) -> pa.Table:
+        counts = [len(ts._TOKEN_RE.findall(t)) for t in b["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "lang": b["lang"],
+                "token_count": pa.array(counts, pa.int64()),
+            }
+        )
+
+    # materialized: (id, lang, int) rows are ~30 B regardless of doc
+    # size, and both the threshold pass and the filter pass read them —
+    # re-tokenizing the full corpus twice would cost more than spilling
+    t = docs.map_batches(tok, batch_format="pyarrow").materialize()
+    thr_rows = histogram_quantiles(
+        t.select_columns(["lang", "token_count"]), "lang", "token_count", [0.25]
+    ).take_all()  # one row per language — bounded
+    langs = pa.array([r["lang"] for r in thr_rows], pa.string())
+    thrs = np.asarray([int(r["token_count"]) for r in thr_rows], dtype=np.int64)
+
+    def filt(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b["lang"], value_set=langs)
+        row_thr = pa.array(thrs[idx.to_numpy(zero_copy_only=False)], pa.int64())
+        return b.filter(pc.greater_equal(b["token_count"], row_thr))
+
+    return t.map_batches(filt, batch_format="pyarrow")
+
+
+SQL_PERCENTILE_FILTER = rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '{ts.TOKEN_PATTERN}')) AS BIGINT) AS token_count
+  FROM documents),
+thr AS (SELECT lang, quantile_disc(token_count, 0.25) AS thr FROM t GROUP BY lang)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.lang, t.token_count
+FROM t JOIN thr ON t.lang = thr.lang
+WHERE t.token_count >= thr.thr
+"""
+
+
+def q_heavy_hitters(sf_dir: str):
+    """phi=1% heavy-hitter tokens via mergeable Misra-Gries summaries
+    (bounded memory at every step — the 100 TB path where the exact
+    vocab_stats groupby would shuffle the whole vocabulary) + an exact
+    candidate-count verify pass, so the output is deterministic and
+    oracle-checkable (stages/sketches.py heavy_hitters)."""
+    from ..stages.sketches import heavy_hitters
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return heavy_hitters(docs, text_col="text", phi_pct=1)
+
+
+SQL_HEAVY_HITTERS = """
+WITH t AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+n AS (SELECT count(*) AS n FROM t)
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM t, n GROUP BY term, n.n HAVING count(*) * 100 >= n.n
+"""
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Top-3 salient terms per document by tf * ln(N/df) — document
     frequency from per-block combiner partials, vocabulary-sized idf
@@ -2186,6 +2307,9 @@ QUERIES = {
     # vector clustering
     "label_centroids": q_label_centroids,
     "kmeans_assign": q_kmeans_assign,
+    "semdedup": q_semdedup,
+    "percentile_filter": q_percentile_filter,
+    "heavy_hitters": q_heavy_hitters,
     "pii_redact": q_pii_redact,
     "repetition_filter": q_repetition_filter,
     "token_budget_select": q_token_budget_select,
@@ -2259,6 +2383,9 @@ ORACLE_SQL = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
+    "semdedup": SQL_SEMDEDUP,
+    "percentile_filter": SQL_PERCENTILE_FILTER,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
     "pii_redact": SQL_PII_REDACT,
     "repetition_filter": SQL_REPETITION_FILTER,
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,

@@ -87,6 +87,79 @@ def label_centroids(
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def semdedup_survivors(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    centroid_ids: list[int],
+    tau: float = 0.42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """SemDeDup-style cluster-then-prune (Abbas et al. 2023,
+    arXiv:2303.09540): route every vector to its nearest centroid by
+    cosine (broadcast matmul, no shuffle — ties to the smaller
+    centroid id, same convention as :func:`assign_nearest_centroid`),
+    then ONE groupby shuffle on ``centroid_id`` and a per-cluster
+    pairwise-cosine prune. Deterministic keep-lowest-id rule: ``v`` is
+    dropped iff some ``u < v`` in the same cluster has
+    ``cosine(u, v) >= tau``. Returns the survivors as
+    ``(vec_id, centroid_id)``.
+
+    Scale assumption (documented): cluster sizes stay bounded because
+    the centroid count grows with the corpus (SemDeDup uses ~sqrt(N)
+    clusters), so the O(|cluster|^2) similarity matrix is constant
+    work per group; the shuffle carries each vector exactly once and
+    the full corpus matrix is never broadcast (unlike the exact
+    ``cosine_near_pairs`` tool)."""
+    import pandas as pd
+
+    norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cref = ray.put(centroids.astype(np.float64) / norms)
+    ids_arr = np.asarray(centroid_ids, dtype=np.int64)
+    order = np.argsort(ids_arr)
+    ordered_ids = ids_arr[order]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cn = ray.get(cref)
+        vecs = _vecs(batch, vec_col)
+        vn = np.linalg.norm(vecs, axis=1, keepdims=True)
+        vn[vn == 0] = 1.0
+        sims = (vecs / vn) @ cn.T
+        best = sims[:, order].argmax(axis=1)  # first max = smallest id
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "centroid_id": pa.array(ordered_ids[best], pa.int64()),
+                vec_col: batch[vec_col],
+            }
+        )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        vecs = np.array(g[vec_col].tolist(), dtype=np.float64)
+        n = np.linalg.norm(vecs, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        vn = vecs / n
+        sims = vn @ vn.T
+        # v dropped iff any u < v (strict upper triangle, column-wise)
+        # is >= tau — non-greedy, so the rule is order-free and
+        # SQL-expressible for the oracle
+        dropped = (np.triu(sims >= tau, k=1)).any(axis=0)
+        keep = ~dropped
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy()[keep],
+                "centroid_id": g["centroid_id"].to_numpy()[keep],
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return assigned.groupby("centroid_id").map_groups(
+        prune, batch_format="pandas"
+    )
+
+
 def assign_nearest_centroid(
     ds: ray.data.Dataset,
     centroids: np.ndarray,

@@ -157,3 +157,133 @@ def histogram_quantiles(
         )
 
     return hist.groupby(key_col).map_groups(walk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+# sentinel key carrying the per-block token total through the same
+# groupby as the term rows; tokens are [a-z0-9]+ so "\x00" cannot occur
+_MG_TOTAL_KEY = "\x00__n__"
+
+_MG_WORD_RE = None
+
+
+def _mg_words(text: str) -> list[str]:
+    global _MG_WORD_RE
+    if _MG_WORD_RE is None:
+        import re
+
+        _MG_WORD_RE = re.compile(r"[a-z0-9]+")
+    return _MG_WORD_RE.findall(text.lower())
+
+
+def mg_compress(counts: dict, m: int) -> dict:
+    """Compress exact counts to a Misra-Gries summary of <= m entries:
+    subtract the (m+1)-th largest count from every entry and keep the
+    positives. Each surviving estimate undercounts its true frequency
+    by at most n/(m+1) (n = tokens summarized); merging summaries by
+    plain addition preserves the bound additively."""
+    if len(counts) <= m:
+        return dict(counts)
+    vals = sorted(counts.values(), reverse=True)
+    sub = vals[m]  # (m+1)-th largest
+    return {k: v - sub for k, v in counts.items() if v > sub}
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    phi_pct: int = 1,
+    m: int = 1023,
+) -> "pa.Table":
+    """EXACT phi-heavy-hitter terms — every token ([a-z0-9]+ over
+    lowered text, the vocab_stats convention) whose corpus frequency is
+    >= phi_pct% of all tokens — computed with bounded memory at every
+    step (the 100 TB-safe alternative to a full-vocabulary groupby):
+
+    1. Candidate pass: per-block exact counts compressed to an <= m
+       entry Misra-Gries summary (plus one sentinel row carrying the
+       block's token total); a term-keyed groupby sums the summaries.
+       Merged estimate bounds: f(x) - n/(m+1) <= est(x) <= f(x).
+    2. Candidate filter (integer arithmetic, no floats): keep terms
+       with est*100*(m+1) >= n*(m+1-100/phi_pct scaled) — i.e.
+       est >= n*(phi - 1/(m+1)) — a PROVEN superset of the phi-heavy
+       set whose size is bounded by 1/(phi - 1/(m+1)) (~101 terms for
+       phi=1%, m=1023) regardless of corpus size.
+    3. Exact pass: per-block counts restricted to the broadcast
+       candidate set + block totals, one tiny groupby, final filter
+       cnt*100 >= n. Output (term, cnt) is exact and deterministic,
+       so it is DuckDB-oracle-checkable despite the sketch.
+
+    Requires phi_pct >= 1 and m+1 > 100/phi_pct for the superset
+    guarantee."""
+    from collections import Counter
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    assert (m + 1) * phi_pct > 100, "m too small for the MG guarantee"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        n = 0
+        for t in batch[text_col].to_pylist():
+            ws = _mg_words(t)
+            n += len(ws)
+            c.update(ws)
+        summ = mg_compress(c, m)
+        summ[_MG_TOTAL_KEY] = n
+        return pa.table(
+            {
+                "term": pa.array(list(summ.keys()), pa.string()),
+                "est": pa.array(list(summ.values()), pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("est", alias_name="est"))
+    )
+    rows = {r["term"]: int(r["est"]) for b in merged.iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    n_total = rows.pop(_MG_TOTAL_KEY, 0)
+    # est >= n*(phi/100 - 1/(m+1))  <=>  est*100*(m+1) >= n*(phi*(m+1) - 100)
+    lhs_factor = 100 * (m + 1)
+    rhs = n_total * (phi_pct * (m + 1) - 100)
+    candidates = {t for t, est in rows.items() if est * lhs_factor >= rhs}
+    if not candidates:
+        return pa.table({"term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        n = 0
+        for t in batch[text_col].to_pylist():
+            ws = _mg_words(t)
+            n += len(ws)
+            c.update(w for w in ws if w in candidates)
+        c[_MG_TOTAL_KEY] = n
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    exact = (
+        ds.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    tbl = pa.concat_tables(
+        [b for b in exact.iter_batches(batch_format="pyarrow")]
+    )
+    n_row = pc.equal(tbl["term"], pa.scalar(_MG_TOTAL_KEY))
+    n_exact = int(pc.sum(pc.if_else(n_row, tbl["cnt"], pa.scalar(0, pa.int64()))).as_py())
+    keep = pc.and_(
+        pc.invert(n_row),
+        pc.greater_equal(pc.multiply(tbl["cnt"], pa.scalar(100, pa.int64())), pa.scalar(n_exact, pa.int64())),
+    )
+    out = tbl.filter(keep)
+    return pa.table({"term": out["term"], "cnt": out["cnt"].cast(pa.int64())})
