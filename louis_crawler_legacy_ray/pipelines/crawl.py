@@ -797,8 +797,20 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
             # task count follows the ROUND, not the corpus: a tiny
             # round on a thousand-block corpus launches a handful of
             # grouped tasks, each resolving its blocks zero-copy from
-            # plasma (refs passed inside a list are NOT auto-resolved)
-            n_tasks = max(1, min(len(block_refs), -(-selected.num_rows // 1024)))
+            # plasma (refs passed inside a list are NOT auto-resolved).
+            # Floor at 2x cluster CPUs so medium rounds keep full
+            # fan-out parallelism — grouping only collapses rounds
+            # small enough that their pruned block set outnumbers the
+            # useful worker count (ungated ceil(round/1024) serialized
+            # the mid-BFS rounds and cost ~2x headline throughput)
+            n_cpus = int(ray.cluster_resources().get("CPU", 32))
+            n_tasks = max(
+                1,
+                min(
+                    len(block_refs),
+                    max(-(-selected.num_rows // 1024), 2 * n_cpus),
+                ),
+            )
             groups: list[list] = [[] for _ in range(n_tasks)]
             for j, (_, r) in enumerate(block_refs):
                 groups[j % n_tasks].append(r)
