@@ -473,36 +473,79 @@ def _fused_round_task(
 
     ``blocks`` is a list of block ObjectRefs (resolved here, zero-copy
     from plasma): the driver sizes the number of tasks to the ROUND
-    (ceil(selected/1024)), not to the corpus block count, so a tiny
+    (ceil(selected/128)), not to the corpus block count, so a tiny
     round costs a handful of task launches even on a corpus with
     thousands of blocks — per-round overhead ∝ round size. The is_in
     value-set index over the round's URLs is built once per task, then
-    reused across the group's blocks."""
-    empty = pa.table(
-        {
-            "n_fetched_sent": pa.array([0], pa.int64()),
-            "n_candidates_sent": pa.array([0], pa.int64()),
-        }
-    )
+    reused across the group's blocks.
+
+    Each task returns per-phase wall timings alongside its sent counts
+    (the per-partition throughput/lag metrics the frontier design
+    calls for); _await_round folds them into the round's metrics row."""
+    import time as _time
+
+    ts0 = _time.time()
     sel_urls = sel["url"].combine_chunks()
-    hits: list[pa.Table] = []
-    for block in ray.get(list(blocks)):
-        if block.num_rows == 0 or "url" not in block.column_names:
-            # over-partitioned tiny corpora yield empty schema-less blocks
-            continue
-        mask = pc.is_in(block["url"], value_set=sel_urls)
-        hit = block.filter(mask)
-        if hit.num_rows:
-            hits.append(hit)
-    if not hits:
-        return empty
-    hit = pa.concat_tables(hits) if len(hits) > 1 else hits[0]
-    idx = pc.index_in(hit["url"], value_set=sel_urls)
-    hit = hit.append_column("depth", sel["depth"].take(idx).cast(pa.int32()))
+    parts = [
+        b
+        for b in ray.get(list(blocks))
+        if b.num_rows and "url" in b.column_names
+        # over-partitioned tiny corpora yield empty schema-less blocks
+    ]
+    if not parts:
+        ts1 = _time.time()
+        return _counts_table(0, 0, ts0, ts1 - ts0, 0.0, 0.0, ts1)
+    # concat first (zero-copy), then ONE index_in over the group: the
+    # 200k-string value-set hash index was measured to dominate the
+    # filter phase when built per block per kernel (is_in + index_in =
+    # 3 builds/task); index_in's validity doubles as the semi-join mask
+    block = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+    idx = pc.index_in(block["url"], value_set=sel_urls)
+    mask = idx.is_valid()
+    hit = block.filter(mask)
+    ts1 = _time.time()
+    if hit.num_rows == 0:
+        return _counts_table(0, 0, ts0, ts1 - ts0, 0.0, 0.0, ts1)
+    hit = hit.append_column(
+        "depth", sel["depth"].take(idx.filter(mask)).cast(pa.int32())
+    )
     items = extract_batch(hit, now_us=now_us, allowed_domains=allowed_domains)
+    ts2 = _time.time()
     if out_part is not None:
         _write_items_part(items, out_part, f"part-{block_idx:05d}")
-    return _send_control(items, shards, n_shards, salt, max_depth)
+    counts = _send_control(items, shards, n_shards, salt, max_depth)
+    ts3 = _time.time()
+    return _counts_table(
+        counts["n_fetched_sent"][0].as_py(),
+        counts["n_candidates_sent"][0].as_py(),
+        ts0,
+        ts1 - ts0,
+        ts2 - ts1,
+        ts3 - ts2,
+        ts3,
+    )
+
+
+def _counts_table(
+    n_f: int,
+    n_c: int,
+    ts_start: float,
+    t_filter: float,
+    t_extract: float,
+    t_send: float,
+    ts_end: float,
+) -> pa.Table:
+    return pa.table(
+        {
+            "n_fetched_sent": pa.array([n_f], pa.int64()),
+            "n_candidates_sent": pa.array([n_c], pa.int64()),
+            "ts_start": pa.array([ts_start], pa.float64()),
+            "t_filter": pa.array([t_filter], pa.float64()),
+            "t_extract": pa.array([t_extract], pa.float64()),
+            "t_send": pa.array([t_send], pa.float64()),
+            "ts_end": pa.array([ts_end], pa.float64()),
+        }
+    )
 
 
 def _send_control(
@@ -543,10 +586,13 @@ def _await_round(count_refs, frontier: "Frontier", round_no: int, base, a_before
     against the shards' received counters)."""
     import time as _time
 
+    t_submit_done = _time.perf_counter()
     counts = pa.concat_tables(ray.get(count_refs))
+    t_counts = _time.perf_counter() - t_submit_done
     exp_f = int(pc.sum(counts["n_fetched_sent"]).as_py() or 0)
     exp_c = int(pc.sum(counts["n_candidates_sent"]).as_py() or 0)
     deadline = _time.monotonic() + 120
+    t_poll0 = _time.perf_counter()
     while True:
         got = ray.get([s.received.remote() for s in frontier.shards])
         df = sum(g[0] - b[0] for g, b in zip(got, base))
@@ -559,8 +605,25 @@ def _await_round(count_refs, frontier: "Frontier", round_no: int, base, a_before
                 f"({df}/{exp_f} fetched, {dc}/{exp_c} candidates)"
             )
         _time.sleep(0.005)
+    t_poll = _time.perf_counter() - t_poll0
     a_after = sum(ray.get([s.admitted_total.remote() for s in frontier.shards]))
-    return {"fetched": exp_f, "admitted": a_after - a_before}
+    out = {"fetched": exp_f, "admitted": a_after - a_before}
+    if "ts_start" in counts.column_names:
+        # per-partition timing rollup (tasks stamp wall-clock phases)
+        ts_s = counts["ts_start"].to_pylist()
+        ts_e = counts["ts_end"].to_pylist()
+        out["prof"] = {
+            "n_tasks": counts.num_rows,
+            "t_counts_wait": round(t_counts, 4),
+            "t_poll": round(t_poll, 4),
+            "cpu_filter": round(float(pc.sum(counts["t_filter"]).as_py() or 0), 4),
+            "cpu_extract": round(float(pc.sum(counts["t_extract"]).as_py() or 0), 4),
+            "cpu_send": round(float(pc.sum(counts["t_send"]).as_py() or 0), 4),
+            "task_span": round(max(ts_e) - min(ts_s), 4) if ts_s else 0.0,
+            "start_spread": round(max(ts_s) - min(ts_s), 4) if ts_s else 0.0,
+            "end_spread": round(max(ts_e) - min(ts_e), 4) if ts_e else 0.0,
+        }
+    return out
 
 
 @ray.remote
@@ -769,8 +832,10 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
             return _dispatch_control(pa.concat_tables(ctrls), frontier.shards)
 
         prime_pages_cache(pages_path)
+        _tput0 = time.perf_counter()
         sel_ref = ray.put(sel_tbl)  # one plasma copy per round, not a
         # tens-of-MB closure pickle per task submission
+        _t_put = time.perf_counter() - _tput0
 
         if cfg.round_fanout == "tasks":
             out_part = (
@@ -794,26 +859,30 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                     for (i, r), bb in zip(block_refs, cache["block_buckets"])
                     if not needed.isdisjoint(bb)
                 ]
-            # task count follows the ROUND, not the corpus: a tiny
-            # round on a thousand-block corpus launches a handful of
-            # grouped tasks, each resolving its blocks zero-copy from
-            # plasma (refs passed inside a list are NOT auto-resolved).
-            # Floor at 2x cluster CPUs so medium rounds keep full
-            # fan-out parallelism — grouping only collapses rounds
-            # small enough that their pruned block set outnumbers the
-            # useful worker count (ungated ceil(round/1024) serialized
-            # the mid-BFS rounds and cost ~2x headline throughput)
+            # task count follows the ROUND, not the corpus or the
+            # cluster: a tiny round on a thousand-block corpus launches
+            # a handful of grouped tasks, each resolving its blocks
+            # zero-copy from plasma (refs passed inside a list are NOT
+            # auto-resolved). ceil(selected/128) keeps >=~40ms of
+            # extract work per task (28KB pages) so launch overhead
+            # stays <~20%% of a task, while mid-BFS rounds (4k-32k
+            # URLs) still fan wide; 2x cluster CPUs caps the launch
+            # burst (a flat 2x-CPU FLOOR was measured to cost 0.6-1.0s
+            # per small round at 32 CPUs — 64 task launches to extract
+            # 512 pages — and tanked 8->32 scaling to ~0.56)
             n_cpus = int(ray.cluster_resources().get("CPU", 32))
             n_tasks = max(
                 1,
                 min(
                     len(block_refs),
-                    max(-(-selected.num_rows // 1024), 2 * n_cpus),
+                    2 * n_cpus,
+                    -(-selected.num_rows // 128),
                 ),
             )
             groups: list[list] = [[] for _ in range(n_tasks)]
             for j, (_, r) in enumerate(block_refs):
                 groups[j % n_tasks].append(r)
+            _tsub0 = time.perf_counter()
             count_refs = [
                 _fused_round_task.remote(
                     grp,
@@ -830,9 +899,14 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                 for g, grp in enumerate(groups)
                 if grp
             ]
+            _t_submit = time.perf_counter() - _tsub0
             if not count_refs:
                 return {"fetched": 0, "admitted": 0}
-            return _await_round(count_refs, frontier, round_no, base, a_before)
+            stats = _await_round(count_refs, frontier, round_no, base, a_before)
+            if "prof" in stats:
+                stats["prof"]["t_put"] = round(_t_put, 4)
+                stats["prof"]["t_submit"] = round(_t_submit, 4)
+            return stats
 
         def fused(batch: pa.Table) -> pa.Table:
             """filter -> extract -> control rows, ONE task stage per
@@ -986,6 +1060,10 @@ def run_frontier(
             "t_expand": t_expand,
             "t_finish": time.perf_counter() - t2,
         }
+        # flatten the expand stage's per-partition timing rollup (flat
+        # scalar columns keep the metrics parquet schema stable)
+        for k, v in (stats.get("prof") or {}).items():
+            row[f"p_{k}"] = v
         metrics.append(row)
         if cfg.checkpoint_dir:
             write_checkpoint(cfg.checkpoint_dir, round_no, frontier.shards, chash, row)
