@@ -40,7 +40,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..stages.extract import extract_batch
+from ..stages.extract import extract_batch, extract_items
 from ..state.checkpoint import (
     append_metrics,
     latest_complete_round,
@@ -484,6 +484,8 @@ def _fused_round_task(
     calls for); _await_round folds them into the round's metrics row."""
     import time as _time
 
+    import numpy as np
+
     ts0 = _time.time()
     sel_urls = sel["url"].combine_chunks()
     parts = [
@@ -495,21 +497,55 @@ def _fused_round_task(
     if not parts:
         ts1 = _time.time()
         return _counts_table(0, 0, ts0, ts1 - ts0, 0.0, 0.0, ts1)
-    # concat first (zero-copy), then ONE index_in over the group: the
+    # ONE index_in over the group's concatenated url column (the
     # 200k-string value-set hash index was measured to dominate the
-    # filter phase when built per block per kernel (is_in + index_in =
-    # 3 builds/task); index_in's validity doubles as the semi-join mask
-    block = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
-    idx = pc.index_in(block["url"], value_set=sel_urls)
-    mask = idx.is_valid()
-    hit = block.filter(mask)
+    # filter phase when built per block per kernel); its validity is
+    # the semi-join mask. The html payload is never filter-copied:
+    # selected strings are pulled straight out of the pinned plasma
+    # buffers by index (one Arrow→str copy; a filter copy plus
+    # to_pylist double-passed the 28KB payloads and was measured 2.3×
+    # slower — memory-bus traffic is the per-node scaling ceiling)
+    url_arrs = [
+        p["url"].combine_chunks() if isinstance(p["url"], pa.ChunkedArray) else p["url"]
+        for p in parts
+    ]
+    urls_all = pa.concat_arrays(url_arrs) if len(url_arrs) > 1 else url_arrs[0]
+    code = pc.index_in(urls_all, value_set=sel_urls)
+    valid = code.is_valid().to_numpy(zero_copy_only=False)
+    idx_np = np.flatnonzero(valid)
     ts1 = _time.time()
-    if hit.num_rows == 0:
+    if idx_np.size == 0:
         return _counts_table(0, 0, ts0, ts1 - ts0, 0.0, 0.0, ts1)
-    hit = hit.append_column(
-        "depth", sel["depth"].take(idx.filter(mask)).cast(pa.int32())
+    take_idx = pa.array(idx_np)
+    hit_urls = urls_all.take(take_idx).to_pylist()
+    codes = pc.fill_null(code, 0).to_numpy(zero_copy_only=False)[idx_np]
+    sel_depths = sel["depth"].combine_chunks()
+    hit_depths = sel_depths.take(pa.array(codes)).to_pylist()
+    hit_htmls: list = []
+    off = 0
+    dense = idx_np.size * 4 >= len(urls_all)
+    for p, ua in zip(parts, url_arrs):
+        n = len(ua)
+        loc = idx_np[(idx_np >= off) & (idx_np < off + n)] - off
+        if loc.size:
+            col = p["html"]
+            if dense:
+                # bulk C-loop conversion wins when most rows are hits
+                hit_htmls.extend(col.take(pa.array(loc)).to_pylist())
+            else:
+                # sparse: per-index scalar copy straight from the pinned
+                # plasma buffer; never combine_chunks here (it would
+                # copy the part's whole html column to read a few rows)
+                arr = (
+                    col.chunk(0)
+                    if isinstance(col, pa.ChunkedArray) and col.num_chunks == 1
+                    else col
+                )
+                hit_htmls.extend(arr[int(i)].as_py() for i in loc)
+        off += n
+    items = extract_items(
+        hit_urls, hit_htmls, hit_depths, now_us=now_us, allowed_domains=allowed_domains
     )
-    items = extract_batch(hit, now_us=now_us, allowed_domains=allowed_domains)
     ts2 = _time.time()
     if out_part is not None:
         _write_items_part(items, out_part, f"part-{block_idx:05d}")

@@ -53,7 +53,21 @@ def extract_batch(
         if "depth" in batch.column_names
         else [0] * len(urls)
     )
+    return extract_items(urls, htmls, depths, now_us, allowed_domains)
 
+
+def extract_items(
+    urls: list,
+    htmls: list,
+    depths: list,
+    now_us: int = 0,
+    allowed_domains: list[str] | None = None,
+) -> pa.Table:
+    """Core of extract_batch over plain Python lists — lets callers that
+    already hold row-selected strings (the fused round task picks html
+    values straight out of the pinned corpus block by index, one Arrow→
+    str copy instead of a filter copy plus to_pylist) skip the table
+    detour."""
     out: dict[str, list] = {
         "url": [],
         "title": [],
