@@ -1581,6 +1581,91 @@ ORDER BY total_tf DESC, term LIMIT 50
 """
 
 
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build: term -> (document frequency, total term
+    frequency, postings list of doc_ids ascending), top-100 terms by
+    df. Per-batch (term, doc, tf) partials feed a term-keyed groupby
+    whose reducer assembles each term's postings — the classic
+    index-build shape (shuffle carries term-doc pairs, not tokens).
+    At 10^10 docs a hot term's postings outgrow one group; the scale
+    path documented in textstats.inverted_partial_batch shards the
+    group key to ('term', hash(doc_id) %% S) postings files."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    partials = docs.map_batches(ts.inverted_partial_batch, batch_format="pyarrow")
+    postings = partials.groupby("term").map_groups(
+        ts.postings_group, batch_format="pandas"
+    )
+    return postings.sort(["df", "term"], descending=[True, False]).limit(100)
+
+
+SQL_INVERTED_INDEX = """
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+td AS (
+  SELECT term, CAST(doc_id AS BIGINT) AS doc_id, count(*) AS tf
+  FROM t GROUP BY term, doc_id)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM td GROUP BY term
+ORDER BY df DESC, term LIMIT 100
+"""
+
+
+def q_bigram_counts(sf_dir: str):
+    """Adjacent-word co-occurrence statistics: top-100 bigrams by
+    count. Per-batch Counter partials keep the two-key groupby
+    shuffle at one row per distinct bigram per block."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    partials = docs.map_batches(ts.bigram_partial_batch, batch_format="pyarrow")
+    agg = partials.groupby(["w1", "w2"]).aggregate(
+        Sum("cnt", alias_name="pair_count")
+    )
+    return agg.sort(
+        ["pair_count", "w1", "w2"], descending=[True, False, False]
+    ).limit(100)
+
+
+SQL_BIGRAM_COUNTS = """
+WITH w AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+b AS (
+  SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+  FROM w WHERE len(ws) >= 2)
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+FROM b GROUP BY w1, w2
+ORDER BY pair_count DESC, w1, w2 LIMIT 100
+"""
+
+
+def q_train_val_split(sf_dir: str):
+    """Deterministic train/val holdout split (md5(doc_id) %% 100 < 5
+    -> val): per-split doc and word totals. Membership is a pure
+    function of the doc id, so every node — and the SQL oracle —
+    assigns identically with no coordination state."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    partials = docs.map_batches(ts.split_assign_batch, batch_format="pyarrow")
+    agg = partials.groupby("split").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_words", alias_name="total_words"),
+    )
+    return agg.filter(lambda r: r["n_docs"] > 0).sort("split")
+
+
+SQL_TRAIN_VAL_SPLIT = """
+WITH d AS (
+  SELECT CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 100 < 5
+              THEN 'val' ELSE 'train' END AS split,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words
+  FROM documents)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words
+FROM d GROUP BY split ORDER BY split
+"""
+
+
 def q_dedup_survivors(sf_dir: str):
     """The corpus after near-dup removal: one survivor (min doc_id)
     per connected component of the n-gram-Jaccard >= 0.5 graph,
@@ -2300,6 +2385,9 @@ QUERIES = {
     "c4_line_filter": q_c4_line_filter,
     "stratified_sample": q_stratified_sample,
     "vocab_stats": q_vocab_stats,
+    "inverted_index": q_inverted_index,
+    "bigram_counts": q_bigram_counts,
+    "train_val_split": q_train_val_split,
     "dedup_survivors": q_dedup_survivors,
     "decontaminate": q_decontaminate,
     "weighted_sample": q_weighted_sample,
@@ -2377,6 +2465,9 @@ ORACLE_SQL = {
     "c4_line_filter": SQL_C4_LINE_FILTER,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "vocab_stats": SQL_VOCAB_STATS,
+    "inverted_index": SQL_INVERTED_INDEX,
+    "bigram_counts": SQL_BIGRAM_COUNTS,
+    "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "dedup_survivors": SQL_DEDUP_SURVIVORS,
     "decontaminate": SQL_DECONTAMINATE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,

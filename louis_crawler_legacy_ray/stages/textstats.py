@@ -347,3 +347,97 @@ def repetition_batch(
             "keep": pa.array([f <= tau for f in fracs], pa.bool_()),
         }
     )
+
+
+def inverted_partial_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch inverted-index partials: one row per distinct
+    (term, doc) pair with its in-document term frequency. The
+    downstream groupby('term') merges partials into postings — the
+    shuffle carries term-doc pairs (corpus-vocabulary bounded), never
+    per-token rows. At 10^10-doc scale the postings for a term no
+    longer fit one group; the documented shape is term-hash-sharded
+    postings files with per-shard doc-id delta encoding — the same
+    groupby with ('term', hash(doc_id) % S) as the key."""
+    from collections import Counter
+
+    terms_out: list[str] = []
+    docs_out: list[int] = []
+    tfs_out: list[int] = []
+    doc_ids = batch["doc_id"].to_pylist()
+    for doc_id, t in zip(doc_ids, batch[text_col].to_pylist()):
+        c = Counter(_VOCAB_RE.findall((t or "").lower()))
+        for term, tf in c.items():
+            terms_out.append(term)
+            docs_out.append(doc_id)
+            tfs_out.append(tf)
+    return pa.table(
+        {
+            "term": pa.array(terms_out, pa.string()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "tf": pa.array(tfs_out, pa.int64()),
+        }
+    )
+
+
+def postings_group(df):
+    """map_groups reducer: one term's (doc_id, tf) rows -> a postings
+    row (df, total_tf, comma-joined doc ids sorted ascending)."""
+    import pandas as pd
+
+    docs = sorted(int(d) for d in df["doc_id"])
+    return pd.DataFrame(
+        {
+            "term": [df["term"].iloc[0]],
+            "df": [len(docs)],
+            "total_tf": [int(df["tf"].sum())],
+            "postings": [",".join(str(d) for d in docs)],
+        }
+    )
+
+
+def bigram_partial_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch adjacent-word co-occurrence partials (w1, w2, cnt).
+    Pre-aggregating inside the batch keeps the two-key groupby shuffle
+    at one row per distinct bigram per block."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in batch[text_col].to_pylist():
+        ws = _VOCAB_RE.findall((t or "").lower())
+        c.update(zip(ws, ws[1:]))
+    keys = list(c.keys())
+    return pa.table(
+        {
+            "w1": pa.array([k[0] for k in keys], pa.string()),
+            "w2": pa.array([k[1] for k in keys], pa.string()),
+            "cnt": pa.array([c[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def split_assign_batch(batch: pa.Table, val_pct: int = 5) -> pa.Table:
+    """Deterministic train/val split partials: split membership is a
+    pure function of the doc id (first 8 hex chars of md5 as uint32,
+    mod 100 < val_pct -> 'val'), so any node — and an ANSI-SQL oracle —
+    assigns identically with no coordination; per-batch count/word
+    partials keep the final groupby at two rows per block."""
+    n_train = n_val = 0
+    w_train = w_val = 0
+    for doc_id, t in zip(
+        batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+    ):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        w = len(_WORD_RE.findall(t or ""))
+        if h % 100 < val_pct:
+            n_val += 1
+            w_val += w
+        else:
+            n_train += 1
+            w_train += w
+    return pa.table(
+        {
+            "split": pa.array(["train", "val"], pa.string()),
+            "n_docs": pa.array([n_train, n_val], pa.int64()),
+            "total_words": pa.array([w_train, w_val], pa.int64()),
+        }
+    )

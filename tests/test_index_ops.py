@@ -1,0 +1,115 @@
+"""Unit tests for the index/statistics operators beyond their DuckDB
+oracles: inverted-index postings assembly, bigram co-occurrence
+counts, and the deterministic train/val split — naive-recompute
+parity, block-layout invariance, and edge cases (empty text, repeated
+terms, single-word docs) the synthetic corpus does not isolate."""
+
+import hashlib
+from collections import Counter
+
+import pyarrow as pa
+import ray.data
+
+from louis_crawler_legacy_ray.stages.textstats import (
+    bigram_partial_batch,
+    inverted_partial_batch,
+    postings_group,
+    split_assign_batch,
+)
+
+DOCS = [
+    {"doc_id": 1, "text": "the cat sat on the mat"},
+    {"doc_id": 2, "text": "the dog sat"},
+    {"doc_id": 3, "text": ""},
+    {"doc_id": 4, "text": "cat"},
+    {"doc_id": 5, "text": "Cat CAT cat!"},
+]
+
+
+def _index_via_ray(ds):
+    partials = ds.map_batches(inverted_partial_batch, batch_format="pyarrow")
+    out = (
+        partials.groupby("term")
+        .map_groups(postings_group, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["df", "term"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    return {
+        r["term"]: (r["df"], r["total_tf"], r["postings"])
+        for _, r in out.iterrows()
+    }
+
+
+def test_inverted_index_naive_parity(ray_session):
+    import re
+
+    got = _index_via_ray(ray.data.from_items(DOCS).repartition(3))
+    # naive recompute
+    want: dict = {}
+    for d in DOCS:
+        c = Counter(re.findall(r"[a-z0-9]+", d["text"].lower()))
+        for term, tf in c.items():
+            df, total, docs = want.get(term, (0, 0, []))
+            want[term] = (df + 1, total + tf, docs + [d["doc_id"]])
+    want = {
+        t: (df, total, ",".join(str(i) for i in sorted(docs)))
+        for t, (df, total, docs) in want.items()
+    }
+    assert got == want
+    # spot-check the hard rows: case folding + punctuation splits
+    assert got["cat"] == (3, 5, "1,4,5")
+    assert got["the"] == (2, 3, "1,2")
+
+
+def test_inverted_index_block_layout_invariant(ray_session):
+    one = _index_via_ray(ray.data.from_items(DOCS).repartition(1))
+    many = _index_via_ray(ray.data.from_items(DOCS).repartition(5))
+    assert one == many
+
+
+def test_bigram_partials_sum_to_naive():
+    batch = pa.table(
+        {
+            "doc_id": [d["doc_id"] for d in DOCS],
+            "text": [d["text"] for d in DOCS],
+        }
+    )
+    out = bigram_partial_batch(batch)
+    got = Counter()
+    for w1, w2, c in zip(
+        out["w1"].to_pylist(), out["w2"].to_pylist(), out["cnt"].to_pylist()
+    ):
+        got[(w1, w2)] += c
+    import re
+
+    want = Counter()
+    for d in DOCS:
+        ws = re.findall(r"[a-z0-9]+", d["text"].lower())
+        want.update(zip(ws, ws[1:]))
+    assert got == want
+    assert got[("the", "cat")] == 1
+    assert got[("cat", "cat")] == 2  # "Cat CAT cat!" folds + splits
+    # single-word and empty docs contribute no bigrams
+    assert all(c > 0 for c in got.values())
+
+
+def test_split_assign_matches_md5_rule():
+    batch = pa.table(
+        {"doc_id": list(range(200)), "text": ["one two three"] * 200}
+    )
+    out = split_assign_batch(batch)
+    rows = dict(
+        zip(out["split"].to_pylist(), zip(out["n_docs"].to_pylist(),
+                                          out["total_words"].to_pylist()))
+    )
+    n_val = sum(
+        1
+        for i in range(200)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < 5
+    )
+    assert rows["val"][0] == n_val
+    assert rows["train"][0] == 200 - n_val
+    # every doc has exactly 3 words
+    assert rows["train"][1] == 3 * rows["train"][0]
+    assert rows["val"][1] == 3 * rows["val"][0]
