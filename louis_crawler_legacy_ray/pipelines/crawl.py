@@ -58,7 +58,7 @@ class CrawlConfig:
     round_limit: int | None = None          # overall per-round URL cap
     max_rounds: int = 64
     allowed_domains: list[str] | None = None
-    mode: str = "exact"                     # seen-filter mode: exact | approx
+    mode: str = "exact"                     # seen-filter mode: exact | approx | cuckoo
     checkpoint_dir: str | None = None
     extract_batch_size: int = 256
     hot_host_salt: dict = field(default_factory=dict)  # host -> n_salts

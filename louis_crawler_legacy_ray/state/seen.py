@@ -30,6 +30,11 @@ Memory modes:
     (~1%% at 10 bits/key) trades a tiny loss of recrawl coverage for
     memory — acceptable for a crawler seen-filter (skipping a few
     never-seen URLs), never for the correctness fixtures.
+  * ``cuckoo`` — same front with a partial-key cuckoo filter
+    (_Cuckoo): ~2 bytes/key at 95% load for a comparable FPR, plus
+    exact DELETION — the mode a TTL-based recrawl scheduler needs
+    (expired URLs become fetchable again without rebuilding the
+    filter, which a bloom cannot do).
 """
 
 from __future__ import annotations
@@ -73,6 +78,105 @@ class _Bloom:
         return all(self.bits[p >> 3] & (1 << (p & 7)) for p in self._positions(h))
 
 
+class _Cuckoo:
+    """Partial-key cuckoo filter (Fan et al., CoNEXT'14): 4-slot
+    buckets of 16-bit fingerprints over uint64 key hashes. Same
+    definitely-not-seen fast-path role as _Bloom, plus DELETION — a
+    recrawl scheduler that retires URLs (TTL-expired entries, purged
+    hosts) can remove them without rebuilding, which a bloom cannot.
+    ~2 bytes/key at 95% max load vs bloom's ~1.25 at 10 bits/key, for
+    a comparable ~0.1-1%% false-positive rate and exact deletes."""
+
+    MAX_KICKS = 500
+
+    def __init__(self, n_buckets: int = 1 << 16):
+        assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
+        self.n_buckets = n_buckets
+        self.slots = np.zeros((n_buckets, 4), dtype=np.uint16)
+        self.n_items = 0
+        # homeless victims after a failed evict chain live here so the
+        # filter NEVER false-negatives; growth means over capacity
+        self.stash: set[tuple[int, int]] = set()
+
+    def _fp(self, h: int) -> int:
+        fp = (h >> 48) & 0xFFFF
+        return fp or 1  # 0 is the empty-slot sentinel
+
+    def _i1(self, h: int) -> int:
+        return h & (self.n_buckets - 1)
+
+    def _alt(self, i: int, fp: int) -> int:
+        # partial-key displacement: i XOR hash(fp) (splitmix-style mix)
+        z = (fp * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z ^= z >> 29
+        return (i ^ z) & (self.n_buckets - 1)
+
+    def add(self, h: int) -> bool:
+        """Insert; returns False when the filter is too full (caller
+        should treat the key as present — fail-safe, no false negatives)."""
+        fp = self._fp(h)
+        i1 = self._i1(h)
+        i2 = self._alt(i1, fp)
+        for i in (i1, i2):
+            row = self.slots[i]
+            for s in range(4):
+                if row[s] == 0:
+                    row[s] = fp
+                    self.n_items += 1
+                    return True
+        # evict loop
+        import random
+
+        rnd = random.Random(h & 0xFFFFFFFF)  # deterministic per key
+        i = rnd.choice((i1, i2))
+        for _ in range(self.MAX_KICKS):
+            s = rnd.randrange(4)
+            fp, self.slots[i][s] = int(self.slots[i][s]), fp
+            i = self._alt(i, fp)
+            row = self.slots[i]
+            for s2 in range(4):
+                if row[s2] == 0:
+                    row[s2] = fp
+                    self.n_items += 1
+                    return True
+        # table effectively full: stash the homeless victim so no key
+        # ever false-negatives (stash entries check from either bucket)
+        self.stash.add((min(i, self._alt(i, fp)), fp))
+        self.n_items += 1
+        return False
+
+    def maybe_contains(self, h: int) -> bool:
+        fp = self._fp(h)
+        i1 = self._i1(h)
+        row = self.slots[i1]
+        if fp in row:
+            return True
+        i2 = self._alt(i1, fp)
+        if fp in self.slots[i2]:
+            return True
+        if self.stash and (min(i1, i2), fp) in self.stash:
+            return True
+        return False
+
+    def delete(self, h: int) -> bool:
+        fp = self._fp(h)
+        i1 = self._i1(h)
+        i2 = self._alt(i1, fp)
+        for i in (i1, i2):
+            row = self.slots[i]
+            for s in range(4):
+                if row[s] == fp:
+                    row[s] = 0
+                    self.n_items -= 1
+                    return True
+        key = (min(i1, i2), fp)
+        if key in self.stash:
+            self.stash.discard(key)
+            self.n_items -= 1
+            return True
+        return False
+
+
 @ray.remote(num_cpus=0)
 class FrontierShard:
     """One hash-range shard of the frontier state service.
@@ -105,7 +209,7 @@ class FrontierShard:
         actor from a previous crawl (actor spawn + Ray's one-time
         Arrow-serializer warmup cost ~0.5 s per fresh process, paid in
         round 0 otherwise). Every field is rebuilt; nothing survives."""
-        assert mode in ("exact", "approx")
+        assert mode in ("exact", "approx", "cuckoo")
         from .politeness import RobotsCache
 
         self.shard_id = shard_id
@@ -119,7 +223,17 @@ class FrontierShard:
         # pending: url -> (depth, host); first enqueue wins (depth is the
         # BFS discovery depth — a url is only ever enqueued once)
         self.pending: dict[str, tuple[int, str]] = {}
-        self.bloom = _Bloom(bloom_bits) if mode == "approx" else None
+        # membership front: bloom (space-optimal) or cuckoo (supports
+        # deletion — TTL recrawl / host purges at 10^10 scale); both
+        # share the add/maybe_contains API and keep the exact backing
+        # at test scale (see module docstring)
+        if mode == "approx":
+            self.bloom = _Bloom(bloom_bits)
+        elif mode == "cuckoo":
+            # bloom_bits sizes the cuckoo too: 4 x uint16 slots/bucket
+            self.bloom = _Cuckoo(max(1 << 10, bloom_bits >> 6))
+        else:
+            self.bloom = None
         # politeness: per-host budget carry (AutoThrottle stand-in, T5)
         self.host_backlog: dict[str, int] = {}
         # delivery counters for fire-and-forget task->shard RPCs: the
