@@ -55,6 +55,8 @@ class CrawlConfig:
     n_shards: int = 4
     max_depth: int = 4                      # run.sh:5 production knob
     per_host_budget: int | None = None      # politeness cap per round; None = unbounded
+    politeness: str = "budget"              # "budget" (flat per-round cap) |
+                                            # "token_bucket" (carry + 2x burst, north_rule)
     round_limit: int | None = None          # overall per-round URL cap
     max_rounds: int = 64
     allowed_domains: list[str] | None = None
@@ -75,6 +77,7 @@ def config_hash(cfg: CrawlConfig, seeds: list[str]) -> str:
             "n_shards": cfg.n_shards,
             "max_depth": cfg.max_depth,
             "per_host_budget": cfg.per_host_budget,
+            "politeness": cfg.politeness,
             "seeds": sorted(seeds),
             "mode": cfg.mode,
         },
@@ -204,6 +207,7 @@ class Frontier:
                     max_depth=cfg.max_depth,
                     per_host_budget=cfg.per_host_budget,
                     limit=cfg.round_limit,
+                    politeness=cfg.politeness,
                 )
                 for s in self.shards
             ]

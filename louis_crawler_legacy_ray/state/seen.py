@@ -234,8 +234,10 @@ class FrontierShard:
             self.bloom = _Cuckoo(max(1 << 10, bloom_bits >> 6))
         else:
             self.bloom = None
-        # politeness: per-host budget carry (AutoThrottle stand-in, T5)
-        self.host_backlog: dict[str, int] = {}
+        # politeness token-bucket state: host -> unspent tokens carried
+        # between rounds (north_rule: "per-host politeness token-bucket";
+        # colocated with the host's queue because shards key by host)
+        self.host_tokens: dict[str, int] = {}
         # delivery counters for fire-and-forget task->shard RPCs: the
         # driver reconciles these against per-task sent counts instead
         # of shipping control rows through itself
@@ -286,12 +288,23 @@ class FrontierShard:
         max_depth: int | None = None,
         per_host_budget: int | None = None,
         limit: int | None = None,
+        politeness: str = "budget",
     ) -> pa.Table:
         """Select the next fetch batch: pending sorted by (depth, url)
         — the BFS priority order (O1, goldie_playwright_parallel.py:
         647-664, made deterministic per SURVEY §2.10) — capped per host
         (politeness) and optionally overall. Selected URLs move to
-        in_flight; the rest stay pending for a later round."""
+        in_flight; the rest stay pending for a later round.
+
+        ``politeness='budget'`` is a flat per-round cap (the
+        AutoThrottle-derived budget). ``politeness='token_bucket'`` is
+        the north_rule's literal token bucket: a host's bucket refills
+        by ``per_host_budget`` tokens at each round it has pending
+        work, capped at a burst of 2x, and UNSPENT tokens carry — a
+        host whose queue was throttled below its refill one round may
+        burst above the flat cap the next, while its long-run rate
+        stays <= per_host_budget/round. Bucket state lives in this
+        shard because hosts are sharded here."""
         items = sorted(
             (
                 (depth, url, host)
@@ -299,6 +312,10 @@ class FrontierShard:
                 if max_depth is None or depth <= max_depth
             ),
         )
+        token_bucket = politeness == "token_bucket" and per_host_budget is not None
+        if token_bucket:
+            burst = 2 * per_host_budget
+            caps: dict[str, int] = {}
         sel_urls: list[str] = []
         sel_depths: list[int] = []
         sel_hosts: list[str] = []
@@ -308,12 +325,26 @@ class FrontierShard:
                 break
             if per_host_budget is not None:
                 c = host_counts.get(host, 0)
-                if c >= per_host_budget:
+                if token_bucket:
+                    cap = caps.get(host)
+                    if cap is None:
+                        cap = min(
+                            burst, self.host_tokens.get(host, 0) + per_host_budget
+                        )
+                        caps[host] = cap
+                else:
+                    cap = per_host_budget
+                if c >= cap:
                     continue
                 host_counts[host] = c + 1
             sel_urls.append(url)
             sel_depths.append(depth)
             sel_hosts.append(host)
+        if token_bucket:
+            # bank every refilled host's unspent tokens (hosts touched
+            # this round only; an absent host's bucket refills lazily)
+            for host, cap in caps.items():
+                self.host_tokens[host] = cap - host_counts.get(host, 0)
         for url in sel_urls:
             del self.pending[url]
             self.in_flight.add(url)

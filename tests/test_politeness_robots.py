@@ -62,3 +62,43 @@ def test_crawl_with_robots_gate(ray_session, tmp_path):
     fetched = set(res.order["url"].to_pylist())
     assert fetched == {"http://a.ca/root", "http://a.ca/public"}
     assert res.counts["errored"] == 1  # the robots-disallowed url
+
+
+def test_token_bucket_carries_and_bursts(ray_session):
+    """per_host_budget=2, politeness='token_bucket': the seed round
+    spends 1 of 2 tokens, so the next round bursts to 3 (carry), then
+    back to the 2/round rate — vs the flat budget's strict 2/round.
+    Long-run rate stays <= budget/round in both modes."""
+    import pyarrow as pa
+
+    from louis_crawler_legacy_ray.pipelines.crawl import (
+        CrawlConfig,
+        edges_expand,
+        run_frontier,
+    )
+
+    children = [f"http://a.ca/c{i}" for i in range(5)]
+    edges = pa.table(
+        {
+            "src": ["http://a.ca/root"] * 5,
+            "dst": children,
+        }
+    )
+
+    flat = run_frontier(
+        edges_expand(edges),
+        ["http://a.ca/root"],
+        CrawlConfig(n_shards=2, max_depth=3, per_host_budget=2),
+    )
+    bucket = run_frontier(
+        edges_expand(edges),
+        ["http://a.ca/root"],
+        CrawlConfig(
+            n_shards=2, max_depth=3, per_host_budget=2, politeness="token_bucket"
+        ),
+    )
+    # same URL set either way
+    assert set(flat.order["url"].to_pylist()) == set(bucket.order["url"].to_pylist())
+    # flat: 1, 2, 2, 1 -> 4 rounds; bucket: 1, 3 (burst), 2 -> 3 rounds
+    assert [m["selected"] for m in flat.metrics] == [1, 2, 2, 1]
+    assert [m["selected"] for m in bucket.metrics] == [1, 3, 2]
