@@ -70,3 +70,45 @@ def test_write_items_part_retry_overwrites(tmp_path):
     assert files == [f"{out}/part-00003.parquet"]
     assert pq.read_table(files[0]).num_rows == 3
     assert not glob.glob(f"{out}/.*tmp*")  # no stray tmp attempts
+
+
+def test_per_partition_metrics_in_checkpoint(ray_session, tmp_path):
+    """Tasks-fanout rounds roll per-task phase timings (p_* columns)
+    into the round metrics rows, and append_metrics persists them to
+    the checkpoint's metrics parquet (north_rule: per-partition
+    throughput/lag metrics)."""
+    docs = synth_documents(40, seed=13)
+    pages = pages_from_documents(docs)
+    d = str(tmp_path / "pages")
+    write_pages_parquet(pages, d, rows_per_file=16)
+    seed = (
+        f"http://inspection.canada.ca/"
+        f"{lang_segment(docs['lang'][0].as_py())}/{docs['source'][0].as_py()}/doc0"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    res = run_crawl(
+        d,
+        [seed],
+        CrawlConfig(
+            n_shards=2,
+            max_depth=5,
+            max_rounds=10,
+            round_fanout="tasks",
+            inline_round_threshold=0,
+            checkpoint_dir=ckpt,
+        ),
+        out_dir=None,
+    )
+    want = {
+        "p_n_tasks", "p_cpu_filter", "p_cpu_extract", "p_cpu_send",
+        "p_task_span", "p_start_spread", "p_end_spread",
+        "p_t_counts_wait", "p_t_poll", "p_t_put", "p_t_submit",
+    }
+    # in-memory metrics rows carry the rollup...
+    assert want <= set(res.metrics[0].keys())
+    assert res.metrics[0]["p_n_tasks"] >= 1
+    # ...and so do the persisted per-round metric files
+    files = sorted(glob.glob(f"{ckpt}/metrics/round=*.parquet"))
+    assert files
+    cols = set(pq.read_table(files[0]).column_names)
+    assert want <= cols
