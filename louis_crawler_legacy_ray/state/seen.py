@@ -393,6 +393,23 @@ class FrontierShard:
         self.in_flight -= s
         self.seen |= s
 
+    def expire(self, urls: list[str]) -> int:
+        """TTL recrawl primitive: forget that these URLs were seen so a
+        future enqueue re-admits them. Removes from the exact seen set
+        AND from the membership front — which is why the front is a
+        cuckoo filter and not a bloom in mode='cuckoo' (a bloom cannot
+        delete; expiring under mode='approx' would leave the bloom
+        claiming 'seen' and the re-enqueue fast-path would skip the
+        URL). Returns the number actually expired."""
+        n = 0
+        for url in urls:
+            if url in self.seen:
+                self.seen.discard(url)
+                n += 1
+                if isinstance(self.bloom, _Cuckoo):
+                    self.bloom.delete(_h64(url))
+        return n
+
     def finish_round(self) -> list[str]:
         """End-of-round: any URL still in flight failed to fetch —
         quarantine to errored, never retried in-run

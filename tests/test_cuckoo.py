@@ -71,3 +71,27 @@ def test_cuckoo_mode_matches_exact(ray_session, tmp_path):
     cuckoo = run_crawl(pages_dir, seeds, CrawlConfig(n_shards=2, max_depth=3, mode="cuckoo"))
     assert exact.order["url"].to_pylist() == cuckoo.order["url"].to_pylist()
     assert exact.counts == cuckoo.counts
+
+
+def test_expire_enables_recrawl(ray_session):
+    """The TTL-recrawl primitive: expired URLs become enqueueable again
+    (seen-set AND cuckoo-front deletion), unexpired ones stay blocked."""
+    from louis_crawler_legacy_ray.state.seen import FrontierShard
+
+    shard = FrontierShard.options(num_cpus=0).remote(0, mode="cuckoo")
+    import ray as _ray
+
+    urls = [f"https://a.ca/p{i}" for i in range(20)]
+    hosts = ["a.ca"] * 20
+    _ray.get(shard.enqueue.remote(urls, [0] * 20, hosts))
+    _ray.get(shard.take.remote())
+    _ray.get(shard.record_fetched.remote(urls))
+    # everything is seen: nothing re-admits
+    assert _ray.get(shard.enqueue.remote(urls, [1] * 20, hosts)) == 0
+    # expire half: exactly those become enqueueable again
+    expired = urls[::2]
+    assert _ray.get(shard.expire.remote(expired)) == len(expired)
+    assert _ray.get(shard.enqueue.remote(urls, [1] * 20, hosts)) == len(expired)
+    sel = _ray.get(shard.take.remote())
+    assert sorted(sel["url"].to_pylist()) == sorted(expired)
+    _ray.kill(shard)
