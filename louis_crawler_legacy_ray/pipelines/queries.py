@@ -361,7 +361,9 @@ def q_upsert_latest_event(sf_dir: str):
         df = b.to_pandas().sort_values(
             ["ts", "event_id"], ascending=[False, False]
         ).drop_duplicates("user_id", keep="first")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # strip the pandas schema metadata or the downstream groupby
+        # falls off Ray's schema-dedup fast path (stages.from_pandas_clean)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     ev = ev.map_batches(partial_latest, batch_format="pyarrow")
 

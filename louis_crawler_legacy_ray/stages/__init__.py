@@ -13,3 +13,21 @@ def pool_size(frac: float = 0.5, lo: int = 1, hi: int = 16) -> tuple[int, int]:
     except Exception:  # noqa: BLE001
         cpus = 8
     return (lo, max(lo, min(hi, int(cpus * frac))))
+
+
+def from_pandas_clean(df) -> "pyarrow.Table":  # noqa: F821
+    """pandas -> Arrow WITHOUT the pandas schema metadata.
+
+    Ray's block layer converts a pandas UDF return with
+    pa.Table.from_pandas, which stamps a dict-valued 'pandas' entry
+    into the schema metadata. Downstream sort/groupby operators then
+    fail schema deduplication ('Failed to hash the schemas:
+    unhashable type: dict') and fall off the fast path — a measured
+    8x slowdown on a 7k-row two-key aggregate (1.6 s vs 0.2 s).
+    Group reducers return through this helper instead of returning
+    the DataFrame."""
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+        None
+    )

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from . import from_pandas_clean
 import pyarrow.compute as pc
 import ray
 import ray.data
@@ -147,11 +149,13 @@ def semdedup_survivors(
         # SQL-expressible for the oracle
         dropped = (np.triu(sims >= tau, k=1)).any(axis=0)
         keep = ~dropped
-        return pd.DataFrame(
-            {
-                id_col: g[id_col].to_numpy()[keep],
-                "centroid_id": g["centroid_id"].to_numpy()[keep],
-            }
+        return from_pandas_clean(
+            pd.DataFrame(
+                {
+                    id_col: g[id_col].to_numpy()[keep],
+                    "centroid_id": g["centroid_id"].to_numpy()[keep],
+                }
+            )
         )
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")

@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from . import pool_size
+from . import from_pandas_clean, pool_size
 from ray.data.aggregate import Count, Min, Sum
 
 _WORD_RE = re.compile(r"[a-z0-9]+")
@@ -95,7 +95,7 @@ def bucketed_self_pairs(
         for c in carry_cols:
             out_cols[f"{c}_a"] = m[f"{c}_a"].to_numpy()
             out_cols[f"{c}_b"] = m[f"{c}_b"].to_numpy()
-        return pd.DataFrame(out_cols)
+        return from_pandas_clean(pd.DataFrame(out_cols))
 
     return parted.groupby("__part").map_groups(pairs, batch_format="pandas")
 

@@ -18,6 +18,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from . import from_pandas_clean
+
 KNUTH = 2654435761
 HASH_MOD = 1 << 32
 
@@ -50,11 +52,13 @@ def stratified_sample(
             .groupby(key_col, sort=False)
             .head(k)
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return from_pandas_clean(df)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+    def final_topk(g: pd.DataFrame):
         g = g.sort_values(["_h", id_col]).head(k)
-        return pd.DataFrame({key_col: g[key_col].values, id_col: g[id_col].values})
+        return from_pandas_clean(
+            pd.DataFrame({key_col: g[key_col].values, id_col: g[id_col].values})
+        )
 
     return (
         ds.map_batches(partial_topk, batch_format="pyarrow")
@@ -86,12 +90,12 @@ def grouped_topk(
     def partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         df = best(df).groupby(key_col, sort=False).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return from_pandas_clean(df)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
+    def final(g: pd.DataFrame):
         g = best(g).head(k).reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+        return from_pandas_clean(g)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -129,9 +133,9 @@ def weighted_sample(
 
     merged = ds.map_batches(partial, batch_format="pyarrow")
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
+    def final(df: pd.DataFrame):
         df = df.sort_values(["_race_key", id_col]).head(k)
-        return df.drop(columns=["_race_key"]).reset_index(drop=True)
+        return from_pandas_clean(df.drop(columns=["_race_key"]).reset_index(drop=True))
 
     # partials are k x blocks rows -> single-group final merge
     return merged.repartition(1).map_batches(

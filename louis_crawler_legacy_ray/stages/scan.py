@@ -29,6 +29,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+
+from . import from_pandas_clean
 from ray.data.aggregate import Sum
 
 BUCKET_COL = "_scan_bucket"
@@ -72,7 +74,7 @@ def prefix_sum(
         incl = np.cumsum(vals) + offsets[int(g[BUCKET_COL].iloc[0])]
         g[out_incl] = incl
         g[out_excl] = incl - vals
-        return g.drop(columns=[BUCKET_COL])
+        return from_pandas_clean(g.drop(columns=[BUCKET_COL]))
 
     return bucketed.groupby(BUCKET_COL).map_groups(scan_group, batch_format="pandas")
 

@@ -16,6 +16,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from . import from_pandas_clean
+
 
 class HLL:
     def __init__(self, p: int = 12):
@@ -125,7 +127,7 @@ def histogram_quantiles(
             .size()
             .reset_index(name="n")
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return from_pandas_clean(df)
 
     from ray.data.aggregate import Sum
 
@@ -148,12 +150,14 @@ def histogram_quantiles(
             idx = int(np.searchsorted(cum, rank, side="left"))
             out_q.append(int(round(q * 100)))
             out_v.append(vals[idx])
-        return pd.DataFrame(
-            {
-                key_col: [g[key_col].iloc[0]] * len(qs),
-                "q_pct": out_q,
-                value_col: out_v,
-            }
+        return from_pandas_clean(
+            pd.DataFrame(
+                {
+                    key_col: [g[key_col].iloc[0]] * len(qs),
+                    "q_pct": out_q,
+                    value_col: out_v,
+                }
+            )
         )
 
     return hist.groupby(key_col).map_groups(walk, batch_format="pandas")

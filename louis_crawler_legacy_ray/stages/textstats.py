@@ -384,14 +384,18 @@ def postings_group(df):
     row (df, total_tf, comma-joined doc ids sorted ascending)."""
     import pandas as pd
 
+    from . import from_pandas_clean
+
     docs = sorted(int(d) for d in df["doc_id"])
-    return pd.DataFrame(
-        {
-            "term": [df["term"].iloc[0]],
-            "df": [len(docs)],
-            "total_tf": [int(df["tf"].sum())],
-            "postings": [",".join(str(d) for d in docs)],
-        }
+    return from_pandas_clean(
+        pd.DataFrame(
+            {
+                "term": [df["term"].iloc[0]],
+                "df": [len(docs)],
+                "total_tf": [int(df["tf"].sum())],
+                "postings": [",".join(str(d) for d in docs)],
+            }
+        )
     )
 
 
