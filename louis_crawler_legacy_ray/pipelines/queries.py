@@ -1641,6 +1641,31 @@ ORDER BY pair_count DESC, w1, w2 LIMIT 100
 """
 
 
+def q_line_dedup(sf_dir: str):
+    """Corpus-wide exact line dedup (C4-style first-occurrence rule):
+    docs reassembled from their surviving lines."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dd.line_dedup(docs).sort("doc_id")
+
+
+SQL_LINE_DEDUP = """
+WITH l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS line_no
+  FROM documents),
+win AS (
+  SELECT line, min(doc_id * 1048576 + line_no) AS wkey FROM l GROUP BY line),
+kept AS (
+  SELECT l.doc_id, l.line_no, l.line
+  FROM l JOIN win ON l.line = win.line
+   AND l.doc_id * 1048576 + l.line_no = win.wkey)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(line, chr(10) ORDER BY line_no) AS clean_text
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_train_val_split(sf_dir: str):
     """Deterministic train/val holdout split (md5(doc_id) %% 100 < 5
     -> val): per-split doc and word totals. Membership is a pure
@@ -2389,6 +2414,7 @@ QUERIES = {
     "vocab_stats": q_vocab_stats,
     "inverted_index": q_inverted_index,
     "bigram_counts": q_bigram_counts,
+    "line_dedup": q_line_dedup,
     "train_val_split": q_train_val_split,
     "dedup_survivors": q_dedup_survivors,
     "decontaminate": q_decontaminate,
@@ -2469,6 +2495,7 @@ ORACLE_SQL = {
     "vocab_stats": SQL_VOCAB_STATS,
     "inverted_index": SQL_INVERTED_INDEX,
     "bigram_counts": SQL_BIGRAM_COUNTS,
+    "line_dedup": SQL_LINE_DEDUP,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "dedup_survivors": SQL_DEDUP_SURVIVORS,
     "decontaminate": SQL_DECONTAMINATE,

@@ -869,3 +869,81 @@ def duplicate_ngrams(
         )
 
     return agg.map_batches(keep, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ line dedup
+_LINE_SHIFT = 1 << 20  # line_no < 2^20 lines/doc; doc_id < 2^43
+
+
+def line_dedup(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Corpus-wide exact line deduplication, C4-style: a line survives
+    only at its FIRST occurrence (lexicographically smallest
+    (doc_id, line_no)); each doc is reassembled from its surviving
+    lines. Returns (doc_id, n_kept, clean_text) — docs whose every
+    line appeared earlier vanish, like the SQL oracle.
+
+    Scale shape: two shuffles, both combiner-pruned. (1) per-block
+    partials emit min-winner-key per DISTINCT line (the combiner), the
+    groupby(line) takes the global Min — the shuffle carries distinct
+    lines, never raw rows; the winner row itself decodes to
+    (doc_id, line_no) from the packed key, so no join back to the
+    corpus is needed. (2) winners re-shuffle by doc_id for reassembly,
+    carrying only surviving lines."""
+
+    def explode_partial(batch: pa.Table) -> pa.Table:
+        best: dict[str, int] = {}
+        for i, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            base = i * _LINE_SHIFT
+            for j, line in enumerate((t or "").split("\n"), start=1):
+                k = base + j
+                prev = best.get(line)
+                if prev is None or k < prev:
+                    best[line] = k
+        return pa.table(
+            {
+                "line": pa.array(list(best.keys()), pa.string()),
+                "wkey": pa.array(list(best.values()), pa.int64()),
+            }
+        )
+
+    winners = (
+        ds.map_batches(explode_partial, batch_format="pyarrow")
+        .groupby("line")
+        .aggregate(Min("wkey", alias_name="wkey"))
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        wk = batch["wkey"].cast(pa.int64())
+        return pa.table(
+            {
+                id_col: pc.divide(wk, pa.scalar(_LINE_SHIFT, pa.int64())),
+                "line_no": pc.subtract(
+                    wk,
+                    pc.multiply(
+                        pc.divide(wk, pa.scalar(_LINE_SHIFT, pa.int64())),
+                        pa.scalar(_LINE_SHIFT, pa.int64()),
+                    ),
+                ),
+                "line": batch["line"],
+            }
+        )
+
+    decoded = winners.map_batches(decode, batch_format="pyarrow")
+
+    def reassemble(g: pd.DataFrame):
+        g = g.sort_values("line_no")
+        return from_pandas_clean(
+            pd.DataFrame(
+                {
+                    id_col: [int(g[id_col].iloc[0])],
+                    "n_kept": [len(g)],
+                    "clean_text": ["\n".join(g["line"])],
+                }
+            )
+        )
+
+    return decoded.groupby(id_col).map_groups(reassemble, batch_format="pandas")

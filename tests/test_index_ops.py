@@ -113,3 +113,31 @@ def test_split_assign_matches_md5_rule():
     # every doc has exactly 3 words
     assert rows["train"][1] == 3 * rows["train"][0]
     assert rows["val"][1] == 3 * rows["val"][0]
+
+
+def test_line_dedup_first_occurrence(ray_session):
+    """Line survives only at its lexicographically first (doc, line_no);
+    docs with nothing left vanish."""
+    import ray.data
+
+    from louis_crawler_legacy_ray.stages.dedup import line_dedup
+
+    docs = [
+        {"doc_id": 1, "text": "a\nb"},
+        {"doc_id": 2, "text": "b\nc\na"},
+        {"doc_id": 3, "text": "c"},
+        {"doc_id": 4, "text": "d\nd\nd"},  # self-duplicate lines
+    ]
+    out = (
+        line_dedup(ray.data.from_items(docs).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = {
+        int(r["doc_id"]): (int(r["n_kept"]), r["clean_text"])
+        for _, r in out.iterrows()
+    }
+    # doc3 vanishes (its only line first occurred in doc 2); in-doc
+    # repeats keep only the first copy
+    assert got == {1: (2, "a\nb"), 2: (1, "c"), 4: (1, "d")}
