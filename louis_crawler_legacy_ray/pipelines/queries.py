@@ -1641,6 +1641,23 @@ ORDER BY pair_count DESC, w1, w2 LIMIT 100
 """
 
 
+def q_top_principal_component(sf_dir: str):
+    """Top principal direction of the embeddings via the distributed
+    Gram matrix (one pass, D^2-row shuffle) + driver power iteration.
+    Rows-only check (float tree-sums are not SQL-hash-stable); exact
+    numpy parity is pinned in tests/test_curation_ops.py."""
+    from ..stages.cluster import top_principal_component
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    v = top_principal_component(emb)
+    return pa.table(
+        {
+            "dim": pa.array(range(len(v)), pa.int64()),
+            "component": pa.array(v.tolist(), pa.float64()),
+        }
+    )
+
+
 def q_line_dedup(sf_dir: str):
     """Corpus-wide exact line dedup (C4-style first-occurrence rule):
     docs reassembled from their surviving lines."""
@@ -2415,6 +2432,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "bigram_counts": q_bigram_counts,
     "line_dedup": q_line_dedup,
+    "top_principal_component": q_top_principal_component,
     "train_val_split": q_train_val_split,
     "dedup_survivors": q_dedup_survivors,
     "decontaminate": q_decontaminate,

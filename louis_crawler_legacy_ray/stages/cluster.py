@@ -197,3 +197,64 @@ def assign_nearest_centroid(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- gram / top-PC
+def gram_matrix(ds: ray.data.Dataset, vec_col: str = "embedding") -> np.ndarray:
+    """Distributed Gram matrix X^T X over an embedding column — the
+    tree-aggregated D x D partial shape every distributed PCA/whitening
+    step uses: each batch emits its own X^T X as (i, j, v) rows (D^2
+    rows per BLOCK, independent of row count), one groupby sums them,
+    and only the D x D result ever reaches the driver. At 100 TB the
+    shuffle carries blocks x D^2 tiny rows; the corpus is read once."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _vecs(batch, vec_col)
+        g = x.T @ x
+        d = g.shape[0]
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        return pa.table(
+            {
+                "i": pa.array(ii.ravel().astype("int64")),
+                "j": pa.array(jj.ravel().astype("int64")),
+                "v": pa.array(g.ravel().astype("float64")),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("v", alias_name="v"))
+    )
+    rows = agg.take_all()  # D^2 rows only
+    d = max(int(r["i"]) for r in rows) + 1
+    g = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        g[int(r["i"]), int(r["j"])] = float(r["v"])
+    return g
+
+
+def top_principal_component(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    iters: int = 100,
+    seed: int = 7,
+) -> np.ndarray:
+    """Top eigenvector of the Gram matrix by power iteration on the
+    driver (the matrix is D x D — tiny; the distributed work is the
+    one-pass Gram above). Sign pinned so the largest-magnitude
+    component is positive (eigenvectors are sign-ambiguous)."""
+    g = gram_matrix(ds, vec_col)
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(g.shape[0])
+    v /= np.linalg.norm(v)
+    for _ in range(iters):
+        w = g @ v
+        n = np.linalg.norm(w)
+        if n == 0:
+            return v
+        v = w / n
+    k = int(np.argmax(np.abs(v)))
+    if v[k] < 0:
+        v = -v
+    return v

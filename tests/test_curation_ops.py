@@ -156,3 +156,28 @@ def test_tfidf_topk_matches_naive(ray_session):
         )[:2]
         got = out[out["doc_id"] == doc_id].sort_values("rank")["term"].tolist()
         assert got == [term for term, _ in scored], doc_id
+
+
+# ------------------------------------------------------------ gram / PCA
+
+
+def test_gram_matrix_matches_numpy(ray_session):
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((400, 8))
+    rows = [{"id": i, "embedding": x[i].tolist()} for i in range(400)]
+    ds = ray.data.from_items(rows).repartition(7)
+    from louis_crawler_legacy_ray.stages.cluster import (
+        gram_matrix,
+        top_principal_component,
+    )
+
+    g = gram_matrix(ds, "embedding")
+    assert np.allclose(g, x.T @ x, atol=1e-8)
+    v = top_principal_component(ds, "embedding")
+    # compare against numpy's top eigenvector of the Gram matrix
+    w, vecs = np.linalg.eigh(x.T @ x)
+    ref = vecs[:, -1]
+    k = int(np.argmax(np.abs(ref)))
+    if ref[k] < 0:
+        ref = -ref
+    assert np.allclose(np.abs(v @ ref), 1.0, atol=1e-6)
