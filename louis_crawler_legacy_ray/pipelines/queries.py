@@ -220,6 +220,93 @@ def q_order_lineitem_join(sf_dir: str):
     )
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: 3-table composition — broadcast semi-join of
+    orders against the filtered customer segment (small side captured
+    once, is_in per batch), date-pruned scans on both fact tables,
+    partitioned hash join orders x lineitem, 3-key grouped revenue,
+    deterministic top-10. Money as integer cents for oracle parity."""
+    from ..stages.joins import partitioned_hash_join
+
+    from datetime import datetime as _dt
+
+    cutoff = pa.scalar(_dt(1998, 6, 1), pa.timestamp("us"))
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.filter(
+        pc.equal(cust["c_mktsegment"], pa.scalar("BUILDING"))
+    )["c_custkey"].combine_chunks()
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.less(b["o_orderdate"], cutoff),
+                pc.is_in(b["o_custkey"], value_set=keys),
+            )
+        )
+        return b.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    )
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], cutoff))
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+
+    joined = partitioned_hash_join(
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        li.map_batches(l_prep, batch_format="pyarrow"),
+        "o_orderkey",
+        "l_orderkey",
+        num_buckets=32,
+        how="inner",
+    )
+    out = joined.groupby(
+        ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).aggregate(Sum("rev", alias_name="rev_raw"))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = pa.table(
+        {
+            "l_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "revenue_c": _cents(t["rev_raw"]),
+            "o_orderdate": t["o_orderdate"].cast(pa.timestamp("us")),
+            "o_orderpriority": t["o_orderpriority"],
+        }
+    )
+    return t.sort_by(
+        [
+            ("revenue_c", "descending"),
+            ("o_orderdate", "ascending"),
+            ("l_orderkey", "ascending"),
+        ]
+    ).slice(0, 10)
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+         AS revenue_c,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_c DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
 SQL_ORDER_LINEITEM_JOIN = """
 SELECT o_orderpriority,
        CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_c,
@@ -2390,6 +2477,7 @@ QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "segment_revenue": q_segment_revenue,
     "order_lineitem_join": q_order_lineitem_join,
+    "shipping_priority": q_shipping_priority,
     "anti_join_unused_parts": q_anti_join_unused_parts,
     "recency_top10": q_recency_top10,
     "frontier_order_topk": q_frontier_order_topk,
@@ -2475,6 +2563,7 @@ ORACLE_SQL = {
     "q1_pricing_summary": SQL_Q1,
     "segment_revenue": SQL_SEGMENT_REVENUE,
     "order_lineitem_join": SQL_ORDER_LINEITEM_JOIN,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
     "anti_join_unused_parts": SQL_ANTI_JOIN_UNUSED_PARTS,
     "recency_top10": SQL_RECENCY_TOP10,
     "frontier_order_topk": SQL_FRONTIER_ORDER_TOPK,
