@@ -112,3 +112,39 @@ def test_per_partition_metrics_in_checkpoint(ray_session, tmp_path):
     assert files
     cols = set(pq.read_table(files[0]).column_names)
     assert want <= cols
+
+
+def test_crawl_job_entrypoint(tmp_path):
+    """tools/crawl_job.py — the `ray job submit` entrypoint — runs a
+    crawl end-to-end in a subprocess (own Ray session), emits the
+    one-line JSON summary, and resumes from its checkpoint."""
+    import json
+    import subprocess
+    import sys
+
+    docs = synth_documents(40, seed=13)
+    pages = pages_from_documents(docs)
+    d = str(tmp_path / "pages")
+    write_pages_parquet(pages, d, rows_per_file=16)
+    seed = (
+        f"http://inspection.canada.ca/"
+        f"{lang_segment(docs['lang'][0].as_py())}/{docs['source'][0].as_py()}/doc0"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    cmd = [
+        sys.executable, "tools/crawl_job.py", "--pages", d, "--seeds", seed,
+        "--checkpoint", ckpt, "--shards", "2", "--max-depth", "4",
+    ]
+    env = {"RAY_ADDRESS": "local"}
+    import os
+
+    env = dict(os.environ, RAY_ADDRESS="local")
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["fetched"] > 0 and summary["rounds"] >= 2
+    # resume from the finished checkpoint: nothing left to do
+    r2 = subprocess.run(cmd + ["--resume"], capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["fetched"] == summary["fetched"]

@@ -1,0 +1,96 @@
+"""``ray job submit`` entrypoint for the frontier crawl (north_rule:
+"runs via ray job submit on fixed N-node and 4N-node clusters").
+
+On a cluster:
+
+    ray job submit --working-dir . -- \
+        python tools/crawl_job.py --pages s3://bucket/pages \
+        --seeds https://example.ca/root --out s3://bucket/crawl_out \
+        --checkpoint s3://bucket/ckpt --shards 64 --max-depth 6 --resume
+
+In this sandbox the same entrypoint runs against a local corpus and a
+local Ray (``ray.init(address=...)`` resolves RAY_ADDRESS, which the
+job runner sets on the cluster; locally it starts a one-node Ray).
+The job is resumable: ``--resume`` continues from the newest complete
+checkpoint round (per-partition frontier + seen state with lineage,
+state/checkpoint.py), so a killed job re-submitted with the same
+arguments picks up exactly where it stopped.
+
+Exit code 0 and a one-line JSON summary on stdout (rounds, URLs
+fetched, throughput, per-round metrics path) — what a scheduler wants
+from a batch job.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# --working-dir lands the repo root next to this file's parent
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pages", required=True, help="pages corpus dir/URI")
+    p.add_argument("--seeds", nargs="+", required=True)
+    p.add_argument("--out", default=None, help="crawl_items output dir/URI")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--shards", type=int, default=8)
+    p.add_argument("--max-depth", type=int, default=4)
+    p.add_argument("--max-rounds", type=int, default=64)
+    p.add_argument("--round-limit", type=int, default=None)
+    p.add_argument("--per-host-budget", type=int, default=None)
+    p.add_argument(
+        "--politeness", choices=["budget", "token_bucket"], default="budget"
+    )
+    p.add_argument("--mode", choices=["exact", "approx", "cuckoo"], default="exact")
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        # on a cluster the job runner sets RAY_ADDRESS; locally this
+        # starts a one-node Ray
+        ray.init(include_dashboard=False)
+
+    from louis_crawler_legacy_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        n_shards=args.shards,
+        max_depth=args.max_depth,
+        max_rounds=args.max_rounds,
+        round_limit=args.round_limit,
+        per_host_budget=args.per_host_budget,
+        politeness=args.politeness,
+        mode=args.mode,
+        checkpoint_dir=args.checkpoint,
+    )
+    t0 = time.perf_counter()
+    res = run_crawl(args.pages, args.seeds, cfg, out_dir=args.out, resume=args.resume)
+    wall = time.perf_counter() - t0
+    fetched = int(res.counts["seen"])
+    print(
+        json.dumps(
+            {
+                "rounds": res.rounds,
+                "fetched": fetched,
+                "errored": int(res.counts["errored"]),
+                "seconds": round(wall, 3),
+                "urls_per_sec": round(fetched / wall, 1) if wall > 0 else 0.0,
+                "metrics": (
+                    f"{args.checkpoint}/metrics" if args.checkpoint else None
+                ),
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
