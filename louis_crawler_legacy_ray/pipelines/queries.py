@@ -1702,6 +1702,42 @@ ORDER BY df DESC, term LIMIT 100
 """
 
 
+def q_inverted_index_sharded(sf_dir: str):
+    """The inverted index's SCALE PATH exercised for real: postings
+    built per (term, md5(doc_id) %% 4) shard so no reducer ever holds
+    a whole hot term's list; top terms' shards returned. The driver
+    oracle computes the identical sharding in SQL, proving the
+    partitioning is a pure engine-independent function."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    partials = docs.map_batches(
+        ts.inverted_shard_partial_batch, batch_format="pyarrow"
+    )
+    shards = partials.groupby(["term", "pshard"]).map_groups(
+        ts.sharded_postings_group, batch_format="pandas"
+    )
+    return shards.sort(
+        ["df", "term", "pshard"], descending=[True, False, False]
+    ).limit(100)
+
+
+SQL_INVERTED_INDEX_SHARDED = """
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+td AS (
+  SELECT term,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) % 4 AS BIGINT) AS pshard,
+         CAST(doc_id AS BIGINT) AS doc_id, count(*) AS tf
+  FROM t GROUP BY term, doc_id)
+SELECT term, pshard, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM td GROUP BY term, pshard
+ORDER BY df DESC, term, pshard LIMIT 100
+"""
+
+
 def q_bigram_counts(sf_dir: str):
     """Adjacent-word co-occurrence statistics: top-100 bigrams by
     count. Per-batch Counter partials keep the two-key groupby
@@ -2518,6 +2554,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "vocab_stats": q_vocab_stats,
     "inverted_index": q_inverted_index,
+    "inverted_index_sharded": q_inverted_index_sharded,
     "bigram_counts": q_bigram_counts,
     "line_dedup": q_line_dedup,
     "top_principal_component": q_top_principal_component,
@@ -2601,6 +2638,7 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "vocab_stats": SQL_VOCAB_STATS,
     "inverted_index": SQL_INVERTED_INDEX,
+    "inverted_index_sharded": SQL_INVERTED_INDEX_SHARDED,
     "bigram_counts": SQL_BIGRAM_COUNTS,
     "line_dedup": SQL_LINE_DEDUP,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,

@@ -445,3 +445,63 @@ def split_assign_batch(batch: pa.Table, val_pct: int = 5) -> pa.Table:
             "total_words": pa.array([w_train, w_val], pa.int64()),
         }
     )
+
+
+def inverted_shard_partial_batch(
+    batch: pa.Table, n_shards: int = 4, text_col: str = "text"
+) -> pa.Table:
+    """Sharded-postings partials: like inverted_partial_batch plus the
+    posting shard ``pshard = md5(doc_id) % n_shards``. This is the
+    documented scale path made real: when a hot term's postings
+    outgrow one group, the group key becomes (term, pshard) so each
+    shard's postings build in parallel and no single reducer holds a
+    10^10-doc posting list. The shard id is a pure function of the
+    doc id (md5 hex, like the train/val split), so the SQL oracle
+    computes it identically."""
+    from collections import Counter
+
+    terms_out: list[str] = []
+    shards_out: list[int] = []
+    docs_out: list[int] = []
+    tfs_out: list[int] = []
+    for doc_id, t in zip(
+        batch["doc_id"].to_pylist(), batch[text_col].to_pylist()
+    ):
+        ps = (
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+            % n_shards
+        )
+        c = Counter(_VOCAB_RE.findall((t or "").lower()))
+        for term, tf in c.items():
+            terms_out.append(term)
+            shards_out.append(ps)
+            docs_out.append(doc_id)
+            tfs_out.append(tf)
+    return pa.table(
+        {
+            "term": pa.array(terms_out, pa.string()),
+            "pshard": pa.array(shards_out, pa.int64()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "tf": pa.array(tfs_out, pa.int64()),
+        }
+    )
+
+
+def sharded_postings_group(df):
+    """map_groups reducer over (term, pshard): one posting SHARD."""
+    import pandas as pd
+
+    from . import from_pandas_clean
+
+    docs = sorted(int(d) for d in df["doc_id"])
+    return from_pandas_clean(
+        pd.DataFrame(
+            {
+                "term": [df["term"].iloc[0]],
+                "pshard": [int(df["pshard"].iloc[0])],
+                "df": [len(docs)],
+                "total_tf": [int(df["tf"].sum())],
+                "postings": [",".join(str(d) for d in docs)],
+            }
+        )
+    )

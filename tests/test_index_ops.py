@@ -141,3 +141,43 @@ def test_line_dedup_first_occurrence(ray_session):
     # doc3 vanishes (its only line first occurred in doc 2); in-doc
     # repeats keep only the first copy
     assert got == {1: (2, "a\nb"), 2: (1, "c"), 4: (1, "d")}
+
+
+def test_sharded_postings_merge_to_unsharded(ray_session):
+    """Union of a term's posting shards equals the unsharded postings
+    (the scale path loses nothing); shard assignment follows the md5
+    rule."""
+    import ray.data
+
+    from louis_crawler_legacy_ray.stages.textstats import (
+        inverted_shard_partial_batch,
+        sharded_postings_group,
+    )
+
+    ds = ray.data.from_items(DOCS).repartition(3)
+    shards = (
+        ds.map_batches(inverted_shard_partial_batch, batch_format="pyarrow")
+        .groupby(["term", "pshard"])
+        .map_groups(sharded_postings_group, batch_format="pandas")
+        .to_pandas()
+    )
+    merged: dict = {}
+    for _, r in shards.iterrows():
+        df0, tf0, docs0 = merged.get(r["term"], (0, 0, []))
+        merged[r["term"]] = (
+            df0 + r["df"],
+            tf0 + r["total_tf"],
+            docs0 + [int(x) for x in r["postings"].split(",")],
+        )
+    flat = _index_via_ray(ds)
+    assert {
+        t: (df0, tf0, ",".join(str(d) for d in sorted(docs0)))
+        for t, (df0, tf0, docs0) in merged.items()
+    } == flat
+    # shard id is the md5 rule
+    for _, r in shards.iterrows():
+        for d in r["postings"].split(","):
+            assert (
+                int(hashlib.md5(d.encode()).hexdigest()[:8], 16) % 4
+                == r["pshard"]
+            )
