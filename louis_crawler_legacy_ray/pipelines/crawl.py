@@ -1143,3 +1143,45 @@ def run_crawl(
     res = run_frontier(expand, seeds, cfg, resume=resume)
     res.out_dir = out_dir
     return res
+
+
+def suggest_hot_host_salt(
+    pages_path: str, per_shard_target: int = 100_000, max_salts: int = 64
+) -> dict[str, int]:
+    """Skew advisor for ``CrawlConfig.hot_host_salt`` (north_rule:
+    "salt hot hosts to defuse skew"): one column-pruned distributed
+    pass over the corpus url column counts pages per host (per-batch
+    Counter partials -> groupby Sum; the shuffle carries distinct
+    hosts per block), and any host whose page count exceeds
+    ``per_shard_target`` gets ceil(count/target) salts — splitting its
+    frontier queue over that many shards. The salt map must be fixed
+    BEFORE the crawl (shard ownership is keyed by it; changing it
+    mid-run would split a host's seen-set across shards), which is why
+    this is an advisory pre-pass, not a mid-crawl rebalance."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def host_counts(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch["url"], _HOST_PATTERN)
+        hosts = pc.if_else(
+            pc.is_valid(ex), pc.struct_field(ex, "host"), pa.scalar("", pa.string())
+        )
+        vc = hosts.value_counts()
+        return pa.table(
+            {
+                "host": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        ray.data.read_parquet(pages_path, columns=["url"])
+        .map_batches(host_counts, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    out: dict[str, int] = {}
+    for row in counts.iter_rows():
+        n = int(row["n"])
+        if n > per_shard_target:
+            out[row["host"]] = min(max_salts, -(-n // per_shard_target))
+    return out

@@ -165,3 +165,40 @@ def test_approx_mode_matches_exact(ray_session, corpus):
     exact = run_crawl(pages_dir, seeds, CrawlConfig(n_shards=2, max_depth=3, mode="exact"))
     approx = run_crawl(pages_dir, seeds, CrawlConfig(n_shards=2, max_depth=3, mode="approx"))
     assert set(exact.order["url"].to_pylist()) == set(approx.order["url"].to_pylist())
+
+
+def test_suggest_hot_host_salt(ray_session, tmp_path):
+    """The skew advisor flags only hosts above the per-shard target,
+    sizes salts as ceil(count/target), and crawling with the suggested
+    salt map yields the identical fetched-URL set (salting moves queue
+    ownership, never results)."""
+    import pyarrow as pa
+
+    from louis_crawler_legacy_ray.pipelines.crawl import (
+        CrawlConfig,
+        run_crawl,
+        suggest_hot_host_salt,
+    )
+    from louis_crawler_legacy_ray.sources.pages import (
+        pages_from_documents,
+        synth_documents,
+        write_pages_parquet,
+    )
+
+    # 2 hosts: n_hosts=2 concentrates ~150 pages per host
+    pages = pages_from_documents(synth_documents(300), n_children=4, n_hosts=2)
+    d = str(tmp_path / "pages")
+    write_pages_parquet(pages, d)
+    salt = suggest_hot_host_salt(d, per_shard_target=100)
+    # both hosts exceed 100 pages -> 2 salts each
+    assert salt and all(v == 2 for v in salt.values())
+    assert suggest_hot_host_salt(d, per_shard_target=10_000) == {}
+
+    seeds = [pages["url"][0].as_py()]
+    plain = run_crawl(d, seeds, CrawlConfig(n_shards=2, max_depth=3))
+    salted = run_crawl(
+        d, seeds, CrawlConfig(n_shards=2, max_depth=3, hot_host_salt=salt)
+    )
+    assert set(plain.order["url"].to_pylist()) == set(
+        salted.order["url"].to_pylist()
+    )
