@@ -227,6 +227,9 @@ def run_bench() -> dict:
         timed("c4_line_filter", Q.q_c4_line_filter)
         timed("vocab_stats", Q.q_vocab_stats)
         timed("duplicate_ngrams", Q.q_duplicate_ngrams)
+        timed("line_dedup", Q.q_line_dedup)
+        timed("inverted_index", Q.q_inverted_index)
+        timed("shipping_priority", Q.q_shipping_priority)
 
     result = {
         "metric": "crawl+extract seconds over synthetic pages corpus "
