@@ -1764,6 +1764,29 @@ ORDER BY pair_count DESC, w1, w2 LIMIT 100
 """
 
 
+def q_percentile_rank(sf_dir: str):
+    """Exact per-key percent_rank over lineitem quantities (feature
+    rank-normalization shape: histogram merge + broadcast cdf)."""
+    from ..stages.sketches import percentile_rank
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"]
+    )
+    return percentile_rank(
+        li, "l_returnflag", "l_quantity", ["l_orderkey", "l_linenumber"]
+    )
+
+
+SQL_PERCENTILE_RANK = """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_returnflag, l_quantity,
+       percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+         AS pct_rank
+FROM lineitem
+"""
+
+
 def q_top_principal_component(sf_dir: str):
     """Top principal direction of the embeddings via the distributed
     Gram matrix (one pass, D^2-row shuffle) + driver power iteration.
@@ -2568,6 +2591,7 @@ QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "semdedup": q_semdedup,
     "percentile_filter": q_percentile_filter,
+    "percentile_rank": q_percentile_rank,
     "heavy_hitters": q_heavy_hitters,
     "pii_redact": q_pii_redact,
     "repetition_filter": q_repetition_filter,
@@ -2650,6 +2674,7 @@ ORACLE_SQL = {
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "semdedup": SQL_SEMDEDUP,
     "percentile_filter": SQL_PERCENTILE_FILTER,
+    "percentile_rank": SQL_PERCENTILE_RANK,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "pii_redact": SQL_PII_REDACT,
     "repetition_filter": SQL_REPETITION_FILTER,

@@ -291,3 +291,66 @@ def heavy_hitters(
     )
     out = tbl.filter(keep)
     return pa.table({"term": out["term"], "cnt": out["cnt"].cast(pa.int64())})
+
+
+def percentile_rank(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    id_cols: list[str],
+) -> ray.data.Dataset:
+    """Exact distributed percent_rank() OVER (PARTITION BY key ORDER BY
+    value) — the per-key rank-normalization step of feature pipelines.
+
+    Same histogram shape as histogram_quantiles: blocks pre-aggregate
+    (key, value) -> count, one groupby merges, and the per-key
+    cumulative table (distinct values only — the documented scale
+    assumption) broadcasts to a second stateless pass that assigns
+    rank = 1 + count(values < v), pct = (rank-1)/(n-1) (SQL
+    percent_rank; 0 when n == 1). One float division in the same
+    order as the oracle, so results hash-match bit-for-bit."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = (
+            b.select([key_col, value_col])
+            .to_pandas()
+            .groupby([key_col, value_col], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return from_pandas_clean(df)
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, value_col])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    # per-key cumulative lookup (distinct (key, value) rows only)
+    cdf: dict = {}
+    totals: dict = {}
+    rows = sorted(
+        hist.take_all(), key=lambda r: (str(r[key_col]), r[value_col])
+    )
+    for r in rows:
+        k = r[key_col]
+        acc = totals.get(k, 0)
+        cdf.setdefault(k, {})[r[value_col]] = acc  # count of values < v
+        totals[k] = acc + int(r["n"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        ks = b[key_col].to_pylist()
+        vs = b[value_col].to_pylist()
+        pct = []
+        for k, v in zip(ks, vs):
+            n = totals[k]
+            pct.append(0.0 if n <= 1 else cdf[k][v] / (n - 1))
+        cols = {c: b[c] for c in id_cols}
+        cols[key_col] = b[key_col]
+        cols[value_col] = b[value_col]
+        cols["pct_rank"] = pa.array(pct, pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(assign, batch_format="pyarrow")

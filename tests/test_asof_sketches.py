@@ -91,3 +91,34 @@ def test_histogram_quantiles_matches_numpy(ray_session):
             expect = sv[max(1, math.ceil(len(sv) * q)) - 1]
             got = out[(out["k"] == k) & (out["q_pct"] == int(q * 100))]["v"].iloc[0]
             assert got == expect, (k, q, got, expect)
+
+
+def test_percentile_rank_matches_naive(ray_session):
+    """percent_rank parity with a naive per-key recompute, ties and
+    single-row keys included; block-layout invariant."""
+    import numpy as np
+    import ray.data
+
+    from louis_crawler_legacy_ray.stages.sketches import percentile_rank
+
+    rng = np.random.default_rng(5)
+    rows = [
+        {"id": i, "k": ["a", "b", "c"][i % 3], "v": int(rng.integers(0, 8))}
+        for i in range(200)
+    ]
+    rows.append({"id": 200, "k": "solo", "v": 3})  # n == 1 -> pct 0.0
+    out = (
+        percentile_rank(
+            ray.data.from_items(rows).repartition(7), "k", "v", ["id"]
+        )
+        .to_pandas()
+        .set_index("id")
+    )
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r["v"])
+    for r in rows:
+        vs = by_key[r["k"]]
+        n = len(vs)
+        want = 0.0 if n <= 1 else sum(1 for x in vs if x < r["v"]) / (n - 1)
+        assert out.loc[r["id"], "pct_rank"] == want
