@@ -1764,6 +1764,23 @@ ORDER BY pair_count DESC, w1, w2 LIMIT 100
 """
 
 
+def q_embedding_topk_quantized(sf_dir: str):
+    """Brute-force top-10 over int8-quantized embeddings (8x fewer
+    bytes through the object store; rows-only — recall vs exact is
+    pinned in tests/test_dedup_ann.py)."""
+    from ..stages.ann import (
+        embedding_scale,
+        quantize_embeddings,
+        topk_quantized,
+    )
+
+    m, ids = _emb_matrix(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    lo, hi = embedding_scale(ds)
+    qds = quantize_embeddings(ds, lo, hi)
+    return topk_quantized(qds, lo, hi, m[:5], [int(i) for i in ids[:5]], k=10)
+
+
 def q_percentile_rank(sf_dir: str):
     """Exact per-key percent_rank over lineitem quantities (feature
     rank-normalization shape: histogram merge + broadcast cdf)."""
@@ -2592,6 +2609,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "percentile_filter": q_percentile_filter,
     "percentile_rank": q_percentile_rank,
+    "embedding_topk_quantized": q_embedding_topk_quantized,
     "heavy_hitters": q_heavy_hitters,
     "pii_redact": q_pii_redact,
     "repetition_filter": q_repetition_filter,

@@ -215,3 +215,115 @@ def ivf_topk(
 
     cand = ds.map_batches(assign_filter, batch_format="pyarrow")
     return brute_force_topk(cand, queries, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ------------------------------------------------------ int8 quantization
+def embedding_scale(
+    ds: ray.data.Dataset, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension global (min, max) of an embedding column in ONE
+    distributed pass: each block reduces to a 2 x D partial, the
+    driver folds blocks x 2 x D — the calibration step of scalar
+    quantization. Only D-sized rows ever move."""
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "lo": pa.array([v.min(axis=0).tolist()]),
+                "hi": pa.array([v.max(axis=0).tolist()]),
+            }
+        )
+
+    lo = None
+    hi = None
+    for row in ds.map_batches(partial, batch_format="pyarrow").iter_rows():
+        blo = np.asarray(row["lo"], dtype=np.float64)
+        bhi = np.asarray(row["hi"], dtype=np.float64)
+        lo = blo if lo is None else np.minimum(lo, blo)
+        hi = bhi if hi is None else np.maximum(hi, bhi)
+    return lo, hi
+
+
+def quantize_embeddings(
+    ds: ray.data.Dataset,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Scalar int8 quantization against broadcast per-dim (lo, hi):
+    code = round((v - lo) / (hi - lo) * 255) - 128. 4x less object
+    store and network than float32 (8x vs float64) for ANN at corpus
+    scale; max per-dim dequantization error is half a step,
+    (hi - lo) / 510. The (lo, hi) vectors are D floats — trivially
+    broadcast in the closure."""
+    span = np.where(hi > lo, hi - lo, 1.0)
+
+    def q(batch: pa.Table) -> pa.Table:
+        v = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        codes = np.clip(np.rint((v - lo) / span * 255.0), 0, 255) - 128
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "codes": pa.array(
+                    codes.astype(np.int8).tolist(), pa.list_(pa.int8())
+                ),
+            }
+        )
+
+    return ds.map_batches(q, batch_format="pyarrow")
+
+
+def topk_quantized(
+    qds: ray.data.Dataset,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Brute-force cosine top-k over int8 codes: per batch, dequantize
+    (codes + 128) / 255 * span + lo in numpy and matmul against the
+    broadcast query matrix — same partial-top-k merge as
+    brute_force_topk, an eighth of the bytes through the object
+    store."""
+    span = np.where(hi > lo, hi - lo, 1.0)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        codes = np.array(batch["codes"].to_pylist(), dtype=np.float64)
+        vecs = _normalize((codes + 128.0) / 255.0 * span + lo)
+        sims = qn @ vecs.T
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            idx = (
+                np.argpartition(-row, k)[:k]
+                if len(row) > k
+                else np.arange(len(row))
+            )
+            out_q.extend([query_ids[qi]] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_sim.extend(row[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    parts = qds.map_batches(partial, batch_format="pyarrow")
+    import pandas as pd
+
+    df = parts.to_pandas()
+    df = df.sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+    )
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["query_id", "rank", "vec_id", "cosine"]], preserve_index=False
+    ).replace_schema_metadata(None)

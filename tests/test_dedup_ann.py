@@ -273,3 +273,51 @@ def test_cosine_near_pairs_lsh_recall(ray_session):
     mm = m / np.linalg.norm(m, axis=1, keepdims=True)
     for a, b in got:
         assert float(mm[a] @ mm[b]) >= 0.9
+
+
+# ------------------------------------------------------- int8 quantized ANN
+
+
+def test_quantized_topk_recall(ray_session):
+    """int8 scalar quantization: per-dim error bounded by half a step,
+    and quantized brute-force top-10 keeps >=90% recall vs exact."""
+    import numpy as np
+    import ray.data
+
+    from louis_crawler_legacy_ray.stages.ann import (
+        brute_force_topk,
+        embedding_scale,
+        quantize_embeddings,
+        topk_quantized,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((500, 16))
+    rows = [
+        {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(500)
+    ]
+    ds = ray.data.from_items(rows).repartition(5)
+    lo, hi = embedding_scale(ds)
+    assert np.allclose(lo, vecs.min(axis=0)) and np.allclose(hi, vecs.max(axis=0))
+
+    qds = quantize_embeddings(ds, lo, hi).materialize()
+    # dequantization error bound: half a quantization step per dim
+    codes = np.array(
+        [r["codes"] for r in sorted(qds.take_all(), key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+    span = np.where(hi > lo, hi - lo, 1.0)
+    deq = (codes + 128.0) / 255.0 * span + lo
+    assert np.abs(deq - vecs).max() <= (span / 510.0 + 1e-12).max()
+
+    q = vecs[:5]
+    exact = brute_force_topk(ds, q, list(range(5)), k=10)
+    quant = topk_quantized(qds, lo, hi, q, list(range(5)), k=10)
+    ex = {}
+    for r in exact.to_pylist():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for r in quant.to_pylist():
+        total += 1
+        hits += r["vec_id"] in ex[r["query_id"]]
+    assert hits / total >= 0.9
