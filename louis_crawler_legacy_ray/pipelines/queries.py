@@ -1382,6 +1382,21 @@ def q_frame_sample(sf_dir: str):
     return media.map_batches(FrameSampleStage, batch_format="pyarrow", concurrency=1)
 
 
+def q_media_resize(sf_dir: str):
+    """decode -> resize chained actor-pool stages (the multimodal
+    preprocessing pipeline shape; geometry real, codec stubbed)."""
+    from ..stages.multimodal import ImageResizeStage
+
+    decoded = q_media_decode(sf_dir)
+    return decoded.map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"real": False, "max_side": 224},
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_size(),
+    )
+
+
 def q_top_orders_per_customer(sf_dir: str):
     """Group-wise top-k: each customer's 3 priciest orders with a
     1-based rank (stages/sample.py:grouped_topk — per-batch combiner
@@ -2636,6 +2651,7 @@ QUERIES = {
     "embed_chunks": q_embed_chunks,
     "media_decode": q_media_decode,
     "frame_sample": q_frame_sample,
+    "media_resize": q_media_resize,
 }
 
 ORACLE_SQL = {

@@ -123,3 +123,37 @@ class FrameSampleStage:
                 "t_seconds": pa.array(ts, pa.float64()),
             }
         )
+
+
+class ImageResizeStage:
+    """Actor-pool resize stage (task-brief: decode / feature-extract /
+    RESIZE / frame-sample). The geometry is fully real: fit the source
+    (width, height) into a ``max_side`` box preserving aspect ratio,
+    never upscaling. The pixel transform itself is the codec hook
+    (real=True raises like the decode stage); in fake mode the payload
+    passes through so downstream schema/size accounting is exercised
+    end-to-end."""
+
+    def __init__(self, real: bool = False, max_side: int = 224):
+        self.real = real
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.real:
+            raise NotImplementedError(
+                "real resize requires PIL/opencv — wire the codec call here"
+            )
+        ws = batch["width"].to_pylist()
+        hs = batch["height"].to_pylist()
+        out_w, out_h, scales = [], [], []
+        for w, h in zip(ws, hs):
+            side = max(w, h)
+            s = min(1.0, self.max_side / side) if side else 1.0
+            out_w.append(max(1, int(round(w * s))))
+            out_h.append(max(1, int(round(h * s))))
+            scales.append(s)
+        cols = {name: batch[name] for name in batch.column_names}
+        cols["out_width"] = pa.array(out_w, pa.int32())
+        cols["out_height"] = pa.array(out_h, pa.int32())
+        cols["scale"] = pa.array(scales, pa.float64())
+        return pa.table(cols)
