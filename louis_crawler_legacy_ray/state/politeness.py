@@ -97,3 +97,45 @@ class RobotsCache:
 
     def filter_urls(self, urls: list[str]) -> list[bool]:
         return [self.allowed(u) for u in urls]
+
+
+def robots_from_corpus(pages_path: str) -> dict[str, str]:
+    """Build ``robots_txt_by_host`` from the corpus itself: one
+    column-pruned distributed scan keeps only rows whose URL path is
+    exactly /robots.txt and returns {host: body} — closing the loop
+    the RobotsCache docstring describes (a crawl discovers its own
+    robots files). Duplicate hosts keep the lexicographically first
+    URL's body (deterministic)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    def pick(batch: pa.Table) -> pa.Table:
+        mask = pc.match_substring_regex(
+            batch["url"], r"^[a-z]+://[^/?#]+/robots\.txt$"
+        )
+        hit = batch.filter(mask)
+        if hit.num_rows == 0:
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "url": pa.array([], pa.string()),
+                    "body": pa.array([], pa.string()),
+                }
+            )
+        ex = pc.extract_regex(hit["url"], r"^[a-z]+://(?P<host>[^/?#]+)/")
+        hosts = pc.struct_field(ex, "host")
+        body = hit["html"]
+        if body.type in (pa.binary(), pa.large_binary()):
+            body = body.cast(pa.string())
+        return pa.table({"host": hosts, "url": hit["url"], "body": body})
+
+    out: dict[str, str] = {}
+    best_url: dict[str, str] = {}
+    ds = ray.data.read_parquet(pages_path, columns=["url", "html"])
+    for row in ds.map_batches(pick, batch_format="pyarrow").iter_rows():
+        h, u = row["host"], row["url"]
+        if h not in out or u < best_url[h]:
+            out[h] = row["body"]
+            best_url[h] = u
+    return out

@@ -102,3 +102,34 @@ def test_token_bucket_carries_and_bursts(ray_session):
     # flat: 1, 2, 2, 1 -> 4 rounds; bucket: 1, 3 (burst), 2 -> 3 rounds
     assert [m["selected"] for m in flat.metrics] == [1, 2, 2, 1]
     assert [m["selected"] for m in bucket.metrics] == [1, 3, 2]
+
+
+def test_robots_from_corpus_roundtrip(ray_session, tmp_path):
+    """robots.txt rows planted in a pages corpus are discovered by the
+    distributed scan and gate a crawl exactly like hand-provided
+    bodies."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from louis_crawler_legacy_ray.state.politeness import robots_from_corpus
+
+    d = tmp_path / "pages"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "url": [
+                    "http://a.ca/robots.txt",
+                    "http://a.ca/root",
+                    "http://b.ca/deep/robots.txt",  # not at the root: ignored
+                ],
+                "html": [ROBOTS, "<main>hi</main>", "junk"],
+            }
+        ),
+        str(d / "part.parquet"),
+    )
+    got = robots_from_corpus(str(d))
+    assert got == {"a.ca": ROBOTS}
+    rc = RobotsCache(got, obey_robots=True)
+    assert not rc.allowed("http://a.ca/private/x")
+    assert rc.allowed("http://a.ca/ok")
