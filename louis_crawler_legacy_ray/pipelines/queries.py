@@ -1779,6 +1779,44 @@ ORDER BY pair_count DESC, w1, w2 LIMIT 100
 """
 
 
+def q_profile_orders(sf_dir: str):
+    """Ingest data-quality profile of three orders columns (exact
+    null/distinct counts, VARCHAR-collation min/max)."""
+    from ..stages.sketches import profile_columns
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    )
+    return profile_columns(
+        orders, ["o_custkey", "o_orderpriority", "o_orderstatus"]
+    ).sort("col_name")
+
+
+SQL_PROFILE_ORDERS = """
+SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       min(CAST(o_custkey AS VARCHAR)) AS min_val,
+       max(CAST(o_custkey AS VARCHAR)) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_orderpriority) AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       min(CAST(o_orderpriority AS VARCHAR)),
+       max(CAST(o_orderpriority AS VARCHAR))
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_orderstatus) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       min(CAST(o_orderstatus AS VARCHAR)),
+       max(CAST(o_orderstatus AS VARCHAR))
+FROM orders
+ORDER BY col_name
+"""
+
+
 def q_embedding_topk_quantized(sf_dir: str):
     """Brute-force top-10 over int8-quantized embeddings (8x fewer
     bytes through the object store; rows-only — recall vs exact is
@@ -2624,6 +2662,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "percentile_filter": q_percentile_filter,
     "percentile_rank": q_percentile_rank,
+    "profile_orders": q_profile_orders,
     "embedding_topk_quantized": q_embedding_topk_quantized,
     "heavy_hitters": q_heavy_hitters,
     "pii_redact": q_pii_redact,
@@ -2709,6 +2748,7 @@ ORACLE_SQL = {
     "semdedup": SQL_SEMDEDUP,
     "percentile_filter": SQL_PERCENTILE_FILTER,
     "percentile_rank": SQL_PERCENTILE_RANK,
+    "profile_orders": SQL_PROFILE_ORDERS,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "pii_redact": SQL_PII_REDACT,
     "repetition_filter": SQL_REPETITION_FILTER,

@@ -354,3 +354,64 @@ def percentile_rank(
         return pa.table(cols)
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+_NULL_SENTINEL = "\x00__null__"
+
+
+def profile_columns(
+    ds: ray.data.Dataset, cols: list[str]
+) -> ray.data.Dataset:
+    """Data-profiling pass: per column, exact row/null/distinct counts
+    and string-collation min/max (values compared as their VARCHAR
+    casts so the SQL oracle agrees for every type). One distributed
+    histogram per column in a single shared shuffle: blocks emit
+    distinct (col_name, val) counts (nulls as a sentinel), a two-key
+    groupby merges, and a per-column reducer folds the (distinct-
+    values-sized) group into one profile row — the standard ingest
+    quality gate before a training run consumes a new table drop."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        frames = []
+        for c in cols:
+            vals = [
+                _NULL_SENTINEL if v is None else str(v)
+                for v in b[c].to_pylist()
+            ]
+            df = (
+                pd.DataFrame({"col_name": c, "val": vals})
+                .groupby(["col_name", "val"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+            frames.append(df)
+        return from_pandas_clean(pd.concat(frames, ignore_index=True))
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["col_name", "val"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+    def fold(g):
+        import pandas as pd
+
+        nulls = g[g["val"] == _NULL_SENTINEL]
+        vals = g[g["val"] != _NULL_SENTINEL]
+        return from_pandas_clean(
+            pd.DataFrame(
+                {
+                    "col_name": [g["col_name"].iloc[0]],
+                    "n_rows": [int(g["n"].sum())],
+                    "n_null": [int(nulls["n"].sum())],
+                    "n_distinct": [len(vals)],
+                    "min_val": [vals["val"].min() if len(vals) else None],
+                    "max_val": [vals["val"].max() if len(vals) else None],
+                }
+            )
+        )
+
+    return hist.groupby("col_name").map_groups(fold, batch_format="pandas")

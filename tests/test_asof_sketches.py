@@ -122,3 +122,27 @@ def test_percentile_rank_matches_naive(ray_session):
         n = len(vs)
         want = 0.0 if n <= 1 else sum(1 for x in vs if x < r["v"]) / (n - 1)
         assert out.loc[r["id"], "pct_rank"] == want
+
+
+def test_profile_columns_nulls_and_collation(ray_session):
+    """Profiler counts nulls exactly and min/max compare as VARCHAR
+    ('10' < '9' in string collation — both sides of the oracle agree)."""
+    import ray.data
+
+    from louis_crawler_legacy_ray.stages.sketches import profile_columns
+
+    rows = [
+        {"a": None, "b": 9},
+        {"a": "x", "b": 10},
+        {"a": "x", "b": None},
+        {"a": "y", "b": 100},
+    ]
+    out = (
+        profile_columns(ray.data.from_items(rows).repartition(2), ["a", "b"])
+        .to_pandas()
+        .set_index("col_name")
+    )
+    assert out.loc["a", "n_rows"] == 4 and out.loc["a", "n_null"] == 1
+    assert out.loc["a", "n_distinct"] == 2
+    assert out.loc["b", "n_null"] == 1 and out.loc["b", "n_distinct"] == 3
+    assert out.loc["b", "min_val"] == "10" and out.loc["b", "max_val"] == "9"
