@@ -1339,20 +1339,24 @@ def q_ivf_topk(sf_dir: str):
 
 
 def q_chunk_documents(sf_dir: str):
-    """hawn chunker over the synthetic pages corpus (stateful actor
-    pool; token ids from the stand-in encoder — not SQL-expressible)."""
-    from ..stages.chunk import ChunkerActor
+    """hawn chunker over the synthetic pages corpus (token ids from the
+    stand-in encoder — not SQL-expressible). Task-pool variant of the
+    chunker: identical kernel and per-process memo cache as the
+    ChunkerActor stage (kept as the documented heavyweight-tokenizer
+    shape), but plain tasks skip the actor-pool spin-up that was
+    measured to dominate this stage's wall (UDF 18 CPU-s at only ~5
+    effective cores with a fresh 16-actor pool per run)."""
+    from ..stages.chunk import chunk_batch
 
     items = _extracted_items(sf_dir)
     # batch_size 32 (was 128): chunking cost varies ~10x per page, and
     # coarse batches left a 2 s straggler task dominating the stage wall
     # (ds.stats(): UDF 216 ms min / 2.02 s max over 17 tasks) — finer
-    # batches let the actor pool balance the skew
+    # batches balance the skew
     return items.select_columns(["url", "html_content", "last_crawled"]).map_batches(
-        ChunkerActor,
+        chunk_batch,
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=pool_size(),
     )
 
 

@@ -46,6 +46,29 @@ class ChunkerActor:
         self.enc = Encoder()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return _chunk_table(batch, self.enc)
+
+
+# process-global encoder for the TASK-pool variant below: Ray reuses
+# worker processes, so the memo cache persists across batches exactly
+# like the actor's — without paying actor-pool spin-up (~0.5 s x pool
+# size, measured to dominate the chunker stage's wall at bench scale,
+# since Encoder() itself builds in ~3 us)
+_PROCESS_ENC: Encoder | None = None
+
+
+def chunk_batch(batch: pa.Table) -> pa.Table:
+    """Task-pool chunker: same kernel and cache behavior as
+    ChunkerActor (which stays as the documented stateful-stage shape,
+    SURVEY §2.3 T1 — the pattern a heavyweight tokenizer needs), but
+    scheduled as plain tasks because THIS encoder is trivial to build."""
+    global _PROCESS_ENC
+    if _PROCESS_ENC is None:
+        _PROCESS_ENC = Encoder()
+    return _chunk_table(batch, _PROCESS_ENC)
+
+
+def _chunk_table(batch: pa.Table, enc: Encoder) -> pa.Table:
         urls = batch["url"].to_pylist()
         htmls = batch["html_content"].to_pylist()
         created = (
@@ -59,7 +82,7 @@ class ChunkerActor:
                 continue
             if isinstance(html, bytes):
                 html = html.decode("utf-8", errors="replace")
-            for i, chunk in enumerate(chunk_html(html, self.enc)):
+            for i, chunk in enumerate(chunk_html(html, enc)):
                 out["chunk_id"].append(chunk_id_for(url, i))
                 out["url"].append(url)
                 out["title"].append(chunk["title"])
