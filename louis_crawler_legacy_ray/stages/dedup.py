@@ -323,6 +323,27 @@ class MinHashStage:
         )
 
 
+# process-global MinHashStage instances for the task-pool variant:
+# construction is microseconds (numpy permutation params), so plain
+# reused task workers give the same per-process state as an actor pool
+# without the pool spin-up per run (the chunker's measured pattern)
+_MINHASH_STAGES: dict[tuple, "MinHashStage"] = {}
+
+
+def minhash_band_rows(
+    batch: pa.Table,
+    num_perm: int = 128,
+    bands: int = 32,
+    k: int = 3,
+    seed: int = 1,
+) -> pa.Table:
+    key = (num_perm, bands, k, seed)
+    st = _MINHASH_STAGES.get(key)
+    if st is None:
+        st = _MINHASH_STAGES[key] = MinHashStage(num_perm, bands, k, seed)
+    return st(batch)
+
+
 def attach_pair_docs(
     pairs: ray.data.Dataset,
     docs: ray.data.Dataset,
@@ -436,10 +457,9 @@ def minhash_lsh_pairs(
     no corpus-sized broadcast, closures carry O(1) state.
     Returns (doc_a, doc_b[, jaccard])."""
     band_rows = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
+        minhash_band_rows,
+        fn_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
         batch_format="pyarrow",
-        concurrency=pool_size(),
         batch_size=512,
     )
 
