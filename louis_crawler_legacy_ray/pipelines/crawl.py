@@ -1049,6 +1049,19 @@ def run_frontier(
     if resume and cfg.checkpoint_dir:
         last = latest_complete_round(cfg.checkpoint_dir)
         if last is not None:
+            from ..state.checkpoint import read_lineage
+
+            stored = read_lineage(cfg.checkpoint_dir, last).get("config_hash")
+            if stored is not None and stored != chash:
+                # the lineage marker exists exactly for this check: a
+                # resume under a different config/seed list would
+                # silently continue the WRONG crawl
+                raise ValueError(
+                    f"checkpoint {cfg.checkpoint_dir} round {last} was "
+                    f"written by config {stored}, not {chash}: refusing "
+                    "to resume a different crawl (change checkpoint_dir "
+                    "or match the original config + seeds)"
+                )
             load_checkpoint(cfg.checkpoint_dir, last, frontier.shards)
             start_round = last + 1
     if start_round == 0:

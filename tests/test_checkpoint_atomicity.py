@@ -75,3 +75,32 @@ def test_lineage_json_is_last_write(ray_session, tmp_path):
             sdir = os.path.join(rdir, f"shard={i:04d}")
             for t in ("seen", "pending", "errored"):
                 assert os.path.exists(os.path.join(sdir, f"{t}.parquet"))
+
+
+def test_resume_refuses_mismatched_config(ray_session, tmp_path):
+    """Resume under a different config or seed list raises instead of
+    silently continuing the wrong crawl (lineage config_hash check)."""
+    import pyarrow as pa
+    import pytest
+
+    from louis_crawler_legacy_ray.pipelines.crawl import (
+        CrawlConfig,
+        edges_expand,
+        run_frontier,
+    )
+
+    edges = pa.table({"src": ["a", "b"], "dst": ["b", "c"]})
+    ck = str(tmp_path / "ck3")
+    cfg = CrawlConfig(n_shards=2, max_depth=3, max_rounds=6, checkpoint_dir=ck)
+    run_frontier(edges_expand(edges), ["a"], cfg)
+
+    other_depth = CrawlConfig(
+        n_shards=2, max_depth=4, max_rounds=6, checkpoint_dir=ck
+    )
+    with pytest.raises(ValueError, match="refusing to resume"):
+        run_frontier(edges_expand(edges), ["a"], other_depth, resume=True)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        run_frontier(edges_expand(edges), ["b"], cfg, resume=True)
+    # matching config + seeds resumes fine (nothing left to do)
+    res = run_frontier(edges_expand(edges), ["a"], cfg, resume=True)
+    assert res.counts["pending"] == 0
