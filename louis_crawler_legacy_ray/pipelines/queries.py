@@ -768,6 +768,63 @@ SELECT url, CAST(min(depth) AS INTEGER) AS depth FROM walk GROUP BY url
 )
 
 
+def q_crawl_metrics(sf_dir: str):
+    """The frontier's own per-round throughput/lag metrics rows under
+    the correctness gate: for a BFS with no caps, round r's counters
+    are pure graph theory — selected(r) = fetched(r) = |{min-depth ==
+    r}|, new_candidates(r) = pending_lag(r) = |{min-depth == r+1}|
+    (depth-bounded), errored(r) = 0 — so the DuckDB oracle recomputes
+    the engine's METRICS from the recursive walk and hash-checks them."""
+    from .crawl import CrawlConfig, run_crawl
+
+    docs = _docs_table(sf_dir)
+    lang0, src0 = docs["lang"][0].as_py(), docs["source"][0].as_py()
+    seg0 = "fra" if lang0 == "fr" else lang0
+    seed = f"{SITE}/{seg0}/{src0}/doc0"
+    cfg = CrawlConfig(n_shards=4, max_depth=6, max_rounds=16)
+    res = run_crawl(pages_corpus_dir(sf_dir), [seed], cfg)
+    return pa.table(
+        {
+            "round": pa.array([m["round"] for m in res.metrics], pa.int64()),
+            "selected": pa.array([m["selected"] for m in res.metrics], pa.int64()),
+            "fetched": pa.array([m["fetched"] for m in res.metrics], pa.int64()),
+            "errored": pa.array([m["errored"] for m in res.metrics], pa.int64()),
+            "new_candidates": pa.array(
+                [m["new_candidates"] for m in res.metrics], pa.int64()
+            ),
+            "pending_lag": pa.array(
+                [m["pending_lag"] for m in res.metrics], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_CRAWL_METRICS = (
+    "WITH RECURSIVE "
+    + _SQL_PAGE_CTE.replace("WITH ", "", 1)
+    + f""",
+edges AS (
+  SELECT url AS src, '{SITE}' || c1_path AS dst FROM pg
+  UNION ALL SELECT url, '{SITE}' || c2_path FROM pg),
+walk(url, depth) AS (
+  SELECT url, 0 FROM pg WHERE doc_id = 0
+  UNION ALL
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.url
+  WHERE w.depth < 6),
+d AS (SELECT url, min(depth) AS depth FROM walk GROUP BY url),
+per AS (SELECT depth, count(*) AS n FROM d GROUP BY depth)
+SELECT CAST(p.depth AS BIGINT) AS round,
+       CAST(p.n AS BIGINT) AS selected,
+       CAST(p.n AS BIGINT) AS fetched,
+       CAST(0 AS BIGINT) AS errored,
+       CAST(coalesce(nx.n, 0) AS BIGINT) AS new_candidates,
+       CAST(coalesce(nx.n, 0) AS BIGINT) AS pending_lag
+FROM per p LEFT JOIN per nx ON nx.depth = p.depth + 1
+ORDER BY round
+"""
+)
+
+
 def q_crawl_pages_bfs_404(sf_dir: str):
     """The 404/quarantine path under the correctness gate (VERDICT r1
     next-10): seeds include a URL with no page in the corpus. The
@@ -2628,6 +2685,7 @@ QUERIES = {
     "extract_children": q_extract_children,
     "link_edges": q_link_edges,
     "crawl_pages_bfs": q_crawl_pages_bfs,
+    "crawl_metrics": q_crawl_metrics,
     "crawl_pages_bfs_404": q_crawl_pages_bfs_404,
     "crawl_graph_bfs": q_crawl_graph_bfs,
     "js_need": q_js_need,
@@ -2718,6 +2776,7 @@ ORACLE_SQL = {
     "extract_children": SQL_EXTRACT_CHILDREN,
     "link_edges": SQL_LINK_EDGES,
     "crawl_pages_bfs": SQL_CRAWL_PAGES_BFS,
+    "crawl_metrics": SQL_CRAWL_METRICS,
     "crawl_pages_bfs_404": SQL_CRAWL_PAGES_BFS,
     "crawl_graph_bfs": SQL_CRAWL_GRAPH_BFS,
     "js_need": SQL_JS_NEED,
