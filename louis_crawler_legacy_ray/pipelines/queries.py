@@ -376,6 +376,39 @@ SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
 """
 
 
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact grouped COUNT DISTINCT: per-block distinct (type, user)
+    pairs are the combiner (the shuffle carries distinct pairs, never
+    raw events), one two-key groupby dedups globally, then a per-type
+    count — the standard exact-cardinality-by-group shape beside the
+    HLL approximate one (approx_distinct_users)."""
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from ..stages import from_pandas_clean
+
+        return from_pandas_clean(
+            b.to_pandas().drop_duplicates(["event_type", "user_id"])
+        )
+
+    pairs = ev.map_batches(pair_partial, batch_format="pyarrow")
+    dedup = pairs.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="_n")
+    )
+    out = dedup.groupby("event_type").aggregate(
+        Count(alias_name="n_users")
+    )
+    return out.sort("event_type")
+
+
+SQL_DISTINCT_USERS_PER_TYPE = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_storage_stats(sf_dir: str):
     """Corpus stats (reference A1, storage_manager.py:171-227)."""
     counts = {
@@ -2672,6 +2705,7 @@ QUERIES = {
     "recency_top10": q_recency_top10,
     "frontier_order_topk": q_frontier_order_topk,
     "event_type_histogram": q_event_type_histogram,
+    "distinct_users_per_type": q_distinct_users_per_type,
     "storage_stats": q_storage_stats,
     "log_durations": q_log_durations,
     "upsert_latest_event": q_upsert_latest_event,
@@ -2764,6 +2798,7 @@ ORACLE_SQL = {
     "recency_top10": SQL_RECENCY_TOP10,
     "frontier_order_topk": SQL_FRONTIER_ORDER_TOPK,
     "event_type_histogram": SQL_EVENT_TYPE_HISTOGRAM,
+    "distinct_users_per_type": SQL_DISTINCT_USERS_PER_TYPE,
     "storage_stats": SQL_STORAGE_STATS,
     "log_durations": SQL_LOG_DURATIONS,
     "upsert_latest_event": SQL_UPSERT_LATEST_EVENT,
