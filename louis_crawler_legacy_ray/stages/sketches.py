@@ -305,7 +305,9 @@ def percentile_rank(
     Same histogram shape as histogram_quantiles: blocks pre-aggregate
     (key, value) -> count, one groupby merges, and the per-key
     cumulative table (distinct values only — the documented scale
-    assumption) broadcasts to a second stateless pass that assigns
+    assumption) broadcasts ONCE via ray.put (read by ref inside the
+    map tasks, like tfidf_topk/decontaminate — not re-pickled into
+    every task closure) to a second stateless pass that assigns
     rank = 1 + count(values < v), pct = (rank-1)/(n-1) (SQL
     percent_rank; 0 when n == 1). One float division in the same
     order as the oracle, so results hash-match bit-for-bit."""
@@ -339,14 +341,16 @@ def percentile_rank(
         acc = totals.get(k, 0)
         cdf.setdefault(k, {})[r[value_col]] = acc  # count of values < v
         totals[k] = acc + int(r["n"])
+    cdf_ref = ray.put((cdf, totals))
 
     def assign(b: pa.Table) -> pa.Table:
+        cdf_m, totals_m = ray.get(cdf_ref)
         ks = b[key_col].to_pylist()
         vs = b[value_col].to_pylist()
         pct = []
         for k, v in zip(ks, vs):
-            n = totals[k]
-            pct.append(0.0 if n <= 1 else cdf[k][v] / (n - 1))
+            n = totals_m[k]
+            pct.append(0.0 if n <= 1 else cdf_m[k][v] / (n - 1))
         cols = {c: b[c] for c in id_cols}
         cols[key_col] = b[key_col]
         cols[value_col] = b[value_col]

@@ -52,6 +52,12 @@ def write_checkpoint(
         for name in ("seen", "pending", "errored"):
             pq.write_table(d[name], os.path.join(sdir, f"{name}.parquet"))
             counts[name] += d[name].num_rows
+        # politeness carry (token_bucket banked tokens) rides the same
+        # per-shard dump so resumed crawls schedule identically
+        if "host_tokens" in d:
+            pq.write_table(
+                d["host_tokens"], os.path.join(sdir, "host_tokens.parquet")
+            )
     with open(os.path.join(tmp, "_lineage.json.tmp"), "w") as f:
         json.dump(
             {
@@ -108,8 +114,12 @@ def load_checkpoint(ckpt_dir: str, round_no: int, shards: list) -> None:
             name: pq.read_table(os.path.join(sdir, f"{name}.parquet"))
             for name in ("seen", "pending", "errored")
         }
+        ht_path = os.path.join(sdir, "host_tokens.parquet")
+        host_tokens = pq.read_table(ht_path) if os.path.exists(ht_path) else None
         loads.append(
-            shard.load.remote(tables["seen"], tables["pending"], tables["errored"])
+            shard.load.remote(
+                tables["seen"], tables["pending"], tables["errored"], host_tokens
+            )
         )
     ray.get(loads)
 

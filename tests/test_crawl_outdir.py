@@ -102,11 +102,14 @@ def test_per_partition_metrics_in_checkpoint(ray_session, tmp_path):
     want = {
         "p_n_tasks", "p_cpu_filter", "p_cpu_extract", "p_cpu_send",
         "p_task_span", "p_start_spread", "p_end_spread",
-        "p_t_counts_wait", "p_t_poll", "p_t_put", "p_t_submit",
+        "p_t_counts_wait", "p_t_poll", "p_t_submit",
     }
     # in-memory metrics rows carry the rollup...
     assert want <= set(res.metrics[0].keys())
     assert res.metrics[0]["p_n_tasks"] >= 1
+    # the r3 distributed control plane stamps its bounded driver
+    # footprint per round (0 here: no cap probes, no inline path)
+    assert all(m["driver_rows"] == 0 for m in res.metrics)
     # ...and so do the persisted per-round metric files
     files = sorted(glob.glob(f"{ckpt}/metrics/round=*.parquet"))
     assert files
