@@ -40,9 +40,28 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from louis_crawler_legacy_ray.pipelines.queries import QUERIES
+    """Catalog iteration order is a gate-coverage decision: the r2
+    driver checked the FIRST 50 entries, leaving the dedup/ANN/
+    training-data suite to judge selfcheck only. Order here is (1) the
+    oracled queries that round's sample missed, (2) the rest of the
+    oracled set, (3) rows-only queries last — so any prefix the driver
+    samples is maximally oracle-checkable."""
+    from louis_crawler_legacy_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
-    return dict(QUERIES)
+    first = [  # oracled but never driver-gated through round 2
+        "decontaminate", "weighted_sample", "tfidf_top_terms",
+        "label_centroids", "kmeans_assign", "semdedup",
+        "percentile_filter", "percentile_rank", "profile_orders",
+        "heavy_hitters", "pii_redact", "repetition_filter",
+        "token_budget_select", "pack_sequences", "shuffle_rank",
+        "pagerank", "bloom_semi_join", "exact_dedup", "ngram_jaccard",
+        "dedup_clusters", "cosine_near_pairs", "embedding_topk",
+    ]
+    out = {k: QUERIES[k] for k in first}
+    out.update({k: v for k, v in QUERIES.items() if k not in out and k in ORACLE_SQL})
+    out.update({k: v for k, v in QUERIES.items() if k not in out})
+    assert len(out) == len(QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
