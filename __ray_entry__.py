@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from louis_crawler_legacy_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
     first = [  # oracled but never driver-gated through round 2
+        "crawl_pages_bfs_budget",  # new in r3 (token-bucket schedule)
+        "crawl_ttl_recrawl",  # new in r3 (cuckoo expire + 2nd pass)
         "decontaminate", "weighted_sample", "tfidf_top_terms",
         "label_centroids", "kmeans_assign", "semdedup",
         "percentile_filter", "percentile_rank", "profile_orders",

@@ -299,6 +299,18 @@ class Frontier:
         errs = ray.get([s.finish_round.remote() for s in self.shards])
         return [u for sub in errs for u in sub]
 
+    def expire(self, urls: list[str]) -> int:
+        """TTL re-crawl: forget these URLs were seen (owner-shard
+        routed) so a later enqueue re-admits them. Requires the
+        deletable cuckoo seen-front under mode='cuckoo' (a bloom
+        front cannot forget; state/seen.py expire)."""
+        by_shard = _group_by_shard(urls, self.cfg.n_shards, self.cfg.hot_host_salt)
+        return sum(
+            ray.get(
+                [self.shards[sid].expire.remote(u) for sid, (u, _) in by_shard.items()]
+            )
+        )
+
     def counts(self) -> dict:
         per = ray.get([s.counts.remote() for s in self.shards])
         tot = {
@@ -1208,20 +1220,16 @@ def edges_expand(edges_table: pa.Table):
         selected = rsel.materialize()
         sel = selected["url"]
         sel = sel.combine_chunks() if isinstance(sel, pa.ChunkedArray) else sel
-        depth_by_url = dict(
-            zip(selected["url"].to_pylist(), selected["depth"].to_pylist())
-        )
         frontier.record_fetched(selected["url"].to_pylist())
         mask = pc.is_in(edges_table["src"], value_set=sel)
         hit = edges_table.filter(mask)
-        srcs = hit["src"].to_pylist()
-        dsts = hit["dst"].to_pylist()
-        cand_urls, cand_depths = [], []
-        for s, d in zip(srcs, dsts):
-            nd = depth_by_url[s] + 1
-            if nd <= frontier.cfg.max_depth:
-                cand_urls.append(d)
-                cand_depths.append(nd)
+        # vectorized candidate depths: index hit srcs into the round's
+        # selection, child depth = parent depth + 1, prune > max_depth
+        idx = pc.index_in(hit["src"], value_set=sel)
+        nd = pc.add(pc.take(selected["depth"], idx), pa.scalar(1, pa.int32()))
+        keep = pc.less_equal(nd, pa.scalar(frontier.cfg.max_depth, pa.int32()))
+        cand_urls = hit["dst"].filter(keep).to_pylist()
+        cand_depths = nd.filter(keep).to_pylist()
         admitted = frontier.enqueue_table(cand_urls, cand_depths)
         return {"fetched": selected.num_rows, "admitted": admitted}
 
@@ -1303,6 +1311,7 @@ def run_frontier(
     cfg: CrawlConfig,
     resume: bool = False,
     order_dir: str | None = None,
+    frontier: "Frontier | None" = None,
 ) -> CrawlResult:
     """Depth-synchronous frontier loop over the DISTRIBUTED control
     plane: the driver steers rounds with counts, probes and refs;
@@ -1310,11 +1319,18 @@ def run_frontier(
     tasks, order parts in plasma/parquet. Per-round ``driver_rows``
     in the metrics records the largest driver-resident row count the
     control plane actually touched (threshold-probe samples, or a
-    materialized tiny-round/test-path selection)."""
+    materialized tiny-round/test-path selection).
+
+    Pass an existing ``frontier`` to CONTINUE over live shard state
+    (multi-pass jobs: TTL re-crawl expires a URL subset, then runs a
+    second pass against the same seen/pending/errored state); the
+    caller then owns the release()."""
     import os as _os
     import shutil as _shutil
 
-    frontier = Frontier(cfg)
+    owns_frontier = frontier is None
+    if owns_frontier:
+        frontier = Frontier(cfg)
     try:
         chash = config_hash(cfg, seeds)
         start_round = 0
@@ -1408,7 +1424,8 @@ def run_frontier(
             order_refs=order_refs,
         )
     finally:
-        frontier.release()
+        if owns_frontier:
+            frontier.release()
 
 
 def run_crawl(

@@ -877,6 +877,166 @@ def q_crawl_pages_bfs_404(sf_dir: str):
     return res.order.select(["url", "depth"])
 
 
+def q_crawl_pages_bfs_budget(sf_dir: str):
+    """Politeness-budget crawl ordering under the correctness gate
+    (BASELINE north_rule: "same crawl ordering and URL-seen set under
+    the same seed list and politeness budget"; VERDICT r2 next-3): a
+    token-bucket crawl (per_host_budget=5, burst 2x, banked carry —
+    state/seen.py take2) whose FULL (round, depth, url) schedule is
+    recomputed by a DuckDB round-by-round simulation. The synthetic
+    corpus is single-host, so the per-host bucket is the global
+    schedule: cap_r = min(burst, banked+refill), banked' = cap - used,
+    selection = the cap_r smallest (depth, url) pending keys. The
+    oracle's recursive CTE carries the crawl STATE per round (url rows
+    + a sentinel row whose depth column banks the tokens) and the
+    engine's order table must hash-match every round transition —
+    burst-up, carry-down and the steady-state tail."""
+    from .crawl import CrawlConfig, run_crawl
+
+    docs = _docs_table(sf_dir)
+    lang0, src0 = docs["lang"][0].as_py(), docs["source"][0].as_py()
+    seg0 = "fra" if lang0 == "fr" else lang0
+    seed = f"{SITE}/{seg0}/{src0}/doc0"
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=6,
+        max_rounds=64,
+        per_host_budget=5,
+        politeness="token_bucket",
+    )
+    res = run_crawl(pages_corpus_dir(sf_dir), [seed], cfg)
+    return res.order
+
+
+SQL_CRAWL_PAGES_BFS_BUDGET = (
+    "WITH RECURSIVE "
+    + _SQL_PAGE_CTE.replace("WITH ", "", 1)
+    + f""",
+edges AS (
+  SELECT url AS src, '{SITE}' || c1_path AS dst FROM pg
+  UNION ALL SELECT url, '{SITE}' || c2_path FROM pg),
+walk(url, depth) AS (
+  SELECT url, 0 FROM pg WHERE doc_id = 0
+  UNION ALL
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.url
+  WHERE w.depth < 6),
+mind AS (SELECT url, CAST(min(depth) AS INTEGER) AS depth FROM walk GROUP BY url),
+sim(round, url, depth, done) AS (
+  SELECT * FROM (
+    SELECT 0 AS round, url, CAST(0 AS INTEGER) AS depth, FALSE AS done
+    FROM pg WHERE doc_id = 0
+    UNION ALL
+    SELECT 0, '', CAST(0 AS INTEGER), TRUE)
+  UNION ALL
+  (
+  WITH prev AS (SELECT * FROM sim),
+  cap AS (SELECT least(10, depth + 5) AS cap FROM prev WHERE url = ''),
+  pending AS (SELECT url, depth FROM prev WHERE NOT done AND url <> ''),
+  ranked AS (SELECT p.url, p.depth,
+                    (SELECT count(*) FROM pending q
+                     WHERE (q.depth, q.url) <= (p.depth, p.url)) AS rn
+             FROM pending p),
+  sel AS (SELECT url, depth FROM ranked, cap WHERE rn <= cap.cap),
+  used AS (SELECT count(*) AS u FROM sel),
+  kids AS (SELECT DISTINCT e.dst AS url, m.depth
+           FROM sel s JOIN edges e ON e.src = s.url
+           JOIN mind m ON m.url = e.dst
+           WHERE NOT EXISTS (SELECT 1 FROM prev p WHERE p.url = e.dst)),
+  nstate AS (
+    SELECT p.url, p.depth, (p.done OR p.url IN (SELECT url FROM sel)) AS done
+    FROM prev p WHERE p.url <> ''
+    UNION ALL
+    SELECT url, depth, FALSE FROM kids
+    UNION ALL
+    SELECT '', CAST(cap.cap - used.u AS INTEGER), TRUE FROM cap, used)
+  SELECT r0.round + 1, n.url, n.depth, n.done
+  FROM nstate n, (SELECT max(round) AS round FROM prev) r0
+  WHERE EXISTS (SELECT 1 FROM pending) AND r0.round < 64
+  )
+)
+SELECT CAST(min(round) - 1 AS INTEGER) AS round, depth, url
+FROM sim WHERE done AND url <> ''
+GROUP BY depth, url
+"""
+)
+
+
+def q_crawl_ttl_recrawl(sf_dir: str):
+    """TTL re-crawl end-to-end under the correctness gate (VERDICT r2
+    next-7; reference re-crawls stale pages): pass 1 = full BFS crawl
+    with the DELETABLE cuckoo seen-front (mode='cuckoo'); then every
+    fetched URL with doc_id % 3 != 2 has its TTL lapse —
+    Frontier.expire() forgets it shard-side (exact set AND cuckoo
+    front, state/seen.py expire) — and pass 2 re-seeds the same seed
+    over the LIVE frontier state. Pass 2 can only re-reach a page via
+    a path of expired pages (non-expired pages are still seen, so
+    their children are never re-admitted), so the oracle is a second
+    recursive walk over the expired-only subgraph. Returns the
+    combined (pass, round, depth, url) schedule — both passes must
+    hash-match."""
+    from .crawl import CrawlConfig, Frontier, pages_expand, run_frontier
+
+    docs = _docs_table(sf_dir)
+    lang0, src0 = docs["lang"][0].as_py(), docs["source"][0].as_py()
+    seg0 = "fra" if lang0 == "fr" else lang0
+    seed = f"{SITE}/{seg0}/{src0}/doc0"
+    cfg = CrawlConfig(n_shards=4, max_depth=6, max_rounds=16, mode="cuckoo")
+    frontier = Frontier(cfg)
+    try:
+        expand = pages_expand(pages_corpus_dir(sf_dir), cfg, None, 0)
+        r1 = run_frontier(expand, [seed], cfg, frontier=frontier)
+        expired = [
+            u
+            for u in r1.order["url"].to_pylist()
+            if int(u.rsplit("doc", 1)[1]) % 3 != 2
+        ]
+        n = frontier.expire(expired)
+        assert n == len(expired), (n, len(expired))
+        r2 = run_frontier(expand, [seed], cfg, frontier=frontier)
+    finally:
+        frontier.release()
+
+    def tag(res, p):
+        t = res.order
+        return t.append_column(
+            "pass", pa.array([p] * t.num_rows, pa.int32())
+        ).select(["pass", "round", "depth", "url"])
+
+    return pa.concat_tables([tag(r1, 1), tag(r2, 2)])
+
+
+SQL_CRAWL_TTL_RECRAWL = (
+    "WITH RECURSIVE "
+    + _SQL_PAGE_CTE.replace("WITH ", "", 1)
+    + f""",
+edges AS (
+  SELECT url AS src, '{SITE}' || c1_path AS dst FROM pg
+  UNION ALL SELECT url, '{SITE}' || c2_path FROM pg),
+walk(url, depth) AS (
+  SELECT url, 0 FROM pg WHERE doc_id = 0
+  UNION ALL
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.url
+  WHERE w.depth < 6),
+walk2(url, depth) AS (
+  -- pass 2: only pages whose TTL lapsed (doc_id % 3 <> 2) were
+  -- forgotten, so the re-crawl propagates only through them
+  SELECT url, 0 FROM pg WHERE doc_id = 0
+  UNION ALL
+  SELECT e.dst, w.depth + 1
+  FROM walk2 w JOIN edges e ON e.src = w.url
+  JOIN pg pd ON pd.url = e.dst
+  WHERE w.depth < 6 AND pd.doc_id % 3 <> 2)
+SELECT CAST(1 AS INTEGER) AS pass, CAST(min(depth) AS INTEGER) AS round,
+       CAST(min(depth) AS INTEGER) AS depth, url
+FROM walk GROUP BY url
+UNION ALL
+SELECT CAST(2 AS INTEGER), CAST(min(depth) AS INTEGER),
+       CAST(min(depth) AS INTEGER), url
+FROM walk2 GROUP BY url
+"""
+)
+
+
 def q_crawl_graph_bfs(sf_dir: str):
     """The frontier engine as a pure BFS over a typed-node graph built
     from the relational tables (customer->order->part->supplier->
@@ -2721,6 +2881,8 @@ QUERIES = {
     "crawl_pages_bfs": q_crawl_pages_bfs,
     "crawl_metrics": q_crawl_metrics,
     "crawl_pages_bfs_404": q_crawl_pages_bfs_404,
+    "crawl_pages_bfs_budget": q_crawl_pages_bfs_budget,
+    "crawl_ttl_recrawl": q_crawl_ttl_recrawl,
     "crawl_graph_bfs": q_crawl_graph_bfs,
     "js_need": q_js_need,
     "content_predicates": q_content_predicates,
@@ -2813,6 +2975,8 @@ ORACLE_SQL = {
     "crawl_pages_bfs": SQL_CRAWL_PAGES_BFS,
     "crawl_metrics": SQL_CRAWL_METRICS,
     "crawl_pages_bfs_404": SQL_CRAWL_PAGES_BFS,
+    "crawl_pages_bfs_budget": SQL_CRAWL_PAGES_BFS_BUDGET,
+    "crawl_ttl_recrawl": SQL_CRAWL_TTL_RECRAWL,
     "crawl_graph_bfs": SQL_CRAWL_GRAPH_BFS,
     "js_need": SQL_JS_NEED,
     "content_predicates": SQL_CONTENT_PREDICATES,
