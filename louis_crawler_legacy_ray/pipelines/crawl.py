@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -43,11 +44,40 @@ import ray.data
 from ..stages.extract import extract_batch, extract_items
 from ..state.checkpoint import (
     append_metrics,
+    clear_partial,
     latest_complete_round,
     load_checkpoint,
+    partial_round,
     write_checkpoint,
 )
 from ..state.seen import FrontierShard, host_of, shard_for_host
+
+# -- graceful mid-round shutdown (reference SIGINT salvage,
+# goldie_playwright_parallel.py:700-728, 871-901) ---------------------
+# A signal handler may only set a flag; the crawl loop and the round
+# awaiter poll it at safe points: stop submitting, cancel undone round
+# tasks, keep what landed, salvage a round=N.partial checkpoint that
+# resume treats as "re-run round N over the unfetched remainder".
+_STOP = threading.Event()
+
+
+def request_graceful_stop() -> None:
+    """Ask the running crawl to salvage and stop at the next safe
+    point (signal-handler safe: just sets a flag)."""
+    _STOP.set()
+
+
+def clear_graceful_stop() -> None:
+    _STOP.clear()
+
+
+def install_sigterm_salvage() -> None:
+    """Route SIGTERM (and SIGINT when not interactive) to the graceful
+    stop flag. Call from job entrypoints (tools/crawl_job.py), never
+    from library code — the host process owns its signal table."""
+    import signal
+
+    signal.signal(signal.SIGTERM, lambda signum, frame: _STOP.set())
 
 
 @dataclass
@@ -69,6 +99,9 @@ class CrawlConfig:
     inline_round_threshold: int = 64        # tiny rounds run driver-inline
     round_fanout: str = "tasks"             # "tasks" (raw ray.remote per pinned block; A/B-measured
                                             # faster at 8 and 32 CPUs) | "dataset" (fused map_batches)
+    task_delay_ms: int = 0                  # fault injection (tests): round task t sleeps
+                                            # (t+1)*delay, staggering completions so a mid-round
+                                            # SIGTERM finds some tasks done and some not
 
 
 def config_hash(cfg: CrawlConfig, seeds: list[str]) -> str:
@@ -602,6 +635,7 @@ def _fused_round_task(
     max_depth: int,
     out_part: str | None,
     block_idx: int = 0,
+    task_delay_ms: int = 0,
 ) -> pa.Table:
     """One round x one GROUP of pinned corpus blocks: semi-join +
     extract, then SEND the control rows straight to their owning shard
@@ -636,6 +670,9 @@ def _fused_round_task(
     import numpy as np
 
     ts0 = _time.time()
+    if task_delay_ms:
+        # fault-injection straggler (tests): stagger task completions
+        _time.sleep(task_delay_ms * (block_idx + 1) / 1000.0)
     sel_tbls = []
     for ref, ranges in sel_parts:
         t = ray.get(ref)
@@ -781,11 +818,43 @@ def _send_control(
 def _await_round(count_refs, frontier: "Frontier", round_no: int, base, a_before) -> dict:
     """Collect per-task sent counts and block until every
     fire-and-forget task->shard delivery has landed (reconciliation
-    against the shards' received counters)."""
+    against the shards' received counters).
+
+    Stop-aware: when the graceful-stop flag is raised mid-round, tasks
+    not yet finished are cancelled (queued ones cleanly, running ones
+    via Ray's in-task interrupt), a short grace window harvests tasks
+    that beat the cancel, and reconciliation proceeds over ONLY the
+    completed tasks' sent counts — their deliveries are the salvaged
+    portion of the round. Returns ``interrupted=True`` so run_frontier
+    takes the salvage path instead of finish_round."""
     import time as _time
 
     t_submit_done = _time.perf_counter()
-    counts = pa.concat_tables(ray.get(count_refs))
+    interrupted = False
+    ready: list = []
+    undone = list(count_refs)
+    while undone:
+        r, undone = ray.wait(undone, num_returns=len(undone), timeout=0.05)
+        ready.extend(r)
+        if undone and _STOP.is_set():
+            interrupted = True
+            for ref in undone:
+                try:
+                    ray.cancel(ref, force=False, recursive=False)
+                except Exception:
+                    pass
+            r2, _ = ray.wait(undone, num_returns=len(undone), timeout=1.0)
+            ready.extend(r2)
+            break
+    tbls = []
+    for ref in ready:
+        try:
+            tbls.append(ray.get(ref))
+        except Exception:
+            pass  # task ended cancelled: nothing sent to reconcile
+    if not tbls:
+        return {"fetched": 0, "admitted": 0, "interrupted": interrupted}
+    counts = pa.concat_tables(tbls)
     t_counts = _time.perf_counter() - t_submit_done
     exp_f = int(pc.sum(counts["n_fetched_sent"]).as_py() or 0)
     exp_c = int(pc.sum(counts["n_candidates_sent"]).as_py() or 0)
@@ -805,7 +874,7 @@ def _await_round(count_refs, frontier: "Frontier", round_no: int, base, a_before
         _time.sleep(0.005)
     t_poll = _time.perf_counter() - t_poll0
     a_after = sum(ray.get([s.admitted_total.remote() for s in frontier.shards]))
-    out = {"fetched": exp_f, "admitted": a_after - a_before}
+    out = {"fetched": exp_f, "admitted": a_after - a_before, "interrupted": interrupted}
     if "ts_start" in counts.column_names:
         # per-partition timing rollup (tasks stamp wall-clock phases)
         ts_s = counts["ts_start"].to_pylist()
@@ -884,9 +953,11 @@ def fetcher_expand(
     arithmetic. Interchangeable with pages_expand — same control flow,
     frontier semantics, and per-round output layout."""
 
-    def expand(sel: RoundSelection, round_no: int, frontier: Frontier) -> dict:
+    def expand(
+        sel: RoundSelection, round_no: int, frontier: Frontier, part_tag: str = ""
+    ) -> dict:
         out_part = (
-            f"{out_dir}/crawl_items/round={round_no:06d}"
+            f"{out_dir}/crawl_items/round={round_no:06d}{part_tag}"
             if out_dir is not None
             else None
         )
@@ -963,7 +1034,9 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
     # fetch+extract inline on the driver with row-group-pruned reads
     # (the BFS warm-up rounds of a single-seed crawl)
 
-    def expand(sel: RoundSelection, round_no: int, frontier: Frontier) -> dict:
+    def expand(
+        sel: RoundSelection, round_no: int, frontier: Frontier, part_tag: str = ""
+    ) -> dict:
         # buckets the round's URLs hash into — computed SHARD-SIDE at
         # selection_part time and unioned here from the small metas;
         # the driver never touches the round's URL strings (r3)
@@ -1048,7 +1121,7 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
 
         if cfg.round_fanout == "tasks":
             out_part = (
-                f"{out_dir}/crawl_items/round={round_no:06d}"
+                f"{out_dir}/crawl_items/round={round_no:06d}{part_tag}"
                 if out_dir is not None
                 else None
             )
@@ -1139,6 +1212,7 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                         cfg.max_depth,
                         out_part,
                         g,
+                        cfg.task_delay_ms,
                     )
                 )
             _t_submit = time.perf_counter() - _tsub0
@@ -1182,7 +1256,7 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                 ).hexdigest()
                 _write_items_part(
                     items,
-                    f"{out_dir}/crawl_items/round={round_no:06d}",
+                    f"{out_dir}/crawl_items/round={round_no:06d}{part_tag}",
                     f"part-{tag}",
                 )
             return _control_from_items(
@@ -1216,7 +1290,9 @@ def edges_expand(edges_table: pa.Table):
     selection IS materialized on the driver here (the edge table
     already lives there)."""
 
-    def expand(rsel: "RoundSelection", round_no: int, frontier: Frontier) -> dict:
+    def expand(
+        rsel: "RoundSelection", round_no: int, frontier: Frontier, part_tag: str = ""
+    ) -> dict:
         selected = rsel.materialize()
         sel = selected["url"]
         sel = sel.combine_chunks() if isinstance(sel, pa.ChunkedArray) else sel
@@ -1334,29 +1410,52 @@ def run_frontier(
     try:
         chash = config_hash(cfg, seeds)
         start_round = 0
-        if resume and cfg.checkpoint_dir:
-            last = latest_complete_round(cfg.checkpoint_dir)
-            if last is not None:
-                from ..state.checkpoint import read_lineage
+        part_attempt = 0        # >0 when resuming a salvaged partial round
+        resumed_partial = False
 
-                stored = read_lineage(cfg.checkpoint_dir, last).get("config_hash")
-                if stored is not None and stored != chash:
-                    # the lineage marker exists exactly for this check: a
-                    # resume under a different config/seed list would
-                    # silently continue the WRONG crawl
-                    raise ValueError(
-                        f"checkpoint {cfg.checkpoint_dir} round {last} was "
-                        f"written by config {stored}, not {chash}: refusing "
-                        "to resume a different crawl (change checkpoint_dir "
-                        "or match the original config + seeds)"
-                    )
+        def _check_hash(stored, where):
+            if stored is not None and stored != chash:
+                # the lineage marker exists exactly for this check: a
+                # resume under a different config/seed list would
+                # silently continue the WRONG crawl
+                raise ValueError(
+                    f"checkpoint {cfg.checkpoint_dir} {where} was "
+                    f"written by config {stored}, not {chash}: refusing "
+                    "to resume a different crawl (change checkpoint_dir "
+                    "or match the original config + seeds)"
+                )
+
+        if resume and cfg.checkpoint_dir:
+            from ..state.checkpoint import read_lineage
+
+            last = latest_complete_round(cfg.checkpoint_dir)
+            part = partial_round(cfg.checkpoint_dir)
+            next_round = 0 if last is None else last + 1
+            if part is not None and part[0] == next_round:
+                # a SIGTERM salvage interrupted round N = last+1: its
+                # state already holds the salvaged fetches in seen and
+                # the unfetched remainder in pending — re-run round N
+                # over that remainder, tagging outputs attempt+1 so
+                # they never overwrite the pre-kill parts
+                _check_hash(part[1].get("config_hash"), f"partial round {part[0]}")
+                load_checkpoint(
+                    cfg.checkpoint_dir, part[0], frontier.shards, partial=True
+                )
+                start_round = part[0]
+                part_attempt = int(part[1].get("attempt", 0)) + 1
+                resumed_partial = True
+            elif last is not None:
+                _check_hash(
+                    read_lineage(cfg.checkpoint_dir, last).get("config_hash"),
+                    f"round {last}",
+                )
                 load_checkpoint(cfg.checkpoint_dir, last, frontier.shards)
                 start_round = last + 1
         if order_dir is None and cfg.checkpoint_dir:
             # order parts ride the checkpoint layout so a resumed crawl's
             # final order includes pre-kill rounds
             order_dir = _os.path.join(cfg.checkpoint_dir, "order")
-        if start_round == 0:
+        if start_round == 0 and not resumed_partial:
             if order_dir is not None:
                 _shutil.rmtree(order_dir, ignore_errors=True)
             frontier.enqueue_table(seeds, [0] * len(seeds))
@@ -1366,15 +1465,55 @@ def run_frontier(
         round_no = start_round
         nb = getattr(expand, "n_buckets", None)
         while round_no < cfg.max_rounds:
+            if _STOP.is_set():
+                # between-rounds stop: round_no-1 is checkpointed
+                # complete; a plain --resume continues from it
+                break
             t0 = time.perf_counter()
             sel = frontier.take_round(n_buckets=nb)
             t_take = time.perf_counter() - t0
             if sel.total == 0:
                 break
+            attempt = part_attempt if round_no == start_round else 0
+            tag = f".a{attempt:02d}" if attempt else ""
             t1 = time.perf_counter()
-            stats = expand(sel, round_no, frontier)
+            stats = expand(sel, round_no, frontier, part_tag=tag)
             t_expand = time.perf_counter() - t1
             t2 = time.perf_counter()
+            if stats.get("interrupted"):
+                # mid-round SIGTERM salvage: completed tasks' fetches
+                # stand (shard-side order parts for them), unfetched
+                # selection rows return to pending, and the state goes
+                # to a round=N.partial checkpoint that resume re-runs
+                salv_refs, salv_parts = [], []
+                for s in frontier.shards:
+                    a, b = s.salvage_round_part.options(num_returns=2).remote(
+                        round_no, order_dir, attempt
+                    )
+                    salv_refs.append(a)
+                    salv_parts.append(b)
+                salv = ray.get(salv_refs)
+                if order_dir is None:
+                    order_refs.extend(salv_parts)
+                row = {
+                    "round": round_no,
+                    "selected": sel.total,
+                    "fetched": sum(x["fetched"] for x in salv),
+                    "deferred": sum(x["deferred"] for x in salv),
+                    "partial_attempt": attempt,
+                    "driver_rows": sel.driver_rows,
+                }
+                metrics.append(row)
+                if cfg.checkpoint_dir:
+                    write_checkpoint(
+                        cfg.checkpoint_dir,
+                        round_no,
+                        frontier.shards,
+                        chash,
+                        row,
+                        partial_attempt=attempt,
+                    )
+                break
             # end of round, shard-side: quarantine + per-shard order part
             fin_refs, part_refs = [], []
             for s in frontier.shards:
@@ -1413,6 +1552,9 @@ def run_frontier(
                     cfg.checkpoint_dir, round_no, frontier.shards, chash, row
                 )
                 append_metrics(cfg.checkpoint_dir, [row])
+                if attempt:
+                    # the salvaged partial for this round is superseded
+                    clear_partial(cfg.checkpoint_dir, round_no)
             round_no += 1
 
         return CrawlResult(

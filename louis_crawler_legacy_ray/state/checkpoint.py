@@ -38,9 +38,18 @@ def write_checkpoint(
     shards: list,
     config_hash: str,
     metrics: dict,
+    partial_attempt: int | None = None,
 ) -> str:
-    """Dump every shard's state; commit with _lineage.json last."""
+    """Dump every shard's state; commit with _lineage.json last.
+
+    ``partial_attempt`` marks a MID-ROUND salvage checkpoint (graceful
+    SIGTERM): state goes to ``round=N.partial`` — invisible to
+    latest_complete_round (the '.' transient filter) but discovered by
+    partial_round() — and resume re-runs round N over the salvaged
+    pending remainder, tagging its outputs with attempt+1."""
     final = _round_dir(ckpt_dir, round_no)
+    if partial_attempt is not None:
+        final += ".partial"
     tmp = final + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
@@ -58,6 +67,12 @@ def write_checkpoint(
             pq.write_table(
                 d["host_tokens"], os.path.join(sdir, "host_tokens.parquet")
             )
+        # a salvaged partial round's unfetched remainder (SIGTERM
+        # salvage): the resumed round re-takes exactly these rows
+        if "resume_sel" in d:
+            pq.write_table(
+                d["resume_sel"], os.path.join(sdir, "resume_sel.parquet")
+            )
     with open(os.path.join(tmp, "_lineage.json.tmp"), "w") as f:
         json.dump(
             {
@@ -66,6 +81,11 @@ def write_checkpoint(
                 "n_shards": len(shards),
                 "counts": counts,
                 "metrics": metrics,
+                **(
+                    {"partial": True, "attempt": partial_attempt}
+                    if partial_attempt is not None
+                    else {}
+                ),
             },
             f,
         )
@@ -104,9 +124,38 @@ def read_lineage(ckpt_dir: str, round_no: int) -> dict:
         return json.load(f)
 
 
-def load_checkpoint(ckpt_dir: str, round_no: int, shards: list) -> None:
+def partial_round(ckpt_dir: str) -> tuple[int, dict] | None:
+    """Newest committed round=N.partial salvage, as (round, lineage);
+    None when no salvage exists. Resume prefers a partial NEWER than
+    the last complete round (the kill interrupted round N = last+1)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best: tuple[int, dict] | None = None
+    for name in os.listdir(ckpt_dir):
+        if not name.startswith("round=") or not name.endswith(".partial"):
+            continue
+        lpath = os.path.join(ckpt_dir, name, "_lineage.json")
+        if not os.path.exists(lpath):
+            continue
+        r = int(name.split("=", 1)[1].split(".", 1)[0])
+        if best is None or r > best[0]:
+            with open(lpath) as f:
+                best = (r, json.load(f))
+    return best
+
+
+def clear_partial(ckpt_dir: str, round_no: int) -> None:
+    """Drop a salvage checkpoint once its round has completed for real."""
+    shutil.rmtree(
+        _round_dir(ckpt_dir, round_no) + ".partial", ignore_errors=True
+    )
+
+
+def load_checkpoint(
+    ckpt_dir: str, round_no: int, shards: list, partial: bool = False
+) -> None:
     """Restore every shard from a complete round's dump."""
-    rdir = _round_dir(ckpt_dir, round_no)
+    rdir = _round_dir(ckpt_dir, round_no) + (".partial" if partial else "")
     loads = []
     for i, shard in enumerate(shards):
         sdir = os.path.join(rdir, f"shard={i:04d}")
@@ -116,9 +165,15 @@ def load_checkpoint(ckpt_dir: str, round_no: int, shards: list) -> None:
         }
         ht_path = os.path.join(sdir, "host_tokens.parquet")
         host_tokens = pq.read_table(ht_path) if os.path.exists(ht_path) else None
+        rs_path = os.path.join(sdir, "resume_sel.parquet")
+        resume_sel = pq.read_table(rs_path) if os.path.exists(rs_path) else None
         loads.append(
             shard.load.remote(
-                tables["seen"], tables["pending"], tables["errored"], host_tokens
+                tables["seen"],
+                tables["pending"],
+                tables["errored"],
+                host_tokens,
+                resume_sel,
             )
         )
     ray.get(loads)

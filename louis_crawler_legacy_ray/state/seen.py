@@ -254,6 +254,12 @@ class FrontierShard:
         # never on a row table proportional to the round)
         self._sel: tuple[list, list, list] | None = None  # (urls, depths, hosts)
         self._sel_keys: list[tuple[int, str]] | None = None
+        # SIGTERM-salvaged remainder of an interrupted round: the next
+        # take2 must return EXACTLY these rows (not whatever pending
+        # holds, which may already include next-depth candidates from
+        # the round's completed tasks) so a resumed crawl reproduces
+        # the uninterrupted schedule
+        self._resume_sel: tuple[list, list, list] | None = None
 
     def warm(self) -> pa.Table:
         """Return an empty Arrow table: forces Ray's one-time
@@ -337,6 +343,17 @@ class FrontierShard:
         truncate_selection) and refs (selection_part), so no table
         proportional to the round ever crosses to the driver (r3
         distributed round control plane)."""
+        token_bucket0 = politeness == "token_bucket" and per_host_budget is not None
+        if self._resume_sel is not None:
+            # resumed partial round: re-take EXACTLY the salvaged
+            # remainder (already in_flight, tokens already spent,
+            # order already (depth, url)-sorted)
+            urls, depths, hosts = self._resume_sel
+            self._resume_sel = None
+            self._tb_burst = 2 * per_host_budget if token_bucket0 else None
+            self._sel = (urls, depths, hosts)
+            self._sel_keys = list(zip(depths, urls))
+            return {"count": len(urls)}
         items = sorted(
             (
                 (depth, url, host)
@@ -501,6 +518,60 @@ class FrontierShard:
         }
         return meta, tbl
 
+    def salvage_round_part(
+        self, round_no: int, order_dir: str | None = None, attempt: int = 0
+    ):
+        """Mid-round graceful-shutdown salvage (reference SIGINT path,
+        goldie_playwright_parallel.py:871-901): keep what landed, hand
+        the rest back. The selection splits into (a) URLs whose
+        record_fetched already arrived (left in_flight -> in seen) —
+        they become this shard's PARTIAL order part for the round —
+        and (b) URLs still in_flight (their task was cancelled or its
+        delivery never landed) — STASHED as the exact remainder the
+        resumed round must re-take. They deliberately stay in_flight
+        (enqueue dedup keeps treating them as known) rather than going
+        back to pending: pending may already hold next-depth
+        candidates admitted by the round's COMPLETED tasks, and a
+        pending-wide re-take would mix depths and diverge from the
+        uninterrupted schedule. Politeness tokens stay spent (the
+        fetch is deferred, not cancelled). Order parts carry an
+        attempt suffix (shard-i.aK.parquet) so successive kill/resume
+        cycles of the same round never overwrite each other; the lazy
+        order reader globs both spellings."""
+        urls, depths, hosts = self._sel if self._sel is not None else ([], [], [])
+        fetched, unfetched = [], []
+        for u, d, h in zip(urls, depths, hosts):
+            (unfetched if u in self.in_flight else fetched).append((u, d, h))
+        self._resume_sel = (
+            [u for u, _, _ in unfetched],
+            [d for _, d, _ in unfetched],
+            [h for _, _, h in unfetched],
+        )
+        ok = pa.table(
+            {
+                "round": pa.array([round_no] * len(fetched), pa.int32()),
+                "depth": pa.array([d for _, d, _ in fetched], pa.int32()),
+                "url": pa.array([u for u, _, _ in fetched], pa.string()),
+            }
+        )
+        self._sel = None
+        self._sel_keys = None
+        stats = {"fetched": ok.num_rows, "deferred": len(unfetched)}
+        if order_dir is not None:
+            import os
+            import uuid
+
+            import pyarrow.parquet as pq
+
+            part = os.path.join(order_dir, f"round={round_no:06d}")
+            os.makedirs(part, exist_ok=True)
+            name = f"shard-{self.shard_id:04d}.a{attempt:02d}.parquet"
+            tmp = os.path.join(part, f".{name}.tmp-{uuid.uuid4().hex[:8]}")
+            pq.write_table(ok, tmp)
+            os.replace(tmp, os.path.join(part, name))
+            return stats, ok.schema.empty_table()
+        return stats, ok
+
     def finish_round_part(self, round_no: int, order_dir: str | None = None):
         """End-of-round, shard-side: quarantine still-in-flight URLs as
         errored (the reference's 404 path) and emit THIS shard's slice
@@ -634,7 +705,7 @@ class FrontierShard:
 
     def dump(self) -> dict:
         """Checkpoint payload (Arrow tables, zero-copy through plasma)."""
-        return {
+        d = {
             "shard": self.shard_id,
             "seen": pa.table({"url": pa.array(sorted(self.seen), pa.string())}),
             "pending": pa.table(
@@ -667,6 +738,16 @@ class FrontierShard:
                 }
             ),
         }
+        if self._resume_sel is not None:
+            u, dep, h = self._resume_sel
+            d["resume_sel"] = pa.table(
+                {
+                    "url": pa.array(u, pa.string()),
+                    "depth": pa.array(dep, pa.int32()),
+                    "host": pa.array(h, pa.string()),
+                }
+            )
+        return d
 
     def load(
         self,
@@ -674,6 +755,7 @@ class FrontierShard:
         pending: pa.Table,
         errored: pa.Table,
         host_tokens: pa.Table | None = None,
+        resume_sel: pa.Table | None = None,
     ) -> None:
         self.seen = set(seen["url"].to_pylist())
         self.pending = {
@@ -697,13 +779,26 @@ class FrontierShard:
             if host_tokens is not None
             else {}
         )
-        self.in_flight = set()
+        # a salvaged partial round's remainder: back to in_flight (so
+        # enqueue dedup still knows it) and stashed for the next take2
+        if resume_sel is not None and resume_sel.num_rows:
+            self._resume_sel = (
+                resume_sel["url"].to_pylist(),
+                resume_sel["depth"].to_pylist(),
+                resume_sel["host"].to_pylist(),
+            )
+            self.in_flight = set(self._resume_sel[0])
+        else:
+            self._resume_sel = None
+            self.in_flight = set()
         if self.bloom is not None:
             for u in self.seen:
                 self.bloom.add(_h64(u))
             for u in self.pending:
                 self.bloom.add(_h64(u))
             for u in self.errored:
+                self.bloom.add(_h64(u))
+            for u in self.in_flight:
                 self.bloom.add(_h64(u))
 
 

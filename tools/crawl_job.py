@@ -49,6 +49,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--mode", choices=["exact", "approx", "cuckoo"], default="exact")
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--task-delay-ms", type=int, default=0,
+        help="fault injection: stagger round tasks (kill/salvage tests)",
+    )
+    p.add_argument(
+        "--inline-threshold", type=int, default=64,
+        help="rounds at or under this size run driver-inline",
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -58,7 +66,16 @@ def main(argv: list[str] | None = None) -> int:
         # starts a one-node Ray
         ray.init(include_dashboard=False)
 
-    from louis_crawler_legacy_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from louis_crawler_legacy_ray.pipelines.crawl import (
+        CrawlConfig,
+        install_sigterm_salvage,
+        run_crawl,
+    )
+
+    # graceful mid-round shutdown: SIGTERM salvages completed fetches,
+    # requeues the rest, and commits a round=N.partial checkpoint that
+    # --resume picks up (reference SIGINT salvage path)
+    install_sigterm_salvage()
 
     cfg = CrawlConfig(
         n_shards=args.shards,
@@ -69,11 +86,14 @@ def main(argv: list[str] | None = None) -> int:
         politeness=args.politeness,
         mode=args.mode,
         checkpoint_dir=args.checkpoint,
+        task_delay_ms=args.task_delay_ms,
+        inline_round_threshold=args.inline_threshold,
     )
     t0 = time.perf_counter()
     res = run_crawl(args.pages, args.seeds, cfg, out_dir=args.out, resume=args.resume)
     wall = time.perf_counter() - t0
     fetched = int(res.counts["seen"])
+    interrupted = bool(res.metrics and "partial_attempt" in res.metrics[-1])
     print(
         json.dumps(
             {
@@ -82,6 +102,7 @@ def main(argv: list[str] | None = None) -> int:
                 "errored": int(res.counts["errored"]),
                 "seconds": round(wall, 3),
                 "urls_per_sec": round(fetched / wall, 1) if wall > 0 else 0.0,
+                "interrupted": interrupted,
                 "metrics": (
                     f"{args.checkpoint}/metrics" if args.checkpoint else None
                 ),
