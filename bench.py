@@ -127,7 +127,7 @@ def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("LOUIS_BENCH_PAGES", "131071"))
     pad = int(os.environ.get("LOUIS_BENCH_PAD", "28000"))
-    trials = int(os.environ.get("LOUIS_BENCH_TRIALS", "2"))
+    trials = int(os.environ.get("LOUIS_BENCH_TRIALS", "3"))
 
     import ray
 
