@@ -1037,6 +1037,253 @@ FROM walk2 GROUP BY url
 )
 
 
+_MH_HOSTS = 7  # multi-host corpus: host = h{doc_id % 7}.example.ca
+
+
+def multihost_corpus_dir(sf_dir: str) -> str:
+    """Multi-HOST pages corpus (pages_from_documents(n_hosts=7),
+    absolute cross-host links): the frontier shape where host-sharded
+    state, per-host politeness and shard routing actually distribute —
+    the single-site corpus exercises none of that spread."""
+    key = f"{sf_dir}|mh{_MH_HOSTS}"
+    if key in _PAGES_CACHE:
+        return _PAGES_CACHE[key]
+    tag = hashlib.blake2b(key.encode(), digest_size=6).hexdigest()
+    out = f"/tmp/louis_pages_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        tmp = f"{out}.build-{os.getpid()}"
+        docs = _docs_table(sf_dir)
+        pages = pages_from_documents(docs, n_hosts=_MH_HOSTS)
+        write_pages_parquet(pages, tmp, rows_per_file=4096)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    _PAGES_CACHE[key] = out
+    return out
+
+
+# the multi-host pg CTE: same page derivation, host keyed by doc_id % 7
+_SQL_MH_CTE = r"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+base AS (
+  SELECT doc_id, lang, source,
+         (CASE WHEN lang = 'fr' THEN 'fra' ELSE lang END) AS seg,
+         'http://h' || (doc_id % 7) || '.example.ca' AS origin
+  FROM documents),
+pg AS (
+  SELECT d.doc_id,
+         'h' || (d.doc_id % 7) || '.example.ca' AS host,
+         d.origin || '/' || d.seg || '/' || d.source || '/doc' || d.doc_id AS url,
+         c1.origin || '/' || c1.seg || '/' || c1.source || '/doc' || c1.doc_id AS c1_url,
+         c2.origin || '/' || c2.seg || '/' || c2.source || '/doc' || c2.doc_id AS c2_url
+  FROM base d, nn
+  JOIN base c1 ON c1.doc_id = (2 * d.doc_id + 1) % nn.n
+  JOIN base c2 ON c2.doc_id = (2 * d.doc_id + 2) % nn.n)
+"""
+
+
+def _mh_seed(sf_dir: str) -> str:
+    docs = _docs_table(sf_dir)
+    lang0, src0 = docs["lang"][0].as_py(), docs["source"][0].as_py()
+    seg0 = "fra" if lang0 == "fr" else lang0
+    return f"http://h0.example.ca/{seg0}/{src0}/doc0"
+
+
+def q_crawl_multihost_bfs(sf_dir: str):
+    """Plain BFS over the MULTI-host corpus: seen/pending state and
+    link edges genuinely spread across host-hashed shards (previously
+    every crawl oracle was single-host, so shard routing was exercised
+    by exactly one shard). Oracle = recursive min-depth walk over the
+    cross-host edges."""
+    from .crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(n_shards=4, max_depth=6, max_rounds=16)
+    res = run_crawl(multihost_corpus_dir(sf_dir), [_mh_seed(sf_dir)], cfg)
+    return res.order.select(["url", "depth"])
+
+
+SQL_CRAWL_MULTIHOST_BFS = (
+    "WITH RECURSIVE "
+    + _SQL_MH_CTE.replace("WITH ", "", 1)
+    + """,
+edges AS (
+  SELECT url AS src, c1_url AS dst FROM pg
+  UNION ALL SELECT url, c2_url FROM pg),
+walk(url, depth) AS (
+  SELECT url, 0 FROM pg WHERE doc_id = 0
+  UNION ALL
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.url
+  WHERE w.depth < 6)
+SELECT url, CAST(min(depth) AS INTEGER) AS depth FROM walk GROUP BY url
+"""
+)
+
+
+def q_crawl_multihost_budget(sf_dir: str):
+    """Per-HOST token-bucket politeness across a multi-host frontier
+    under the exact gate: 7 hosts × (refill 2, burst 4, banked carry),
+    host state colocated in the owning shard. The schedule is richer
+    than the single-host case — hosts drain at different rates, so
+    parents of DIFFERENT depths fetch in the same round and can
+    rediscover a shared still-pending child; the frontier's
+    min-depth-wins enqueue keeps that deterministic, and the oracle
+    simulation carries one token-sentinel row per host plus the same
+    min-depth update for pending rediscoveries. The engine's full
+    (round, depth, url) order must hash-match every transition."""
+    from .crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=6,
+        max_rounds=96,
+        per_host_budget=2,
+        politeness="token_bucket",
+    )
+    res = run_crawl(multihost_corpus_dir(sf_dir), [_mh_seed(sf_dir)], cfg)
+    return res.order
+
+
+SQL_CRAWL_MULTIHOST_BUDGET = (
+    "WITH RECURSIVE "
+    + _SQL_MH_CTE.replace("WITH ", "", 1)
+    + """,
+edges AS (
+  SELECT url AS src, c1_url AS dst FROM pg
+  UNION ALL SELECT url, c2_url FROM pg),
+hosts AS (SELECT DISTINCT host FROM pg),
+sim(round, url, host, depth, done) AS (
+  SELECT * FROM (
+    SELECT 0 AS round, url, host, CAST(0 AS INTEGER) AS depth, FALSE AS done
+    FROM pg WHERE doc_id = 0
+    UNION ALL
+    SELECT 0, '', host, CAST(0 AS INTEGER), TRUE FROM hosts)
+  UNION ALL
+  (
+  WITH prev AS (SELECT * FROM sim),
+  caps AS (SELECT p.host, least(4, p.depth + 2) AS cap
+           FROM prev p WHERE p.url = ''),
+  pending AS (SELECT url, host, depth FROM prev WHERE NOT done AND url <> ''),
+  ranked AS (SELECT p.url, p.host, p.depth,
+                    (SELECT count(*) FROM pending q
+                     WHERE q.host = p.host
+                       AND (q.depth, q.url) <= (p.depth, p.url)) AS rn
+             FROM pending p),
+  sel AS (SELECT r.url, r.host, r.depth
+          FROM ranked r JOIN caps c ON c.host = r.host
+          WHERE r.rn <= c.cap),
+  used AS (SELECT host, count(*) AS u FROM sel GROUP BY host),
+  pend_hosts AS (SELECT DISTINCT host FROM pending),
+  disc AS (SELECT e.dst AS url, min(s.depth + 1) AS ddepth
+           FROM sel s JOIN edges e ON e.src = s.url GROUP BY e.dst),
+  kids AS (SELECT d.url, d.ddepth AS depth FROM disc d
+           WHERE d.ddepth <= 6
+             AND NOT EXISTS (SELECT 1 FROM prev p WHERE p.url = d.url)),
+  nstate AS (
+    SELECT p.url, p.host,
+           CASE WHEN p.done OR p.url IN (SELECT url FROM sel) THEN p.depth
+                ELSE least(p.depth, coalesce(d.ddepth, p.depth)) END AS depth,
+           (p.done OR p.url IN (SELECT url FROM sel)) AS done
+    FROM prev p LEFT JOIN disc d ON d.url = p.url
+    WHERE p.url <> ''
+    UNION ALL
+    SELECT k.url, split_part(split_part(k.url, '//', 2), '/', 1),
+           k.depth, FALSE
+    FROM kids k
+    UNION ALL
+    SELECT '', p.host,
+           CASE WHEN p.host IN (SELECT host FROM pend_hosts)
+                THEN (SELECT c.cap FROM caps c WHERE c.host = p.host)
+                     - coalesce((SELECT u.u FROM used u WHERE u.host = p.host), 0)
+                ELSE p.depth END,
+           TRUE
+    FROM prev p WHERE p.url = '')
+  SELECT r0.round + 1, n.url, n.host, CAST(n.depth AS INTEGER), n.done
+  FROM nstate n, (SELECT max(round) AS round FROM prev) r0
+  WHERE EXISTS (SELECT 1 FROM pending) AND r0.round < 96
+  )
+)
+SELECT CAST(min(round) - 1 AS INTEGER) AS round, depth, url
+FROM sim WHERE done AND url <> ''
+GROUP BY depth, url
+"""
+)
+
+
+def q_crawl_robots(sf_dir: str):
+    """robots.txt-obeying crawl under the exact gate (reference keeps
+    ROBOTSTXT_OBEY=False, settings.py:19, but ships the toggle; our
+    RobotsCache was pytest-only until now): Disallow: /fra/ — the
+    reference's own language rule as a robots rule. Disallowed
+    candidates are quarantined at enqueue (never fetched), so their
+    subtrees are reachable only through non-French paths; the oracle
+    is the recursive walk restricted to seg <> 'fra'."""
+    from .crawl import CrawlConfig, run_crawl
+
+    docs = _docs_table(sf_dir)
+    lang0, src0 = docs["lang"][0].as_py(), docs["source"][0].as_py()
+    seg0 = "fra" if lang0 == "fr" else lang0
+    assert seg0 != "fra", "seed must be allowed for the oracle shape"
+    seed = f"{SITE}/{seg0}/{src0}/doc0"
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=6,
+        max_rounds=16,
+        robots_txt_by_host={
+            "inspection.canada.ca": "User-agent: *\nDisallow: /fra/\n"
+        },
+        obey_robots=True,
+    )
+    res = run_crawl(pages_corpus_dir(sf_dir), [seed], cfg)
+    assert res.counts["errored"] > 0, "robots quarantine must fire"
+    return res.order.select(["url", "depth"])
+
+
+SQL_CRAWL_ROBOTS = (
+    "WITH RECURSIVE "
+    + _SQL_PAGE_CTE.replace("WITH ", "", 1)
+    + f""",
+edges AS (
+  SELECT url AS src, '{SITE}' || c1_path AS dst FROM pg
+  UNION ALL SELECT url, '{SITE}' || c2_path FROM pg),
+walk(url, depth) AS (
+  SELECT url, 0 FROM pg WHERE doc_id = 0
+  UNION ALL
+  SELECT e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.url
+  JOIN pg pd ON pd.url = e.dst
+  WHERE w.depth < 6 AND pd.seg <> 'fra')
+SELECT url, CAST(min(depth) AS INTEGER) AS depth FROM walk GROUP BY url
+"""
+)
+
+
+def q_crawl_salted(sf_dir: str):
+    """Hot-host salting invariance under the exact gate: salting
+    spreads one host's URLs over n_salt sub-queues/shards (a pure
+    EXECUTION change for an uncapped crawl), so the crawl order and
+    seen-set must be IDENTICAL to the unsalted BFS — same oracle SQL
+    as crawl_pages_bfs."""
+    from .crawl import CrawlConfig, run_crawl
+
+    docs = _docs_table(sf_dir)
+    lang0, src0 = docs["lang"][0].as_py(), docs["source"][0].as_py()
+    seg0 = "fra" if lang0 == "fr" else lang0
+    seed = f"{SITE}/{seg0}/{src0}/doc0"
+    cfg = CrawlConfig(
+        n_shards=5,
+        max_depth=6,
+        max_rounds=16,
+        hot_host_salt={"inspection.canada.ca": 3},
+    )
+    res = run_crawl(pages_corpus_dir(sf_dir), [seed], cfg)
+    return res.order.select(["url", "depth"])
+
+
 def q_crawl_graph_bfs(sf_dir: str):
     """The frontier engine as a pure BFS over a typed-node graph built
     from the relational tables (customer->order->part->supplier->
@@ -2883,6 +3130,10 @@ QUERIES = {
     "crawl_pages_bfs_404": q_crawl_pages_bfs_404,
     "crawl_pages_bfs_budget": q_crawl_pages_bfs_budget,
     "crawl_ttl_recrawl": q_crawl_ttl_recrawl,
+    "crawl_multihost_bfs": q_crawl_multihost_bfs,
+    "crawl_multihost_budget": q_crawl_multihost_budget,
+    "crawl_robots": q_crawl_robots,
+    "crawl_salted": q_crawl_salted,
     "crawl_graph_bfs": q_crawl_graph_bfs,
     "js_need": q_js_need,
     "content_predicates": q_content_predicates,
@@ -2977,6 +3228,10 @@ ORACLE_SQL = {
     "crawl_pages_bfs_404": SQL_CRAWL_PAGES_BFS,
     "crawl_pages_bfs_budget": SQL_CRAWL_PAGES_BFS_BUDGET,
     "crawl_ttl_recrawl": SQL_CRAWL_TTL_RECRAWL,
+    "crawl_multihost_bfs": SQL_CRAWL_MULTIHOST_BFS,
+    "crawl_multihost_budget": SQL_CRAWL_MULTIHOST_BUDGET,
+    "crawl_robots": SQL_CRAWL_ROBOTS,
+    "crawl_salted": SQL_CRAWL_PAGES_BFS,
     "crawl_graph_bfs": SQL_CRAWL_GRAPH_BFS,
     "js_need": SQL_JS_NEED,
     "content_predicates": SQL_CONTENT_PREDICATES,

@@ -286,11 +286,23 @@ class FrontierShard:
                 _h64(url)
             ):
                 pass  # definitely never seen — skip the set lookups
+            elif url in self.pending:
+                # min-depth-wins on rediscovery: under per-host
+                # throttling, parents at DIFFERENT depths can fetch in
+                # the same round and race to enqueue a shared child —
+                # first-wins would make the recorded depth depend on
+                # RPC landing order. min() is commutative, so the
+                # frontier stays deterministic; a later smaller-depth
+                # rediscovery of a still-pending URL also promotes its
+                # priority exactly like a sequential crawler would.
+                old = self.pending[url]
+                if depth < old[0]:
+                    self.pending[url] = (depth, old[1])
+                continue
             elif (
                 url in self.seen
                 or url in self.errored
                 or url in self.in_flight
-                or url in self.pending
             ):
                 continue
             self.pending[url] = (depth, host)
