@@ -173,5 +173,5 @@ def extract_page(
         "last_crawled": now,
         "last_updated": last_updated,
         "children": extract_children(hrefs, url, allowed_domains),
-        "links": extract_links(hrefs, url),
+        "links": extract_links(hrefs, url, allowed_domains),
     }

@@ -30,7 +30,11 @@ def fix_vhost(url: str) -> str:
     return url
 
 
-def extract_links(hrefs: list[str], base_url: str) -> list[str]:
+def extract_links(
+    hrefs: list[str],
+    base_url: str,
+    allowed_domains: list[str] | None = None,
+) -> list[str]:
     """Filter + absolutize anchor hrefs exactly as the reference's
     ``extract_urls`` does (requests.py:4-20):
 
@@ -40,6 +44,11 @@ def extract_links(hrefs: list[str], base_url: str) -> list[str]:
     - site-relative ``/...`` resolved against base scheme+netloc
     - everything else (relative paths, mailto:, javascript:, empty) dropped
     - canonicalized via :func:`fix_vhost`
+    - optional allowed-domain filter (Scrapy enforces the spider's
+      allowed_domains on REQUESTS via OffsiteMiddleware, not in
+      extract_urls itself — links are the frontier-candidate set, so
+      the offsite drop belongs here; same substring-on-netloc rule as
+      extract_children / base_playwright.py:95-119)
 
     Order-preserving; duplicates NOT removed (the reference relies on the
     scheduler's request fingerprinting for dedup, settings.py:91).
@@ -59,6 +68,10 @@ def extract_links(hrefs: list[str], base_url: str) -> list[str]:
             href = parsed.scheme + "://" + parsed.netloc + href
         else:
             continue
+        if allowed_domains is not None:
+            netloc = urlparse(href).netloc
+            if not any(dom in netloc for dom in allowed_domains):
+                continue
         out.append(fix_vhost(href))
     return out
 

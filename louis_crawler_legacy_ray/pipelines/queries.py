@@ -1275,6 +1275,47 @@ GROUP BY depth, url
 )
 
 
+def q_crawl_multihost_domains(sf_dir: str):
+    """allowed_domains at the frontier (M11 / reference's
+    allowed_domains spider attribute) finally exercised against real
+    host spread: only h0..h4 may be crawled, so the reachable set is
+    the seed's component within those five hosts. Candidates to other
+    hosts are dropped at link extraction; the oracle walk restricts
+    dst's host the same way."""
+    from .crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=6,
+        max_rounds=16,
+        allowed_domains=[
+            "h0.example.ca", "h1.example.ca", "h2.example.ca",
+            "h3.example.ca", "h4.example.ca",
+        ],
+    )
+    res = run_crawl(multihost_corpus_dir(sf_dir), [_mh_seed(sf_dir)], cfg)
+    return res.order.select(["url", "depth"])
+
+
+SQL_CRAWL_MULTIHOST_DOMAINS = (
+    "WITH RECURSIVE "
+    + _SQL_MH_CTE.replace("WITH ", "", 1)
+    + """,
+edges AS (
+  SELECT url AS src, c1_url AS dst FROM pg
+  UNION ALL SELECT url, c2_url FROM pg),
+walk(url, depth) AS (
+  SELECT url, 0 FROM pg WHERE doc_id = 0
+  UNION ALL
+  SELECT e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.url
+  JOIN pg pd ON pd.url = e.dst
+  WHERE w.depth < 6 AND (pd.doc_id % 7) IN (0, 1, 2, 3, 4))
+SELECT url, CAST(min(depth) AS INTEGER) AS depth FROM walk GROUP BY url
+"""
+)
+
+
 def q_crawl_robots(sf_dir: str):
     """robots.txt-obeying crawl under the exact gate (reference keeps
     ROBOTSTXT_OBEY=False, settings.py:19, but ships the toggle; our
@@ -3194,6 +3235,7 @@ QUERIES = {
     "crawl_multihost_bfs": q_crawl_multihost_bfs,
     "crawl_multihost_budget": q_crawl_multihost_budget,
     "crawl_multihost_capped": q_crawl_multihost_capped,
+    "crawl_multihost_domains": q_crawl_multihost_domains,
     "crawl_robots": q_crawl_robots,
     "crawl_salted": q_crawl_salted,
     "crawl_graph_bfs": q_crawl_graph_bfs,
@@ -3293,6 +3335,7 @@ ORACLE_SQL = {
     "crawl_multihost_bfs": SQL_CRAWL_MULTIHOST_BFS,
     "crawl_multihost_budget": SQL_CRAWL_MULTIHOST_BUDGET,
     "crawl_multihost_capped": SQL_CRAWL_MULTIHOST_CAPPED,
+    "crawl_multihost_domains": SQL_CRAWL_MULTIHOST_DOMAINS,
     "crawl_robots": SQL_CRAWL_ROBOTS,
     "crawl_salted": SQL_CRAWL_PAGES_BFS,
     "crawl_graph_bfs": SQL_CRAWL_GRAPH_BFS,
