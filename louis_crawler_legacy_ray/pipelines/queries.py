@@ -1788,6 +1788,21 @@ def q_asof_last_order_big(sf_dir: str):
     )
 
 
+def q_approx_price_quantiles(sf_dir: str):
+    """Mergeable quantile sketch (deterministic MRL/KLL compactors)
+    over l_extendedprice — the scale path beside the exact
+    histogram_quantiles for continuous high-cardinality columns, where
+    the exact (key, value) histogram would ship every distinct value
+    through the shuffle while the sketch folds k·log(n/k)-value blobs.
+    Approximate by nature -> rows-only; the error bound vs the exact
+    quantiles is pinned by pytest (test_asof_sketches.py)."""
+    from ..stages.sketches import approx_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    qs = [round(0.1 * i, 1) for i in range(1, 10)]
+    return approx_quantiles(li, "l_extendedprice", qs, k=200)
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HLL sketch approx COUNT(DISTINCT user_id) next to the exact
     count (mergeable-sketch pattern; approx by nature -> rows-only)."""
@@ -2379,6 +2394,81 @@ b AS (
 SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
 FROM b GROUP BY w1, w2
 ORDER BY pair_count DESC, w1, w2 LIMIT 100
+"""
+
+
+def q_bigram_lift_topk(sf_dir: str):
+    """Collocation mining by LIFT (PMI without the monotone log):
+    lift(x,y) = count(x,y)·N / (count(x)·count(y)), the association
+    score a phrase-mining / tokenizer-merge pipeline ranks by. Scale
+    shape: bigram Counter partials → one two-key groupby; unigram
+    partials → one groupby (vocabulary-sized); the unigram marginals
+    broadcast ONCE via ray.put into a stateless scoring pass. Float
+    discipline for the exact gate: both engine and oracle compute
+    double(cnt_xy·N) / double(cnt_x·cnt_y) — products exact in int64
+    (< 2^53 at every sf), ONE division in the same order, so the
+    doubles hash-match bit-for-bit. Deterministic (lift, w1, w2)
+    tiebreak; support floor pair_count >= 5."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    uni = (
+        docs.map_batches(ts.unigram_partial_batch, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .take_all()
+    )
+    counts = {r["word"]: int(r["n"]) for r in uni}
+    total = sum(counts.values())
+    cnt_ref = ray.put(counts)
+
+    bi = (
+        docs.map_batches(ts.bigram_partial_batch, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("cnt", alias_name="pair_count"))
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        cm = ray.get(cnt_ref)
+        pc_ = b["pair_count"].to_pylist()
+        w1 = b["w1"].to_pylist()
+        w2 = b["w2"].to_pylist()
+        keep_i, lifts = [], []
+        for i, (a, c, n_xy) in enumerate(zip(w1, w2, pc_)):
+            if n_xy < 5:
+                continue
+            keep_i.append(i)
+            lifts.append(
+                float(np.float64(n_xy * total) / np.float64(cm[a] * cm[c]))
+            )
+        t = b.take(pa.array(keep_i, pa.int64()))
+        return t.append_column("lift", pa.array(lifts, pa.float64()))
+
+    scored = bi.map_batches(score, batch_format="pyarrow")
+    return scored.sort(
+        ["lift", "w1", "w2"], descending=[True, False, False]
+    ).limit(50)
+
+
+SQL_BIGRAM_LIFT_TOPK = """
+WITH w AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+uni AS (
+  SELECT unnest(ws) AS word FROM w),
+ucnt AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY word),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM uni),
+b AS (
+  SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+  FROM w WHERE len(ws) >= 2),
+bc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+  FROM b GROUP BY w1, w2 HAVING count(*) >= 5)
+SELECT bc.w1, bc.w2, bc.pair_count,
+       CAST(bc.pair_count * tot.total AS DOUBLE)
+       / CAST(u1.n * u2.n AS DOUBLE) AS lift
+FROM bc, tot
+JOIN ucnt u1 ON u1.word = bc.w1
+JOIN ucnt u2 ON u2.word = bc.w2
+ORDER BY lift DESC, bc.w1, bc.w2 LIMIT 50
 """
 
 
@@ -3246,6 +3336,7 @@ QUERIES = {
     "asof_last_order": q_asof_last_order,
     "asof_last_order_big": q_asof_last_order_big,
     "approx_distinct_users": q_approx_distinct_users,
+    "approx_price_quantiles": q_approx_price_quantiles,
     # text analysis
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
@@ -3262,6 +3353,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "inverted_index_sharded": q_inverted_index_sharded,
     "bigram_counts": q_bigram_counts,
+    "bigram_lift_topk": q_bigram_lift_topk,
     "line_dedup": q_line_dedup,
     "top_principal_component": q_top_principal_component,
     "train_val_split": q_train_val_split,
@@ -3360,6 +3452,7 @@ ORACLE_SQL = {
     "inverted_index": SQL_INVERTED_INDEX,
     "inverted_index_sharded": SQL_INVERTED_INDEX_SHARDED,
     "bigram_counts": SQL_BIGRAM_COUNTS,
+    "bigram_lift_topk": SQL_BIGRAM_LIFT_TOPK,
     "line_dedup": SQL_LINE_DEDUP,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "dedup_survivors": SQL_DEDUP_SURVIVORS,

@@ -419,3 +419,134 @@ def profile_columns(
         )
 
     return hist.groupby("col_name").map_groups(fold, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- KLL-ish
+class QuantileSketch:
+    """Deterministic mergeable quantile sketch (MRL/KLL compactor
+    family: Manku-Rajagopalan-Lindsay '98 / Karnin-Lang-Liberty '16
+    shape, with DETERMINISTIC parity compaction instead of coin flips
+    so runs and the pytest error bound are reproducible).
+
+    Structure: level L holds a buffer of values each representing
+    2^L original items. When a level exceeds ``k`` items it is sorted
+    and every other item (starting at ``level % 2`` — alternating
+    parity halves the systematic rank bias of always-even) is promoted
+    to level L+1; the rest are discarded. Size is O(k·log(n/k));
+    worst-case rank error is O(n·log2(n/k)/k). For n <= k the sketch
+    is EXACT (no compaction ever fires), which the tests pin.
+
+    Merge = per-level concat + the same compaction — associative, so
+    per-block partials combine in any grouping (driver fold over the
+    ~k·log(n/k)·8-byte blobs here, exactly like the HLL; a tree
+    map_batches fold is the extreme-block-count path)."""
+
+    def __init__(self, k: int = 200):
+        self.k = k
+        self.n = 0
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+
+    def add(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+
+    def _compress(self) -> None:
+        lvl = 0
+        while lvl < len(self.levels):
+            buf = self.levels[lvl]
+            if len(buf) > self.k:
+                arr = np.sort(buf, kind="stable")
+                promoted = arr[(lvl & 1)::2]
+                self.levels[lvl] = np.empty(0, dtype=np.float64)
+                if lvl + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                self.levels[lvl + 1] = np.concatenate(
+                    [self.levels[lvl + 1], promoted]
+                )
+            lvl += 1
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        assert self.k == other.k
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+        for lvl, buf in enumerate(other.levels):
+            self.levels[lvl] = np.concatenate([self.levels[lvl], buf])
+        self.n += other.n
+        self._compress()
+        return self
+
+    def quantile(self, q: float) -> float:
+        """Smallest sketched value whose cumulative weight reaches
+        ceil(q*n) — the quantile_disc convention price_quantiles uses."""
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate(
+            [
+                np.full(len(buf), 1 << lvl, dtype=np.int64)
+                for lvl, buf in enumerate(self.levels)
+            ]
+        )
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        target = max(1, int(np.ceil(q * self.n)))
+        i = int(np.searchsorted(cum, target, side="left"))
+        return float(vals[min(i, len(vals) - 1)])
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        head = struct.pack("<qqq", self.k, self.n, len(self.levels))
+        parts = [head]
+        for buf in self.levels:
+            parts.append(struct.pack("<q", len(buf)))
+            parts.append(np.ascontiguousarray(buf).tobytes())
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "QuantileSketch":
+        import struct
+
+        k, n, n_levels = struct.unpack_from("<qqq", data, 0)
+        off = 24
+        sk = cls(k=int(k))
+        sk.n = int(n)
+        sk.levels = []
+        for _ in range(n_levels):
+            (ln,) = struct.unpack_from("<q", data, off)
+            off += 8
+            sk.levels.append(
+                np.frombuffer(data, dtype=np.float64, count=int(ln), offset=off).copy()
+            )
+            off += int(ln) * 8
+        return sk
+
+
+def approx_quantiles(
+    ds: ray.data.Dataset, col: str, qs: list[float], k: int = 200
+) -> pa.Table:
+    """Approximate quantiles of ``col`` via mergeable per-batch
+    QuantileSketch partials (one ~k·log(n/k)·8-byte blob per block,
+    folded on the driver like the HLL) — the scale path beside the
+    exact ``histogram_quantiles``, for continuous high-cardinality
+    columns where the exact (key, value) histogram would carry every
+    distinct value through the shuffle."""
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        sk = QuantileSketch(k)
+        sk.add(batch[col].to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([sk.to_bytes()], pa.binary())})
+
+    merged = QuantileSketch(k)
+    for row in ds.map_batches(sketch_batch, batch_format="pyarrow").iter_rows():
+        merged.merge(QuantileSketch.from_bytes(row["sketch"]))
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array([merged.quantile(q) for q in qs], pa.float64()),
+            "n": pa.array([merged.n] * len(qs), pa.int64()),
+            "k": pa.array([k] * len(qs), pa.int64()),
+        }
+    )

@@ -399,6 +399,23 @@ def postings_group(df):
     )
 
 
+def unigram_partial_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch word-count partials (word, cnt) with the SAME
+    tokenization as the bigram partials — the marginals for
+    association scores (lift / PMI)."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in batch[text_col].to_pylist():
+        c.update(_VOCAB_RE.findall((t or "").lower()))
+    return pa.table(
+        {
+            "word": pa.array(list(c.keys()), pa.string()),
+            "cnt": pa.array(list(c.values()), pa.int64()),
+        }
+    )
+
+
 def bigram_partial_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-batch adjacent-word co-occurrence partials (w1, w2, cnt).
     Pre-aggregating inside the batch keeps the two-key groupby shuffle

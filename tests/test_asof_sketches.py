@@ -146,3 +146,42 @@ def test_profile_columns_nulls_and_collation(ray_session):
     assert out.loc["a", "n_distinct"] == 2
     assert out.loc["b", "n_null"] == 1 and out.loc["b", "n_distinct"] == 3
     assert out.loc["b", "min_val"] == "10" and out.loc["b", "max_val"] == "9"
+
+
+def test_quantile_sketch_error_bound_vs_exact(ray_session):
+    """The mergeable QuantileSketch's rank error on real data (lineitem
+    extendedprice at sf0.001, per-block partials merged like the query
+    does) stays within the documented O(n·log2(n/k)/k) envelope — and
+    the sketch is EXACT when n <= k (no compaction fires)."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from louis_crawler_legacy_ray.pipelines.queries import (
+        q_approx_price_quantiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_approx_price_quantiles(sf)
+    vals = pq.read_table(
+        f"{sf}/lineitem.parquet", columns=["l_extendedprice"]
+    )["l_extendedprice"].to_numpy(zero_copy_only=False).astype(float)
+    s = np.sort(vals)
+    n, k = len(s), 200
+    bound = max(1.0, n * math.log2(max(2.0, n / k)) / k)
+    for q, est in zip(out["q"].to_pylist(), out["value"].to_pylist()):
+        rank = np.searchsorted(s, est, side="left")
+        target = math.ceil(q * n)
+        assert abs(rank - target) <= bound, (q, est, rank, target, bound)
+
+    # n <= k: exact quantile_disc parity
+    from louis_crawler_legacy_ray.stages.sketches import QuantileSketch
+
+    rng = np.random.RandomState(3)
+    small = rng.rand(150)
+    sk = QuantileSketch(200)
+    sk.add(small)
+    ss = np.sort(small)
+    for q in (0.1, 0.5, 0.9):
+        assert sk.quantile(q) == ss[max(1, math.ceil(q * 150)) - 1]
