@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_ttl_recrawl",  # new in r3 (cuckoo expire + 2nd pass)
         "crawl_multihost_budget",  # new in r3 (per-host buckets, 7 hosts)
         "crawl_multihost_capped",  # new in r3 (distributed global cap)
+        "crawl_metrics_budget",  # new in r3 (throttled telemetry)
+        "bigram_lift_topk",  # new in r3 (collocation lift)
         "crawl_multihost_domains",  # new in r3 (allowed_domains filter)
         "crawl_multihost_bfs",  # new in r3 (host-sharded spread)
         "crawl_robots",  # new in r3 (robots quarantine path)

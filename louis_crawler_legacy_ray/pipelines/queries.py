@@ -1148,7 +1148,7 @@ def q_crawl_multihost_budget(sf_dir: str):
     return res.order
 
 
-SQL_CRAWL_MULTIHOST_BUDGET = (
+_SQL_MH_BUDGET_SIM = (
     "WITH RECURSIVE "
     + _SQL_MH_CTE.replace("WITH ", "", 1)
     + """,
@@ -1207,11 +1207,77 @@ sim(round, url, host, depth, done) AS (
   WHERE EXISTS (SELECT 1 FROM pending) AND r0.round < 96
   )
 )
+"""
+)
+
+SQL_CRAWL_MULTIHOST_BUDGET = (
+    _SQL_MH_BUDGET_SIM
+    + """
 SELECT CAST(min(round) - 1 AS INTEGER) AS round, depth, url
 FROM sim WHERE done AND url <> ''
 GROUP BY depth, url
 """
 )
+
+# per-round telemetry derived from the SAME simulation: sim state at
+# round r+1 reflects engine round r (done deltas = fetched, first
+# appearance = admitted candidates, not-done rows = pending lag)
+SQL_CRAWL_METRICS_BUDGET = (
+    _SQL_MH_BUDGET_SIM
+    + """,
+state AS (SELECT round, url, done FROM sim WHERE url <> ''),
+per AS (
+  SELECT round,
+         count(*) FILTER (done) AS n_done,
+         count(*) FILTER (NOT done) AS n_pend
+  FROM state GROUP BY round),
+first_seen AS (SELECT url, min(round) AS r0 FROM state GROUP BY url)
+SELECT CAST(p.round - 1 AS BIGINT) AS round,
+       CAST(p.n_done - coalesce(pp.n_done, 0) AS BIGINT) AS selected,
+       CAST(p.n_done - coalesce(pp.n_done, 0) AS BIGINT) AS fetched,
+       CAST(0 AS BIGINT) AS errored,
+       CAST((SELECT count(*) FROM first_seen fs WHERE fs.r0 = p.round)
+            AS BIGINT) AS new_candidates,
+       CAST(p.n_pend AS BIGINT) AS pending_lag
+FROM per p LEFT JOIN per pp ON pp.round = p.round - 1
+WHERE p.round > 0
+ORDER BY round
+"""
+)
+
+
+def q_crawl_metrics_budget(sf_dir: str):
+    """The frontier's per-round telemetry under THROTTLED multi-host
+    politeness, hash-checked: crawl_metrics proved the counters for
+    pure BFS by graph theory; here the token-bucket schedule's
+    selected/fetched/new_candidates/pending_lag per round must match
+    the same round-by-round simulation that crawl_multihost_budget
+    pins (state deltas: done-count delta = fetched, first-appearance
+    = admitted candidates, not-done rows = pending lag)."""
+    from .crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=6,
+        max_rounds=96,
+        per_host_budget=2,
+        politeness="token_bucket",
+    )
+    res = run_crawl(multihost_corpus_dir(sf_dir), [_mh_seed(sf_dir)], cfg)
+    return pa.table(
+        {
+            "round": pa.array([m["round"] for m in res.metrics], pa.int64()),
+            "selected": pa.array([m["selected"] for m in res.metrics], pa.int64()),
+            "fetched": pa.array([m["fetched"] for m in res.metrics], pa.int64()),
+            "errored": pa.array([m["errored"] for m in res.metrics], pa.int64()),
+            "new_candidates": pa.array(
+                [m["new_candidates"] for m in res.metrics], pa.int64()
+            ),
+            "pending_lag": pa.array(
+                [m["pending_lag"] for m in res.metrics], pa.int64()
+            ),
+        }
+    )
 
 
 def q_crawl_multihost_capped(sf_dir: str):
@@ -3324,6 +3390,7 @@ QUERIES = {
     "crawl_ttl_recrawl": q_crawl_ttl_recrawl,
     "crawl_multihost_bfs": q_crawl_multihost_bfs,
     "crawl_multihost_budget": q_crawl_multihost_budget,
+    "crawl_metrics_budget": q_crawl_metrics_budget,
     "crawl_multihost_capped": q_crawl_multihost_capped,
     "crawl_multihost_domains": q_crawl_multihost_domains,
     "crawl_robots": q_crawl_robots,
@@ -3426,6 +3493,7 @@ ORACLE_SQL = {
     "crawl_ttl_recrawl": SQL_CRAWL_TTL_RECRAWL,
     "crawl_multihost_bfs": SQL_CRAWL_MULTIHOST_BFS,
     "crawl_multihost_budget": SQL_CRAWL_MULTIHOST_BUDGET,
+    "crawl_metrics_budget": SQL_CRAWL_METRICS_BUDGET,
     "crawl_multihost_capped": SQL_CRAWL_MULTIHOST_CAPPED,
     "crawl_multihost_domains": SQL_CRAWL_MULTIHOST_DOMAINS,
     "crawl_robots": SQL_CRAWL_ROBOTS,
