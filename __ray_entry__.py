@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_multihost_capped",  # new in r3 (distributed global cap)
         "crawl_metrics_budget",  # new in r3 (throttled telemetry)
         "bigram_lift_topk",  # new in r3 (collocation lift)
+        "crawl_priority_short",  # new in r3 (priority frontier)
         "crawl_multihost_domains",  # new in r3 (allowed_domains filter)
         "crawl_multihost_bfs",  # new in r3 (host-sharded spread)
         "crawl_robots",  # new in r3 (robots quarantine path)

@@ -96,6 +96,8 @@ class CrawlConfig:
     hot_host_salt: dict = field(default_factory=dict)  # host -> n_salts
     robots_txt_by_host: dict | None = None  # host -> robots.txt body
     obey_robots: bool = False               # reference default: settings.py:19
+    priority: str = "depth_url"             # frontier order key: "depth_url" (FIFO-BFS) |
+                                            # "short_url_first" ((depth, len(url), url) — shallow pages first)
     inline_round_threshold: int = 64        # tiny rounds run driver-inline
     round_fanout: str = "tasks"             # "tasks" (raw ray.remote per pinned block; A/B-measured
                                             # faster at 8 and 32 CPUs) | "dataset" (fused map_batches)
@@ -127,6 +129,7 @@ def config_hash(cfg: CrawlConfig, seeds: list[str]) -> str:
             else None,
             "round_limit": cfg.round_limit,
             "obey_robots": cfg.obey_robots,
+            "priority": cfg.priority,
         },
         sort_keys=True,
     )
@@ -288,6 +291,7 @@ class Frontier:
                     per_host_budget=cfg.per_host_budget,
                     limit=cfg.round_limit,
                     politeness=cfg.politeness,
+                    priority=cfg.priority,
                 )
                 for s in self.shards
             ]

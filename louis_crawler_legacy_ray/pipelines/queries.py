@@ -1382,6 +1382,71 @@ SELECT url, CAST(min(depth) AS INTEGER) AS depth FROM walk GROUP BY url
 )
 
 
+def q_crawl_priority_short(sf_dir: str):
+    """Priority frontier beyond FIFO-BFS (reference O1 generalized):
+    'short URLs first' — order key (depth, len(url), url), the classic
+    shallow-page-first crawl heuristic — under a global cap of 9 per
+    round on the 7-host corpus, so every round must select the nine
+    key-smallest pending URLs across the shards with the new key. The
+    oracle is the capped round simulation ranking by the same key."""
+    from .crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=6,
+        max_rounds=96,
+        round_limit=9,
+        priority="short_url_first",
+    )
+    res = run_crawl(multihost_corpus_dir(sf_dir), [_mh_seed(sf_dir)], cfg)
+    return res.order
+
+
+SQL_CRAWL_PRIORITY_SHORT = (
+    "WITH RECURSIVE "
+    + _SQL_MH_CTE.replace("WITH ", "", 1)
+    + """,
+edges AS (
+  SELECT url AS src, c1_url AS dst FROM pg
+  UNION ALL SELECT url, c2_url FROM pg),
+sim(round, url, depth, done) AS (
+  SELECT 0 AS round, url, CAST(0 AS INTEGER) AS depth, FALSE AS done
+  FROM pg WHERE doc_id = 0
+  UNION ALL
+  (
+  WITH prev AS (SELECT * FROM sim),
+  pending AS (SELECT url, depth FROM prev WHERE NOT done),
+  ranked AS (SELECT p.url, p.depth,
+                    (SELECT count(*) FROM pending q
+                     WHERE (q.depth, length(q.url), q.url)
+                           <= (p.depth, length(p.url), p.url)) AS rn
+             FROM pending p),
+  sel AS (SELECT url, depth FROM ranked WHERE rn <= 9),
+  disc AS (SELECT e.dst AS url, min(s.depth + 1) AS ddepth
+           FROM sel s JOIN edges e ON e.src = s.url GROUP BY e.dst),
+  kids AS (SELECT d.url, d.ddepth AS depth FROM disc d
+           WHERE d.ddepth <= 6
+             AND NOT EXISTS (SELECT 1 FROM prev p WHERE p.url = d.url)),
+  nstate AS (
+    SELECT p.url,
+           CASE WHEN p.done OR p.url IN (SELECT url FROM sel) THEN p.depth
+                ELSE least(p.depth, coalesce(d.ddepth, p.depth)) END AS depth,
+           (p.done OR p.url IN (SELECT url FROM sel)) AS done
+    FROM prev p LEFT JOIN disc d ON d.url = p.url
+    UNION ALL
+    SELECT k.url, k.depth, FALSE FROM kids k)
+  SELECT r0.round + 1, n.url, CAST(n.depth AS INTEGER), n.done
+  FROM nstate n, (SELECT max(round) AS round FROM prev) r0
+  WHERE EXISTS (SELECT 1 FROM pending) AND r0.round < 96
+  )
+)
+SELECT CAST(min(round) - 1 AS INTEGER) AS round, depth, url
+FROM sim WHERE done
+GROUP BY depth, url
+"""
+)
+
+
 def q_crawl_robots(sf_dir: str):
     """robots.txt-obeying crawl under the exact gate (reference keeps
     ROBOTSTXT_OBEY=False, settings.py:19, but ships the toggle; our
@@ -3393,6 +3458,7 @@ QUERIES = {
     "crawl_metrics_budget": q_crawl_metrics_budget,
     "crawl_multihost_capped": q_crawl_multihost_capped,
     "crawl_multihost_domains": q_crawl_multihost_domains,
+    "crawl_priority_short": q_crawl_priority_short,
     "crawl_robots": q_crawl_robots,
     "crawl_salted": q_crawl_salted,
     "crawl_graph_bfs": q_crawl_graph_bfs,
@@ -3496,6 +3562,7 @@ ORACLE_SQL = {
     "crawl_metrics_budget": SQL_CRAWL_METRICS_BUDGET,
     "crawl_multihost_capped": SQL_CRAWL_MULTIHOST_CAPPED,
     "crawl_multihost_domains": SQL_CRAWL_MULTIHOST_DOMAINS,
+    "crawl_priority_short": SQL_CRAWL_PRIORITY_SHORT,
     "crawl_robots": SQL_CRAWL_ROBOTS,
     "crawl_salted": SQL_CRAWL_PAGES_BFS,
     "crawl_graph_bfs": SQL_CRAWL_GRAPH_BFS,

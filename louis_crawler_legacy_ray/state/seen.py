@@ -348,27 +348,38 @@ class FrontierShard:
         per_host_budget: int | None = None,
         limit: int | None = None,
         politeness: str = "budget",
+        priority: str = "depth_url",
     ) -> dict:
         """Same selection semantics as ``take`` but the selection stays
         HELD in this shard — the driver receives only ``{"count": n}``
         and steers the round through probes (sel_ranks / sel_sample /
         truncate_selection) and refs (selection_part), so no table
         proportional to the round ever crosses to the driver (r3
-        distributed round control plane)."""
+        distributed round control plane).
+
+        ``priority`` picks the frontier ORDER key (reference O1
+        generalized beyond FIFO-BFS): 'depth_url' is the default
+        (depth, url); 'short_url_first' is (depth, len(url), url) —
+        the classic shallow-page-first crawl heuristic. The key is a
+        pure URL function, so every probe (sel_ranks / sel_sample /
+        truncate) and the driver's k-th-key threshold work on the
+        same tuples unchanged."""
         token_bucket0 = politeness == "token_bucket" and per_host_budget is not None
         if self._resume_sel is not None:
             # resumed partial round: re-take EXACTLY the salvaged
             # remainder (already in_flight, tokens already spent,
-            # order already (depth, url)-sorted)
+            # order already key-sorted)
             urls, depths, hosts = self._resume_sel
             self._resume_sel = None
             self._tb_burst = 2 * per_host_budget if token_bucket0 else None
             self._sel = (urls, depths, hosts)
-            self._sel_keys = list(zip(depths, urls))
+            self._sel_keys = [
+                _sel_key(priority, d, u) for d, u in zip(depths, urls)
+            ]
             return {"count": len(urls)}
         items = sorted(
             (
-                (depth, url, host)
+                (_sel_key(priority, depth, url), url, depth, host)
                 for url, (depth, host) in self.pending.items()
                 if max_depth is None or depth <= max_depth
             ),
@@ -382,7 +393,7 @@ class FrontierShard:
         sel_depths: list[int] = []
         sel_hosts: list[str] = []
         host_counts: dict[str, int] = {}
-        for depth, url, host in items:
+        for _key, url, depth, host in items:
             if limit is not None and len(sel_urls) >= limit:
                 break
             if per_host_budget is not None:
@@ -410,10 +421,12 @@ class FrontierShard:
         for url in sel_urls:
             del self.pending[url]
             self.in_flight.add(url)
-        # selection stays shard-side, sorted by (depth, url) — the
+        # selection stays shard-side, sorted by the priority key — the
         # `items` iteration order — for rank probes and the order part
         self._sel = (sel_urls, sel_depths, sel_hosts)
-        self._sel_keys = list(zip(sel_depths, sel_urls))
+        self._sel_keys = [
+            _sel_key(priority, d, u) for d, u in zip(sel_depths, sel_urls)
+        ]
         return {"count": len(sel_urls)}
 
     def _sel_table(self) -> pa.Table:
@@ -816,3 +829,11 @@ class FrontierShard:
 
 def _h64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+def _sel_key(priority: str, depth: int, url: str) -> tuple:
+    """Frontier order key (pure URL function — every shard and the
+    driver's threshold probes agree without coordination)."""
+    if priority == "short_url_first":
+        return (depth, len(url), url)
+    return (depth, url)
