@@ -77,6 +77,11 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--oracled",
+        action="store_true",
+        help="run every query that HAS an oracle (the full exact gate)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -106,7 +111,10 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
         )
 
-    names = args.names or list(queries)
+    if args.oracled:
+        names = [n for n in queries if n in oracles] + (args.names or [])
+    else:
+        names = args.names or list(queries)
     n_fail = 0
     for name in names:
         fn = queries[name]
