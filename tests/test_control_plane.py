@@ -209,3 +209,32 @@ def test_global_threshold_iterative_refinement(ray_session):
         assert f.counts()["pending"] == 15000
     finally:
         f.release()
+
+
+def test_global_threshold_with_priority_key(ray_session):
+    """The distributed k-th-key cap composes with the pluggable
+    priority key: under short_url_first the kept set must be exactly
+    the round_limit smallest (depth, len(url), url) keys — shorter
+    URLs win over lexicographically-smaller longer ones."""
+    cfg = CrawlConfig(
+        n_shards=3, round_limit=400, priority="short_url_first"
+    )
+    f = Frontier(cfg)
+    try:
+        # mix of short and long URLs; lexicographic order differs from
+        # length order (http://h2.ca/a9 sorts AFTER http://h10.ca/...
+        # lexicographically but is shorter)
+        urls = [f"http://h{i % 23}.ca/{'p' * (i % 17)}{i}" for i in range(3000)]
+        depths = [i % 3 for i in range(3000)]
+        f.enqueue_table(urls, depths)
+        sel = f.take_round()
+        assert sel.total == 400
+        tbl = sel.materialize()
+        got = sorted(
+            (d, len(u), u)
+            for d, u in zip(tbl["depth"].to_pylist(), tbl["url"].to_pylist())
+        )
+        want = sorted((d, len(u), u) for d, u in zip(depths, urls))[:400]
+        assert got == want
+    finally:
+        f.release()
