@@ -854,8 +854,17 @@ def _await_round(count_refs, frontier: "Frontier", round_no: int, base, a_before
     for ref in ready:
         try:
             tbls.append(ray.get(ref))
-        except Exception:
+        except ray.exceptions.TaskCancelledError:
             pass  # task ended cancelled: nothing sent to reconcile
+        except Exception:
+            # during a graceful stop ANY task error is salvage noise
+            # (the cancel can surface as RayTaskError/WorkerCrashed);
+            # in the normal path a crashing round task (OOM, worker
+            # death, bug) must RAISE — swallowing it would leave its
+            # URLs in_flight and finish_round_part would mislabel an
+            # infra failure as errored 'not_found' (ADVICE r3, medium)
+            if not interrupted:
+                raise
     if not tbls:
         return {"fetched": 0, "admitted": 0, "interrupted": interrupted}
     counts = pa.concat_tables(tbls)
@@ -1408,6 +1417,11 @@ def run_frontier(
     import os as _os
     import shutil as _shutil
 
+    # a graceful-stop flag raised by a PREVIOUS crawl in this process
+    # must not truncate this one (multi-pass jobs — TTL re-crawl — call
+    # run_frontier twice; the module-global survives) (ADVICE r3). A
+    # SIGTERM that lands after this line still stops this crawl.
+    clear_graceful_stop()
     owns_frontier = frontier is None
     if owns_frontier:
         frontier = Frontier(cfg)
@@ -1499,11 +1513,41 @@ def run_frontier(
                 salv = ray.get(salv_refs)
                 if order_dir is None:
                     order_refs.extend(salv_parts)
+                n_deferred = sum(x["deferred"] for x in salv)
+                if n_deferred == 0:
+                    # the stop landed after every task's deliveries
+                    # arrived: the round actually COMPLETED (nothing to
+                    # re-take, nothing in_flight to quarantine). Commit
+                    # it as a normal round — a .partial here would make
+                    # resume re-run round N over an all-empty stash and
+                    # terminate the crawl at sel.total==0 (ADVICE r3)
+                    ray.get(
+                        [s.clear_resume_sel.remote() for s in frontier.shards]
+                    )
+                    row = {
+                        "round": round_no,
+                        "selected": sel.total,
+                        "fetched": stats["fetched"],
+                        "errored": 0,
+                        "new_candidates": stats["admitted"],
+                        "pending_lag": frontier.counts()["pending"],
+                        "seconds": time.perf_counter() - t0,
+                        "driver_rows": sel.driver_rows,
+                    }
+                    metrics.append(row)
+                    if cfg.checkpoint_dir:
+                        write_checkpoint(
+                            cfg.checkpoint_dir, round_no, frontier.shards, chash, row
+                        )
+                        append_metrics(cfg.checkpoint_dir, [row])
+                        if attempt:
+                            clear_partial(cfg.checkpoint_dir, round_no)
+                    break
                 row = {
                     "round": round_no,
                     "selected": sel.total,
                     "fetched": sum(x["fetched"] for x in salv),
-                    "deferred": sum(x["deferred"] for x in salv),
+                    "deferred": n_deferred,
                     "partial_attempt": attempt,
                     "driver_rows": sel.driver_rows,
                 }
@@ -1593,6 +1637,58 @@ def run_crawl(
     )
     res.out_dir = out_dir
     return res
+
+
+def items_dataset(out_dir: str) -> "ray.data.Dataset":
+    """Read a crawl's ``crawl_items`` output as one Dataset, resolving
+    salvage duplicates.
+
+    Item semantics under SIGTERM salvage are AT-LEAST-ONCE per (round,
+    url): a round task writes its items part BEFORE its task->shard
+    control delivery (losing the part after delivery would silently
+    drop pages — the worse failure), so a cancel landing between the
+    two leaves those URLs deferred, and the resumed attempt re-fetches
+    them into ``round=N.aNN`` beside the originals in ``round=N``.
+    Extraction is deterministic, so the duplicates are byte-identical;
+    this reader drops them by url WITHIN each attempt-touched round
+    family. Any crawl that was never salvaged has no ``.aNN``
+    directory and streams through a plain read_parquet — zero dedup
+    cost (ADVICE r3)."""
+    import glob as _glob
+    import re as _re
+
+    from ..stages import from_pandas_clean
+
+    root = f"{out_dir}/crawl_items"
+    dirs = sorted(_glob.glob(f"{root}/round=*"))
+    fams: dict[str, list[str]] = {}
+    for d in dirs:
+        base = _re.sub(r"\.a\d+$", "", d)
+        fams.setdefault(base, []).extend(
+            sorted(_glob.glob(f"{d}/*.parquet"))
+        )
+    def _has_attempt(fs):
+        return any(_re.search(r"\.a\d+[/\\]", f) for f in fs)
+
+    touched = [fs for fs in fams.values() if _has_attempt(fs)]
+    clean = [f for fs in fams.values() if not _has_attempt(fs) for f in fs]
+    if not touched:
+        return ray.data.read_parquet(clean)
+    parts = []
+    if clean:
+        parts.append(ray.data.read_parquet(clean))
+    for fam in touched:
+        dup = (
+            ray.data.read_parquet(fam)
+            .groupby("url")
+            .map_groups(lambda df: df.head(1), batch_format="pandas")
+            .map_batches(from_pandas_clean, batch_format="pandas")
+        )
+        parts.append(dup)
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
 
 
 def suggest_hot_host_salt(

@@ -480,7 +480,12 @@ class QuantileSketch:
 
     def quantile(self, q: float) -> float:
         """Smallest sketched value whose cumulative weight reaches
-        ceil(q*n) — the quantile_disc convention price_quantiles uses."""
+        ceil(q*n) — the quantile_disc convention price_quantiles uses.
+        An empty sketch (n==0: empty or all-null column) returns NaN —
+        the SQL quantile-over-empty convention — instead of raising
+        (ADVICE r3)."""
+        if self.n == 0:
+            return float("nan")
         vals = np.concatenate(self.levels)
         wts = np.concatenate(
             [
@@ -545,7 +550,11 @@ def approx_quantiles(
     return pa.table(
         {
             "q": pa.array(qs, pa.float64()),
-            "value": pa.array([merged.quantile(q) for q in qs], pa.float64()),
+            # null (not NaN) per-q when the column was empty/all-null
+            "value": pa.array(
+                [None if merged.n == 0 else merged.quantile(q) for q in qs],
+                pa.float64(),
+            ),
             "n": pa.array([merged.n] * len(qs), pa.int64()),
             "k": pa.array([k] * len(qs), pa.int64()),
         }

@@ -597,6 +597,16 @@ class FrontierShard:
             return stats, ok.schema.empty_table()
         return stats, ok
 
+    def clear_resume_sel(self) -> None:
+        """Drop the salvage stash. Called by run_frontier when a
+        graceful stop lands AFTER every task's deliveries arrived
+        (total deferred == 0): the round actually completed, the
+        checkpoint is written as a normal complete round, and a stale
+        empty stash must not make the NEXT round's take2 return 0 (an
+        empty resume_sel is an intentional "re-take nothing" marker
+        for partial-round resume — see load())."""
+        self._resume_sel = None
+
     def finish_round_part(self, round_no: int, order_dir: str | None = None):
         """End-of-round, shard-side: quarantine still-in-flight URLs as
         errored (the reference's 404 path) and emit THIS shard's slice
@@ -805,8 +815,16 @@ class FrontierShard:
             else {}
         )
         # a salvaged partial round's remainder: back to in_flight (so
-        # enqueue dedup still knows it) and stashed for the next take2
-        if resume_sel is not None and resume_sel.num_rows:
+        # enqueue dedup still knows it) and stashed for the next take2.
+        # A PRESENT-but-EMPTY resume_sel is meaningful: the shard was
+        # salvaged mid-round with every selected URL already fetched,
+        # so the resumed round must re-take NOTHING from this shard —
+        # falling through to a normal take2 over pending would pull
+        # next-depth candidates admitted by the round's completed tasks
+        # and diverge from the uninterrupted (round, depth, url)
+        # schedule (ADVICE r3, high). Only an ABSENT table means
+        # "no salvage".
+        if resume_sel is not None:
             self._resume_sel = (
                 resume_sel["url"].to_pylist(),
                 resume_sel["depth"].to_pylist(),

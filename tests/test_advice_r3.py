@@ -1,0 +1,175 @@
+"""Regression tests for the round-3 ADVICE findings.
+
+1 (high): a salvaged shard whose selection was FULLY fetched before the
+   kill dumps an empty resume_sel; load() must honor it as "re-take
+   nothing" instead of falling through to a normal take2 over pending
+   (which already holds next-depth candidates) — seen.py load().
+2 (medium): _await_round must re-raise a crashing round task's error in
+   the normal (non-interrupted) path instead of quarantining its URLs
+   as 'not_found' — crawl.py _await_round.
+3 (low): a graceful-stop flag raised by a previous crawl in the process
+   must not truncate the next run_frontier — clear_graceful_stop at
+   run_frontier start.
+4 (low): crawl_items are at-least-once per (round, url) under salvage;
+   items_dataset() dedups attempt-touched round families.
+5 (low): QuantileSketch.quantile()/approx_quantiles over an empty or
+   all-null column return NaN/null instead of IndexError.
+"""
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from louis_crawler_legacy_ray.state.seen import FrontierShard
+from louis_crawler_legacy_ray.stages.sketches import QuantileSketch, approx_quantiles
+
+
+def _mk_shard(ray):
+    return FrontierShard.remote(0)
+
+
+def test_empty_resume_sel_means_retake_nothing(ray_session):
+    """ADVICE #1 (high): salvage with zero deferred -> dump writes an
+    empty resume_sel -> a reloaded shard's next take2 returns count 0,
+    NOT a fresh selection over pending (pending already holds the
+    next-depth candidates the completed tasks admitted)."""
+    ray = ray_session
+    s = _mk_shard(ray)
+    ray.get(
+        s.enqueue.remote(
+            ["http://h/a", "http://h/b"], [3, 3], ["h", "h"]
+        )
+    )
+    assert ray.get(s.take2.remote())["count"] == 2
+    # every selected URL's fetch delivery landed before the kill
+    ray.get(s.record_fetched.remote(["http://h/a", "http://h/b"]))
+    # ... and those fetches admitted next-depth candidates into pending
+    ray.get(s.enqueue.remote(["http://h/c"], [4], ["h"]))
+    stats, _part = ray.get(
+        s.salvage_round_part.options(num_returns=2).remote(7, None, 0)
+    )
+    assert stats == {"fetched": 2, "deferred": 0}
+    d = ray.get(s.dump.remote())
+    assert "resume_sel" in d and d["resume_sel"].num_rows == 0
+    # reload into a fresh shard exactly as partial-round resume does
+    s2 = _mk_shard(ray)
+    ray.get(
+        s2.load.remote(
+            d["seen"], d["pending"], d["errored"], d["host_tokens"], d["resume_sel"]
+        )
+    )
+    # the resumed round N re-takes NOTHING from this shard
+    assert ray.get(s2.take2.remote())["count"] == 0
+    # the round AFTER that proceeds normally over pending
+    assert ray.get(s2.take2.remote())["count"] == 1
+
+
+def test_absent_resume_sel_means_normal_take(ray_session):
+    """A checkpoint with NO resume_sel (any complete round) still takes
+    normally from pending."""
+    ray = ray_session
+    s = _mk_shard(ray)
+    ray.get(s.enqueue.remote(["http://h/a"], [0], ["h"]))
+    d = ray.get(s.dump.remote())
+    assert "resume_sel" not in d
+    s2 = _mk_shard(ray)
+    ray.get(s2.load.remote(d["seen"], d["pending"], d["errored"], d["host_tokens"]))
+    assert ray.get(s2.take2.remote())["count"] == 1
+
+
+def test_await_round_reraises_task_crash(ray_session):
+    """ADVICE #2 (medium): a crashing round task raises through
+    _await_round in the normal path (no graceful stop) instead of being
+    swallowed and mislabeled as a 404 quarantine."""
+    ray = ray_session
+    from louis_crawler_legacy_ray.pipelines.crawl import _await_round
+
+    @ray.remote
+    def boom():
+        raise RuntimeError("worker exploded")
+
+    with pytest.raises(ray.exceptions.RayTaskError):
+        _await_round([boom.remote()], None, 0, [], 0)
+
+
+def test_stale_stop_flag_does_not_truncate_next_crawl(ray_session, tmp_path):
+    """ADVICE #3 (low): request_graceful_stop() left set by a previous
+    crawl must not make the next run_frontier return an empty crawl."""
+    from louis_crawler_legacy_ray.pipelines import crawl as crawl_mod
+    from louis_crawler_legacy_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from louis_crawler_legacy_ray.sources.pages import (
+        lang_segment,
+        pages_from_documents,
+        synth_documents,
+        write_pages_parquet,
+    )
+
+    docs = synth_documents(64, seed=5)
+    pages = pages_from_documents(docs)
+    d = str(tmp_path / "pages")
+    write_pages_parquet(pages, d, rows_per_file=32)
+    seed = (
+        f"http://inspection.canada.ca/"
+        f"{lang_segment(docs['lang'][0].as_py())}/{docs['source'][0].as_py()}/doc0"
+    )
+    crawl_mod.request_graceful_stop()  # stale flag from a "previous" crawl
+    try:
+        res = run_crawl(d, [seed], CrawlConfig(n_shards=2, max_depth=10))
+    finally:
+        crawl_mod.clear_graceful_stop()
+    assert res.counts["seen"] > 1  # crawled past the seed, not truncated
+
+
+def test_items_dataset_dedups_salvage_attempts(ray_session, tmp_path):
+    """ADVICE #4 (low): at-least-once crawl_items across round=N and
+    round=N.aNN are deduped by url within the round family; untouched
+    rounds pass through."""
+    from louis_crawler_legacy_ray.pipelines.crawl import items_dataset
+
+    out = str(tmp_path / "crawl")
+    sch = pa.schema([("url", pa.string()), ("title", pa.string())])
+
+    def w(rel, urls):
+        p = os.path.join(out, "crawl_items", rel)
+        os.makedirs(p, exist_ok=True)
+        pq.write_table(
+            pa.table({"url": urls, "title": [u.upper() for u in urls]}, schema=sch),
+            os.path.join(p, "part-00000.parquet"),
+        )
+
+    w("round=000000", ["a", "b"])
+    w("round=000001", ["c", "d"])           # interrupted round, pre-kill part
+    w("round=000001.a01", ["d", "e"])       # resumed attempt re-fetched d
+    w("round=000002", ["f"])
+    got = items_dataset(out).to_pandas().sort_values("url")
+    assert list(got["url"]) == ["a", "b", "c", "d", "e", "f"]
+    # no-salvage layout: plain passthrough
+    out2 = str(tmp_path / "crawl2")
+    p = os.path.join(out2, "crawl_items", "round=000000")
+    os.makedirs(p, exist_ok=True)
+    pq.write_table(pa.table({"url": ["x"], "title": ["X"]}, schema=sch),
+                   os.path.join(p, "part-00000.parquet"))
+    got2 = items_dataset(out2).to_pandas()
+    assert list(got2["url"]) == ["x"]
+
+
+def test_quantile_sketch_empty(ray_session):
+    """ADVICE #5 (low): empty sketch -> NaN; approx_quantiles over an
+    all-null column -> null values, n=0."""
+    sk = QuantileSketch(k=16)
+    assert math.isnan(sk.quantile(0.5))
+    sk.add(np.array([np.nan, np.nan]))  # all-null column becomes all-NaN
+    assert sk.n == 0 and math.isnan(sk.quantile(0.9))
+
+    import ray as _ray
+
+    ds = _ray.data.from_arrow(
+        pa.table({"v": pa.array([None, None], pa.float64())})
+    )
+    t = approx_quantiles(ds, "v", [0.5, 0.9])
+    assert t["n"].to_pylist() == [0, 0]
+    assert t["value"].null_count == 2
