@@ -5,9 +5,9 @@ At 100 TB the classic failure mode of a semi-join is shuffling the
 entire probe side just to discard 98% of it.  The bloom path instead:
 
 1. builds the filter DISTRIBUTED — ``map_batches`` emits one fixed-size
-   partial bitmap per block (``m_bits/8`` bytes, packed), the driver
-   OR-reduces them (O(m) driver state, independent of key count) and
-   ``ray.put``s the result ONCE;
+   partial bitmap per block (``m_bits/8`` bytes, packed), a fan-in task
+   tree OR-reduces them (stages/fold.py: depth O(log blocks), only the
+   root bitmap ever touches the driver) and ``ray.put``s it ONCE;
 2. filters the probe side with a vectorized membership test (splitmix64
    double hashing, k probes, pure numpy — no Python per row);
 3. runs an EXACT verification join on the survivors only, so bloom
@@ -25,13 +25,25 @@ it to arbitrary key columns as a reusable operator.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
 
+from .fold import tree_fold_blobs
+
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _or_bitmap_blobs(blobs: list[bytes], nbytes: int) -> bytes:
+    """Associative+commutative bitmap OR — the tree-fold merge."""
+    acc = np.zeros(nbytes, np.uint8)
+    for b in blobs:
+        acc |= np.frombuffer(b, np.uint8)
+    return acc.tobytes()
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -72,12 +84,13 @@ def build_bloom(
                 )
         return pa.table({"bits": pa.array([bits.tobytes()], pa.large_binary())})
 
-    acc = np.zeros(nbytes, np.uint8)
-    for row in ds.map_batches(
-        partial, batch_format="pyarrow", batch_size=65536
-    ).iter_rows():
-        acc |= np.frombuffer(row["bits"], np.uint8)
-    return ray.put(acc)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    # O(log blocks) fan-in task tree instead of a driver iter_rows fold
+    # (VERDICT r3 #4): only the single root bitmap touches the driver
+    blob = tree_fold_blobs(
+        partials, "bits", functools.partial(_or_bitmap_blobs, nbytes=nbytes)
+    )
+    return ray.put(np.frombuffer(blob, np.uint8))
 
 
 def bloom_semi_join(

