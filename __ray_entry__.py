@@ -49,6 +49,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from louis_crawler_legacy_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
     first = [  # oracled but never driver-gated through round 2
+        "rolling_fp_cp",  # new in r4 (codepoint fingerprint companion)
+        "minhash_md5_sigs",  # new in r4 (md5-family LSH signatures)
+        "minhash_md5_pairs",  # new in r4 (md5-family band candidates)
+        "simhash_md5",  # new in r4 (md5-family simhash)
         "crawl_pages_bfs_budget",  # new in r3 (token-bucket schedule)
         "crawl_ttl_recrawl",  # new in r3 (cuckoo expire + 2nd pass)
         "crawl_multihost_budget",  # new in r3 (per-host buckets, 7 hosts)

@@ -563,12 +563,20 @@ def simhash_near_pairs(
         pop = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
         keep = pa.array(pop <= max_hamming)
         return pa.table(
-            {"doc_a": batch["doc_a"], "doc_b": batch["doc_b"]}
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                # exact distance rides along: the emitted invariant
+                # (hamming <= max_hamming) is the rows gate's self-check
+                "hamming": pa.array(pop.astype("int64"), pa.int64()),
+            }
         ).filter(keep)
 
     near = cand.map_batches(hamming_filter, batch_format="pyarrow")
     # a qualifying pair can appear in up to 4 buckets — dedup
-    return near.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="nbands"))
+    return near.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="nbands"), Min("hamming", alias_name="hamming")
+    )
 
 
 # ---------------------------------------------------- dup-cluster assignment
@@ -992,4 +1000,128 @@ def line_dedup(
         decoded.groupby("pshard")
         .map_groups(reassemble_bucket, batch_format="pandas")
         .select_columns([id_col, "n_kept", "clean_text"])
+    )
+
+
+# ------------------------------------------------------------------------
+# md5-companion exact-oracle variants (VERDICT r3 'Next round' #5)
+# ------------------------------------------------------------------------
+# The production MinHash/SimHash stages hash with blake2b + uint64
+# mixing, which DuckDB cannot replicate — those queries verify via
+# pytest-vs-exact and recall bounds. These companions run the SAME
+# pipeline shapes (shingle -> min-aggregate signature -> band ->
+# bucketed self-pairs; token -> bit-vote -> fingerprint) with an
+# md5-derived hash family DuckDB evaluates natively
+# (md5_number_lower(s) = int.from_bytes(md5(s)[8:16], 'little')), so
+# every stage of the LSH machinery gets an EXACT SQL hash-match oracle
+# at gate scale. Parameters are deliberately small (first 32 words,
+# 8 hashes, 4 bands x 2 rows) to keep both sides cheap.
+
+MINHASH_MD5_WORDS = 32
+MINHASH_MD5_K = 3
+MINHASH_MD5_HASHES = 8
+MINHASH_MD5_MOD = 1 << 31
+SIMHASH_MD5_TOKENS = 16
+SIMHASH_MD5_BITS = 16
+
+
+def _md5_u64_lower(s: str) -> int:
+    """DuckDB md5_number_lower parity: little-endian uint64 of the
+    digest's LAST 8 bytes."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+
+
+def _minhash_md5_sigs(text: str) -> list[int] | None:
+    ws = _WORD_RE.findall((text or "").lower())[:MINHASH_MD5_WORDS]
+    if len(ws) < MINHASH_MD5_K:
+        return None
+    shingles = {
+        " ".join(ws[i : i + MINHASH_MD5_K])
+        for i in range(len(ws) - MINHASH_MD5_K + 1)
+    }
+    return [
+        min(_md5_u64_lower(f"{hi}:{s}") % MINHASH_MD5_MOD for s in shingles)
+        for hi in range(MINHASH_MD5_HASHES)
+    ]
+
+
+def minhash_md5_sig_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, h_idx, sig) rows — one per hash index; docs with fewer
+    than k words emit nothing (mirrored by the SQL's empty
+    generate_series)."""
+    ids, his, sigs = [], [], []
+    for i, t in zip(batch["doc_id"].to_pylist(), batch[text_col].to_pylist()):
+        s = _minhash_md5_sigs(t)
+        if s is None:
+            continue
+        for hi, sg in enumerate(s):
+            ids.append(i)
+            his.append(hi)
+            sigs.append(sg)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "h_idx": pa.array(his, pa.int64()),
+            "sig": pa.array(sigs, pa.int64()),
+        }
+    )
+
+
+def minhash_md5_band_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, band, k1, k2) rows — 4 bands of 2 signature rows each,
+    the LSH banding step with the md5 family."""
+    ids, bands, k1s, k2s = [], [], [], []
+    for i, t in zip(batch["doc_id"].to_pylist(), batch[text_col].to_pylist()):
+        s = _minhash_md5_sigs(t)
+        if s is None:
+            continue
+        for b in range(MINHASH_MD5_HASHES // 2):
+            ids.append(i)
+            bands.append(b)
+            k1s.append(s[2 * b])
+            k2s.append(s[2 * b + 1])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "band": pa.array(bands, pa.int64()),
+            "k1": pa.array(k1s, pa.int64()),
+            "k2": pa.array(k2s, pa.int64()),
+        }
+    )
+
+
+def simhash_md5_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """16-bit simhash over the first 16 word tokens with md5-derived
+    bit votes (bit j of md5_number_lower(token), +1/-1, ties -> 1).
+    Tokenless docs emit nothing."""
+    ids, fps = [], []
+    for i, t in zip(batch["doc_id"].to_pylist(), batch[text_col].to_pylist()):
+        ws = _WORD_RE.findall((t or "").lower())[:SIMHASH_MD5_TOKENS]
+        if not ws:
+            continue
+        hs = [_md5_u64_lower(w) for w in ws]
+        fp = 0
+        for j in range(SIMHASH_MD5_BITS):
+            vote = sum(1 if (h >> j) & 1 else -1 for h in hs)
+            if vote >= 0:
+                fp |= 1 << j
+        ids.append(i)
+        fps.append(fp)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "simhash16": pa.array(fps, pa.int64()),
+        }
+    )
+
+
+def minhash_md5_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """DISTINCT candidate pairs (doc_a < doc_b) sharing at least one
+    md5-family band — the exact-oracle twin of minhash_lsh_pairs'
+    candidate generation (band explode -> bucketed_self_pairs ->
+    pair dedup), SQL-checkable end to end."""
+    bands = ds.map_batches(minhash_md5_band_batch, batch_format="pyarrow")
+    cand = bucketed_self_pairs(bands, ["band", "k1", "k2"], "doc_id")
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="nbands")
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pyarrow as pa
 
 # token model: alnum runs, or single non-alnum-non-space marks.
@@ -158,6 +159,49 @@ def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Tab
         {
             "doc_id": batch["doc_id"],
             "rolling_fp": pa.array([rolling_hash(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+# codepoint-companion rolling fingerprint (VERDICT r3 #5): same Horner
+# recurrence as rolling_hash but over the first 256 CODEPOINTS with
+# small constants, so DuckDB evaluates it exactly —
+# list_reduce(unicode(chars), (h,b) -> (h*131+b) % (2^31-1)) — and the
+# rows-only byte-level fingerprint gains an exact-oracle twin.
+ROLL_CP_BASE = 131
+ROLL_CP_MOD = (1 << 31) - 1
+ROLL_CP_LIMIT = 256
+
+_ROLL_CP_POWS = None
+
+
+def rolling_hash_cp(text: str) -> int:
+    """h = sum(cp_i * BASE^(L-1-i)) mod (2^31-1) over the first 256
+    codepoints — vectorized Horner (products < 2^52, sums < 2^60: all
+    exact in int64)."""
+    global _ROLL_CP_POWS
+    if _ROLL_CP_POWS is None:
+        p = np.empty(ROLL_CP_LIMIT, dtype=np.int64)
+        acc = 1
+        for j in range(ROLL_CP_LIMIT):
+            p[j] = acc
+            acc = (acc * ROLL_CP_BASE) % ROLL_CP_MOD
+        _ROLL_CP_POWS = p
+    t = (text or "")[:ROLL_CP_LIMIT]
+    if not t:
+        return 0
+    cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    return int((cps * _ROLL_CP_POWS[len(cps) - 1 :: -1]).sum() % ROLL_CP_MOD)
+
+
+def rolling_fp_cp_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "rolling_fp_cp": pa.array(
+                [rolling_hash_cp(t) for t in texts], pa.int64()
+            ),
         }
     )
 
