@@ -173,3 +173,41 @@ def test_quantile_sketch_empty(ray_session):
     t = approx_quantiles(ds, "v", [0.5, 0.9])
     assert t["n"].to_pylist() == [0, 0]
     assert t["value"].null_count == 2
+
+
+def test_frontier_shards_use_spread_placement(ray_session, monkeypatch):
+    """FrontierShard actors carry scheduling_strategy='SPREAD' so a
+    multi-node cluster spreads frontier shards (and their politeness
+    state + RPC fan-in) across nodes — SCALE.md's stated assumption,
+    now encoded (VERDICT r3 #7). No-op on one node."""
+    import ray as _ray
+
+    from louis_crawler_legacy_ray.pipelines import crawl as crawl_mod
+
+    seen_opts = []
+    real_cls = crawl_mod.FrontierShard
+
+    class Spy:
+        @staticmethod
+        def options(**kw):
+            seen_opts.append(kw)
+            return real_cls.options(**kw)
+
+    monkeypatch.setattr(crawl_mod, "FrontierShard", Spy)
+    # force a pool miss so fresh actors are constructed
+    for n, entry in list(crawl_mod.Frontier._POOL.items()):
+        if not entry["in_use"]:
+            for a in entry["actors"]:
+                try:
+                    _ray.kill(a)
+                except Exception:
+                    pass
+            crawl_mod.Frontier._POOL.pop(n, None)
+    f = crawl_mod.Frontier(crawl_mod.CrawlConfig(n_shards=3))
+    try:
+        assert seen_opts and all(
+            kw.get("scheduling_strategy") == "SPREAD" and kw.get("num_cpus") == 0
+            for kw in seen_opts
+        )
+    finally:
+        f.release()
