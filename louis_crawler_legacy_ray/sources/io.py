@@ -90,6 +90,43 @@ def write_items_with_fallback(
         return {"mode": "fallback", "path": fallback_dir}
 
 
+def store_items(
+    ds: ray.data.Dataset,
+    mode: str | None = None,
+    *,
+    db_path: str | None = None,
+    disk_dir: str | None = None,
+    s3_uri: str | None = None,
+) -> dict:
+    """Mode-dispatched item store (reference store_crawl_item,
+    db.py:531-560: 'database' -> ON CONFLICT upsert, 'disk'/'s3' ->
+    file store). 'database' routes through the relational upsert sink
+    (sources/relational.py); unavailable backends degrade to disk per
+    resolve_storage_mode. Returns {'mode', 'path', 'rows'}."""
+    mode = resolve_storage_mode(
+        mode,
+        s3_available=s3_uri is not None,
+        db_available=db_path is not None,
+    )
+    if mode == "database":
+        from louis_crawler_legacy_ray.sources.relational import (
+            upsert_crawl_items,
+        )
+
+        try:
+            n = upsert_crawl_items(ds, db_path)
+            return {"mode": "database", "path": db_path, "rows": n}
+        except Exception:
+            mode = "disk"  # db.py:44-55 degradation rule
+    if mode == "s3":
+        res = write_items_with_fallback(ds, s3_uri, disk_dir or "/tmp/louis_items")
+        res["rows"] = None
+        return res
+    out = disk_dir or "/tmp/louis_items"
+    ds.write_parquet(out)
+    return {"mode": "disk", "path": out, "rows": None}
+
+
 def list_stored_items(
     items_path: str, limit: int = 10, columns: list[str] | None = None
 ) -> ray.data.Dataset:

@@ -172,3 +172,23 @@ def test_storage_mode_database_available(tmp_path):
 
     assert resolve_storage_mode("database", db_available=True) == "database"
     assert resolve_storage_mode("database", db_available=False) == "disk"
+
+
+def test_store_items_database_mode_and_degradation(ray_session, tmp_path):
+    """store_items dispatches 'database' to the upsert sink and
+    degrades to disk when the DB path is missing (db.py:531-560)."""
+    from louis_crawler_legacy_ray.sources.io import store_items
+
+    ds = ray.data.from_arrow(_items())
+    res = store_items(ds, "database", db_path=str(tmp_path / "m.duckdb"))
+    assert res["mode"] == "database" and res["rows"] == 4
+    # no db_path -> resolve_storage_mode degrades before touching duckdb
+    res = store_items(
+        ray.data.from_arrow(_items()),
+        "database",
+        disk_dir=str(tmp_path / "disk_items"),
+    )
+    assert res["mode"] == "disk"
+    import os
+
+    assert os.path.isdir(str(tmp_path / "disk_items"))
