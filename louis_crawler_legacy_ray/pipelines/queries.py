@@ -3591,6 +3591,101 @@ FROM k
 """
 
 
+def q_perplexity_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): train an
+    add-one-smoothed bigram LM on a deterministic held-in sample
+    (doc_id % 5 == 0), score every document's per-token negative
+    log-likelihood under it, and split the corpus into head/middle/tail
+    terciles by score — the standard quality gate before LLM pretraining.
+
+    Scale shape: LM counts are combiner-pruned groupbys broadcast ONCE
+    via ray.put (stages/textstats.py train_bigram_lm); scoring is an
+    actor-pool map_batches that fetches the model once per actor; the
+    tercile assignment needs a global rank — computed with the
+    stages/scan.py prefix count (driver holds O(range-buckets) offsets,
+    never per-doc rows), then the exact SQL NTILE rule maps rank -> 1..3.
+    """
+    from ..stages.scan import prefix_sum
+    from ..stages.textstats import (
+        PerplexityScorer,
+        ntile_of_rank,
+        train_bigram_lm,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    def _train_filter(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 5 == 0))
+
+    train = docs.map_batches(_train_filter, batch_format="pyarrow")
+    cb_ref, cu_ref, v = train_bigram_lm(train)
+    scored = docs.map_batches(
+        PerplexityScorer,
+        fn_constructor_args=(cb_ref, cu_ref, v),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def one(b: pa.Table) -> pa.Table:
+        return b.append_column("one", pa.array([1] * b.num_rows, pa.int64()))
+
+    # range buckets over nll_c are order-preserving for (nll_c, doc_id)
+    ranked = prefix_sum(
+        scored.map_batches(one, batch_format="pyarrow"),
+        ["nll_c", "doc_id"],
+        "one",
+        lambda b: pc.divide(b["nll_c"], 64).cast(pa.int64()),
+    )
+    n = scored.count()
+
+    def fin(b: pa.Table) -> pa.Table:
+        ranks = b["prefix_incl"].to_pylist()  # 1-based global rank
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "nll_c": b["nll_c"].cast(pa.int64()),
+                "bucket": pa.array(
+                    [ntile_of_rank(r, n, 3) for r in ranks], pa.int64()
+                ),
+            }
+        )
+
+    return ranked.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_PERPLEXITY_BUCKETS = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents),
+tr AS (SELECT * FROM t WHERE doc_id % 5 = 0),
+cb AS (
+  SELECT w1, w2, count(*) AS c FROM (
+    SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+    FROM tr WHERE len(ws) >= 2)
+  GROUP BY w1, w2),
+cu AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM tr) GROUP BY w),
+v AS (SELECT count(*) AS v FROM cu),
+pairs AS (
+  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+  FROM t WHERE len(ws) >= 2),
+scored AS (
+  SELECT p.doc_id,
+         ln((coalesce(cb.c, 0) + 1.0) / (coalesce(cu.c, 0) + v.v)) AS lp
+  FROM pairs p
+  LEFT JOIN cb ON p.w1 = cb.w1 AND p.w2 = cb.w2
+  LEFT JOIN cu ON p.w1 = cu.w
+  CROSS JOIN v),
+perdoc AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(round(-avg(lp) * 10000) AS BIGINT) AS nll_c
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, nll_c,
+       CAST(ntile(3) OVER (ORDER BY nll_c, doc_id) AS BIGINT) AS bucket
+FROM perdoc
+"""
+
+
 PAGERANK_ITERS = 3
 _PR_SCALE = 10**12
 _PR_BASE = (_PR_SCALE * 15) // 100
@@ -3810,6 +3905,7 @@ QUERIES = {
     "token_budget_select": q_token_budget_select,
     "pack_sequences": q_pack_sequences,
     "shuffle_rank": q_shuffle_rank,
+    "perplexity_buckets": q_perplexity_buckets,
     # graph / scale joins
     "pagerank": q_pagerank,
     "bloom_semi_join": q_bloom_semi_join,
@@ -3917,6 +4013,7 @@ ORACLE_SQL = {
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "shuffle_rank": SQL_SHUFFLE_RANK,
+    "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "pagerank": SQL_PAGERANK,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "exact_dedup": SQL_EXACT_DEDUP,

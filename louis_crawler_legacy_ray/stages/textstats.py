@@ -566,3 +566,92 @@ def sharded_postings_group(df):
             }
         )
     )
+
+
+def train_bigram_lm(train_ds: "ray.data.Dataset", text_col: str = "text"):
+    """CCNet-style LM training side (Wenzek et al. 2020 train a KenLM
+    per language and bucket the corpus by perplexity; the reference has
+    no LM stage — this extends its inventory per the task brief). Here
+    the model is an add-one-smoothed bigram LM with the repo's standard
+    tokenization: counts aggregated distributively (per-batch Counter
+    partials -> one groupby), then broadcast ONCE via ray.put exactly
+    like decontaminate's benchmark n-grams — every scoring task reads
+    the same plasma object, nothing is re-shipped per batch.
+
+    Returns (bigram_ref, context_ref, vocab_size). At 100 TB the
+    vocabulary is capped to the top-K heavy hitters before broadcast
+    (rare contexts then fall through to the +1/(0+V) smoothing floor);
+    uncapped here because the test vocab is dimension-sized.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    bi = (
+        train_ds.map_batches(
+            lambda b: bigram_partial_batch(b, text_col), batch_format="pyarrow"
+        )
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("cnt", alias_name="c"))
+    )
+    uni = (
+        train_ds.map_batches(
+            lambda b: unigram_partial_batch(b, text_col), batch_format="pyarrow"
+        )
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="c"))
+    )
+    cb = {(r["w1"], r["w2"]): int(r["c"]) for r in bi.iter_rows()}
+    cu = {r["word"]: int(r["c"]) for r in uni.iter_rows()}
+    return _ray.put(cb), _ray.put(cu), len(cu)
+
+
+class PerplexityScorer:
+    """Actor-pool scoring stage: nll_c = round(-avg_i ln p(w_i|w_{i-1})
+    * 10000) (integer tenth-milli-nats; every per-token term is ln of a
+    rational of the SAME integers in any engine, so only the summation
+    order is engine-dependent — 1e-13 accumulation vs a 5e-5 rounding
+    boundary). Docs under two tokens are dropped (no bigram events).
+    The model dicts are fetched from plasma once per actor."""
+
+    def __init__(self, cb_ref, cu_ref, vocab_size: int, text_col: str = "text"):
+        import ray as _ray
+
+        self.cb = _ray.get(cb_ref)
+        self.cu = _ray.get(cu_ref)
+        self.v = vocab_size
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
+        ids, nlls = [], []
+        for doc_id, t in zip(
+            batch["doc_id"].to_pylist(), batch[self.text_col].to_pylist()
+        ):
+            ws = _VOCAB_RE.findall((t or "").lower())
+            if len(ws) < 2:
+                continue
+            s = 0.0
+            for w1, w2 in zip(ws, ws[1:]):
+                s += math.log(
+                    (self.cb.get((w1, w2), 0) + 1.0)
+                    / (self.cu.get(w1, 0) + self.v)
+                )
+            ids.append(doc_id)
+            nlls.append(round(-s / (len(ws) - 1) * 10000))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "nll_c": pa.array(nlls, pa.int64()),
+            }
+        )
+
+
+def ntile_of_rank(rank: int, n: int, tiles: int) -> int:
+    """SQL NTILE(tiles) bucket for 1-based ``rank`` of ``n`` rows:
+    the first n % tiles buckets get one extra row."""
+    q, rem = divmod(n, tiles)
+    big = (q + 1) * rem
+    if rank <= big:
+        return (rank - 1) // (q + 1) + 1
+    return rem + (rank - 1 - big) // q + 1
