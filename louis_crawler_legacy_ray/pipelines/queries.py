@@ -3818,6 +3818,78 @@ WHERE l_orderkey IN (
 """
 
 
+DOMAIN_MIX_WEIGHTS = {
+    "en": 0.4,
+    "fr": 0.2,
+    "de": 0.15,
+    "es": 0.15,
+    "zh": 0.1,
+}
+
+
+def q_domain_mix(sf_dir: str):
+    """Deterministic domain mixing (Pile / DoReMi-style target
+    proportions): sample floor(w_lang x K) docs per language, K = half
+    the corpus, selected by the multiplicative-hash rank so the mix is
+    a pure function of the data (stages/sample.py:quota_mix — per-key
+    quota combiner, output-sized shuffle). Both engines compute the
+    quotas as floor(w x floor(0.5 x N)) in IEEE doubles."""
+    import math
+
+    from ..stages.sample import quota_mix
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    k_total = float(math.floor(0.5 * docs.count()))
+    quotas = {
+        lang: int(math.floor(w * k_total))
+        for lang, w in DOMAIN_MIX_WEIGHTS.items()
+    }
+    return quota_mix(docs, key_col="lang", id_col="doc_id", quotas=quotas)
+
+
+SQL_DOMAIN_MIX = """
+WITH q AS (
+  SELECT floor(0.5 * count(*)) AS k FROM documents),
+ranked AS (
+  SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (CAST(doc_id AS BIGINT) * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents)
+SELECT r.lang, r.doc_id FROM ranked r, q
+WHERE r.rn <= CAST(floor(
+  (CASE r.lang WHEN 'en' THEN 0.4 WHEN 'fr' THEN 0.2 WHEN 'de' THEN 0.15
+               WHEN 'es' THEN 0.15 WHEN 'zh' THEN 0.1 ELSE 0 END) * q.k)
+  AS BIGINT)
+"""
+
+
+def q_dup_doc_coverage(sf_dir: str):
+    """Per-document duplicated-5-gram coverage — the doc-level
+    aggregation of the Lee et al. substring-dup signal
+    (stages/dedup.py:dup_doc_coverage — distinct (gram, doc) pairs
+    bucketed by gram hash, per-bucket vectorized doc counts, per-doc
+    sum)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dd.dup_doc_coverage(docs, k=5, min_docs=2)
+
+
+SQL_DUP_DOC_COVERAGE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+g0 AS (
+  SELECT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS gram
+  FROM toks, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5),
+g AS (SELECT DISTINCT doc_id, gram FROM g0),
+c AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (WHERE c.nd >= 2) AS BIGINT) AS n_dup_grams
+FROM g JOIN c USING (gram) GROUP BY g.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3873,6 +3945,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "duplicate_ngrams": q_duplicate_ngrams,
+    "dup_doc_coverage": q_dup_doc_coverage,
+    "domain_mix": q_domain_mix,
     "price_quantiles": q_price_quantiles,
     "top_orders_per_customer": q_top_orders_per_customer,
     "sliding_window": q_sliding_window,
@@ -3984,6 +4058,8 @@ ORACLE_SQL = {
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
     "duplicate_ngrams": SQL_DUPLICATE_NGRAMS,
+    "dup_doc_coverage": SQL_DUP_DOC_COVERAGE,
+    "domain_mix": SQL_DOMAIN_MIX,
     "price_quantiles": SQL_PRICE_QUANTILES,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "sliding_window": SQL_SLIDING_WINDOW,

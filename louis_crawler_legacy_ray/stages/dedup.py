@@ -1125,3 +1125,83 @@ def minhash_md5_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
     return cand.groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="nbands")
     )
+
+
+def dup_doc_coverage(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-document duplicated-n-gram COVERAGE (the filtering signal of
+    Lee et al. 2022's substring dedup, aggregated to the document): for
+    each doc with >= k words, the number of distinct word-k-grams it
+    contains and how many of those appear in >= min_docs distinct docs
+    corpus-wide. Feeds "drop docs that are mostly boilerplate" style
+    filters. Returns (id, n_grams, n_dup_grams).
+
+    Scale shape: the semantics need each doc's DISTINCT grams
+    attributed back to the doc, so the first shuffle carries distinct
+    (gram, doc) pairs — the minimum possible — bucketed by gram hash
+    into ``n_buckets`` groups so per-gram doc counts are computed
+    VECTORIZED per bucket (one pandas transform over the whole bucket,
+    no per-gram group dispatch). Bucket partials are per-doc partial
+    sums, so the second groupby(doc) shuffle carries at most
+    n_buckets x docs tiny rows."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        grams: list[str] = []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            w = words_of(t)
+            if len(w) < k:
+                continue
+            for g in {" ".join(w[j : j + k]) for j in range(len(w) - k + 1)}:
+                ids.append(i)
+                grams.append(g)
+        garr = pa.array(grams, pa.string())
+        # bucket id must agree for the same gram ACROSS worker
+        # processes (a gram's pairs land in one bucket group):
+        # pd.util.hash_array is a fixed-key siphash — deterministic,
+        # vectorized in C, never compared to the oracle
+        h = pd.util.hash_array(np.asarray(grams, dtype=object))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "gram": garr,
+                "pshard": pa.array((h % n_buckets).astype(np.int32)),
+            }
+        )
+
+    def bucket_counts(g: pd.DataFrame):
+        nd = g.groupby("gram")["gram"].transform("size").to_numpy()
+        dup = (nd >= min_docs).astype(np.int64)
+        out = (
+            pd.DataFrame({id_col: g[id_col].to_numpy(), "_dup": dup})
+            .groupby(id_col, sort=False)
+            .agg(n_grams=("_dup", "size"), n_dup_grams=("_dup", "sum"))
+            .reset_index()
+        )
+        return from_pandas_clean(out)
+
+    partials = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("pshard")
+        .map_groups(bucket_counts, batch_format="pandas")
+    )
+    agg = partials.groupby(id_col).aggregate(
+        Sum("n_grams", alias_name="n_grams"),
+        Sum("n_dup_grams", alias_name="n_dup_grams"),
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b[id_col].cast(pa.int64()),
+                "n_grams": b["n_grams"].cast(pa.int64()),
+                "n_dup_grams": b["n_dup_grams"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -141,3 +141,51 @@ def weighted_sample(
     return merged.repartition(1).map_batches(
         final, batch_format="pandas"
     )
+
+
+def quota_mix(
+    ds,
+    key_col: str,
+    id_col: str,
+    quotas: dict,
+):
+    """Deterministic domain/language mixing to target QUOTAS: for each
+    ``key_col`` value take the ``quotas[key]`` ids with the smallest
+    multiplicative hash (id asc tie-break) — the DoReMi / Pile-style
+    "hit these per-source proportions" selector, reproducible across
+    engines and block layouts like :func:`stratified_sample`. Keys
+    absent from ``quotas`` contribute nothing; a quota larger than the
+    stratum takes the whole stratum.
+
+    Scale shape: the per-batch combiner keeps at most quota[key] rows
+    per key per block, so the groupby shuffle carries
+    O(sum(quota) x blocks) rows — proportional to the OUTPUT, never
+    the corpus. (For quotas approaching the corpus size the crawl
+    control plane's iterative k-th-key selection is the driver-light
+    shape; these mixing quotas are output-sized by construction.)"""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                key_col: b[key_col].to_pandas(),
+                id_col: b[id_col].to_pandas().astype(np.int64),
+            }
+        )
+        df["_h"] = sample_hash(df[id_col].to_numpy())
+        df = df.sort_values(["_h", id_col])
+        rk = df.groupby(key_col, sort=False).cumcount()
+        q = df[key_col].map(quotas).fillna(0).astype(np.int64)
+        return from_pandas_clean(df[rk.to_numpy() < q.to_numpy()])
+
+    def final(g: pd.DataFrame):
+        q = int(quotas.get(g[key_col].iloc[0], 0))
+        g = g.sort_values(["_h", id_col]).head(q)
+        return from_pandas_clean(
+            pd.DataFrame({key_col: g[key_col].values, id_col: g[id_col].values})
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(final, batch_format="pandas")
+    )

@@ -143,3 +143,57 @@ def test_grouped_topk_combiner_matches_single_block(ray_session):
     for k, g in df.groupby("k"):
         top = g.sort_values(["v", "id"], ascending=[False, True]).iloc[0]
         assert (k, top["id"], top["v"], 1) in one
+
+
+def test_quota_mix_quotas_and_layout_invariance(ray_session):
+    from louis_crawler_legacy_ray.stages.sample import quota_mix
+
+    rows = [
+        {"doc_id": i, "lang": ["en", "fr", "de", "xx"][i % 4]}
+        for i in range(400)
+    ]
+    quotas = {"en": 30, "fr": 10, "de": 500}  # de quota > stratum; xx absent
+
+    def run(ds):
+        out = quota_mix(ds, key_col="lang", id_col="doc_id", quotas=quotas)
+        return out.to_pandas()
+
+    one = run(ray.data.from_items(rows).repartition(1))
+    many = run(ray.data.from_items(rows).repartition(16))
+    a = sorted(map(tuple, one[["lang", "doc_id"]].itertuples(index=False)))
+    b = sorted(map(tuple, many[["lang", "doc_id"]].itertuples(index=False)))
+    assert a == b
+    counts = one.groupby("lang")["doc_id"].count().to_dict()
+    assert counts == {"en": 30, "fr": 10, "de": 100}  # whole de stratum, no xx
+    # the selected en ids are exactly the 30 smallest by hash rank
+    import numpy as np
+
+    from louis_crawler_legacy_ray.stages.sample import sample_hash
+
+    en_ids = np.array([i for i in range(400) if i % 4 == 0], dtype=np.int64)
+    order = np.lexsort((en_ids, sample_hash(en_ids)))
+    expect = sorted(en_ids[order][:30].tolist())
+    got = sorted(one[one["lang"] == "en"]["doc_id"].tolist())
+    assert got == expect
+
+
+def test_dup_doc_coverage_known_counts(ray_session):
+    from louis_crawler_legacy_ray.stages.dedup import dup_doc_coverage
+
+    shared = "alpha beta gamma delta epsilon"  # one 5-gram, shared
+    rows = [
+        {"doc_id": 1, "text": shared + " zeta"},   # grams: shared+1 unique
+        {"doc_id": 2, "text": shared},              # gram: shared only
+        {"doc_id": 3, "text": "one two three four five six"},  # 2 unique grams
+        {"doc_id": 4, "text": "too short"},         # dropped (<5 words)
+    ]
+    out = (
+        dup_doc_coverage(ray.data.from_items(rows).repartition(3), n_buckets=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2, 3]
+    assert out.loc[1, "n_grams"] == 2 and out.loc[1, "n_dup_grams"] == 1
+    assert out.loc[2, "n_grams"] == 1 and out.loc[2, "n_dup_grams"] == 1
+    assert out.loc[3, "n_grams"] == 2 and out.loc[3, "n_dup_grams"] == 0
