@@ -3890,6 +3890,94 @@ FROM g JOIN c USING (gram) GROUP BY g.doc_id
 """
 
 
+def q_curation_pipeline(sf_dir: str):
+    """End-to-end C4/RefinedWeb-style curation composed from the
+    verified stages, under ONE exact oracle: quality gate (n_words >=
+    10, stop_ratio >= 0.01 — the quality_scores keep rule) ->
+    corpus-wide line dedup (keep-first, the line_dedup stage) -> exact
+    dedup on the cleaned text (md5 groups, keep smallest doc_id).
+    Output: one row per surviving distinct cleaned text with its
+    keeper, duplicate count, and surviving line count. Each stage is
+    the SAME code path as its standalone oracled query, so this gates
+    the composition (filters feeding shuffles feeding groupbys), not
+    just the parts."""
+    import hashlib as _hl
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep_only(b: pa.Table) -> pa.Table:
+        return b.filter(ts.quality_batch(b)["keep"])
+
+    cleaned = dd.line_dedup(docs.map_batches(keep_only, batch_format="pyarrow"))
+
+    def hash_clean(b: pa.Table) -> pa.Table:
+        fps = [
+            _hl.md5((t or "").encode()).hexdigest()
+            for t in b["clean_text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "clean_hash": pa.array(fps, pa.string()),
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n_kept": b["n_kept"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        cleaned.map_batches(hash_clean, batch_format="pyarrow")
+        .groupby("clean_hash")
+        .aggregate(
+            Min("doc_id", alias_name="keep_id"),
+            Count(alias_name="n_dups"),
+            Min("n_kept", alias_name="n_kept"),
+        )
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "clean_hash": b["clean_hash"],
+                "keep_id": b["keep_id"].cast(pa.int64()),
+                "n_dups": b["n_dups"].cast(pa.int64()),
+                "n_kept": b["n_kept"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CURATION_PIPELINE = r"""
+WITH feats AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+         len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS n_stop
+  FROM documents),
+kept AS (
+  SELECT doc_id, text FROM feats
+  WHERE n_words >= 10
+    AND CAST(n_stop AS DOUBLE) / greatest(n_words, 1) >= 0.01),
+l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS line_no
+  FROM kept),
+win AS (
+  SELECT line, min(doc_id * 1048576 + line_no) AS wkey FROM l GROUP BY line),
+keptl AS (
+  SELECT l.doc_id, l.line_no, l.line
+  FROM l JOIN win ON l.line = win.line
+   AND l.doc_id * 1048576 + l.line_no = win.wkey),
+docs2 AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY line_no) AS clean_text
+  FROM keptl GROUP BY doc_id)
+SELECT md5(clean_text) AS clean_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(min(n_kept) AS BIGINT) AS n_kept
+FROM docs2 GROUP BY clean_hash
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3947,6 +4035,7 @@ QUERIES = {
     "duplicate_ngrams": q_duplicate_ngrams,
     "dup_doc_coverage": q_dup_doc_coverage,
     "domain_mix": q_domain_mix,
+    "curation_pipeline": q_curation_pipeline,
     "price_quantiles": q_price_quantiles,
     "top_orders_per_customer": q_top_orders_per_customer,
     "sliding_window": q_sliding_window,
@@ -4060,6 +4149,7 @@ ORACLE_SQL = {
     "duplicate_ngrams": SQL_DUPLICATE_NGRAMS,
     "dup_doc_coverage": SQL_DUP_DOC_COVERAGE,
     "domain_mix": SQL_DOMAIN_MIX,
+    "curation_pipeline": SQL_CURATION_PIPELINE,
     "price_quantiles": SQL_PRICE_QUANTILES,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "sliding_window": SQL_SLIDING_WINDOW,
