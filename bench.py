@@ -27,42 +27,78 @@ import sys
 import time
 
 
+def _synth_docs_cached(n_pages: int) -> str:
+    """Build the deterministic synthetic documents table ONCE (serial
+    rng stream) and cache it as parquet; slice workers read it instead
+    of each re-running the 2M-doc rng loop (which cost minutes and
+    ~2 GB per worker at spill-holdout scale)."""
+    path = f"/tmp/louis_synth_docs_n{n_pages}.parquet"
+    if not os.path.exists(path):
+        import pyarrow.parquet as pq
+
+        from louis_crawler_legacy_ray.sources.pages import synth_documents
+
+        tmp = f"{path}.build-{os.getpid()}"
+        pq.write_table(synth_documents(n_pages, seed=42, words_per_doc=120), tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            os.unlink(tmp)
+    return path
+
+
 def _build_slice(args):
     """One corpus slice: build pages for a doc-id range and write them
     partitioned into the global url-hash buckets (multiprocessing
-    worker — must be a module-level function)."""
+    worker — must be a module-level function).
+
+    Memory/scale shape (fixed after the 2M-page spill-holdout corpus
+    OOM-killed the old version): pages are built in bounded CHUNKS, and
+    each chunk is split into buckets by ONE sort + zero-copy run
+    slices instead of n_buckets full-table filter scans (the old loop
+    was O(chunk x buckets) and held several table copies)."""
     out, n_pages, pad, slice_id, n_slices, n_buckets = args
+    import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from louis_crawler_legacy_ray.sources.pages import (
         pages_from_documents,
-        synth_documents,
         url_bucket,
     )
 
-    docs = synth_documents(n_pages, seed=42, words_per_doc=120)
+    docs = pq.read_table(_synth_docs_cached(n_pages))
     lo = slice_id * n_pages // n_slices
     hi = (slice_id + 1) * n_pages // n_slices
-    # web-realistic shape: fanout 8 (BFS covers the corpus in ~log8(n)
-    # rounds, compute-dominated) across 64 hosts (so host-sharded
-    # frontier state actually distributes; the single-hot-host case is
-    # handled separately via salting). id_range keeps the full-corpus
-    # link graph while this worker emits only its slice.
-    pages = pages_from_documents(
-        docs, pad_bytes=pad, n_children=8, n_hosts=64, id_range=(lo, hi)
-    )
-    buckets = [url_bucket(u, n_buckets) for u in pages["url"].to_pylist()]
-    tagged = pages.append_column("__bucket", pa.array(buckets, pa.int32()))
-    for b in sorted(set(buckets)):
-        sub = tagged.filter(pc.equal(tagged["__bucket"], b)).drop(["__bucket"])
-        sub = sub.sort_by("url")
-        pq.write_table(
-            sub,
-            os.path.join(out, f"bucket-{b:05d}-slice-{slice_id:03d}.parquet"),
-            row_group_size=256,
+    chunk = 16384
+    for c0 in range(lo, hi, chunk):
+        c1 = min(hi, c0 + chunk)
+        # web-realistic shape: fanout 8 (BFS covers the corpus in
+        # ~log8(n) rounds, compute-dominated) across 64 hosts (so
+        # host-sharded frontier state actually distributes; the
+        # single-hot-host case is handled separately via salting).
+        # id_range keeps the full-corpus link graph while this worker
+        # emits only its chunk.
+        pages = pages_from_documents(
+            docs, pad_bytes=pad, n_children=8, n_hosts=64, id_range=(c0, c1)
         )
+        buckets = [url_bucket(u, n_buckets) for u in pages["url"].to_pylist()]
+        tagged = pages.append_column("__bucket", pa.array(buckets, pa.int32()))
+        tagged = tagged.sort_by([("__bucket", "ascending"), ("url", "ascending")])
+        barr = tagged["__bucket"].to_numpy()
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(barr)) + 1))
+        ends = np.concatenate((starts[1:], [len(barr)]))
+        for s, e in zip(starts, ends):
+            b = int(barr[s])
+            pq.write_table(
+                tagged.slice(s, e - s).drop(["__bucket"]),
+                os.path.join(
+                    out,
+                    f"bucket-{b:05d}-slice-{slice_id:03d}-c{c0:09d}.parquet",
+                ),
+                row_group_size=256,
+            )
+        del pages, tagged
 
 
 def _merge_bucket(args):
@@ -99,6 +135,7 @@ def build_bench_corpus(n_pages: int, pad: int) -> str:
         os.makedirs(tmp, exist_ok=True)
         n_slices = 16
         n_buckets = max(1, n_pages // 2048)
+        _synth_docs_cached(n_pages)  # serial rng, built once, before the pool
         with mp.Pool(min(n_slices, os.cpu_count() or 8)) as pool:
             pool.map(
                 _build_slice,

@@ -3890,6 +3890,49 @@ FROM g JOIN c USING (gram) GROUP BY g.doc_id
 """
 
 
+def q_gopher_quality(sf_dir: str):
+    """Gopher quality-rule filter (Rae et al. 2021 A1.1) with exact
+    integer features — every ratio threshold is an integer
+    cross-multiplication so the oracle hash-matches
+    (stages/textstats.py:gopher_quality_batch)."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ts.gopher_quality_batch, batch_format="pyarrow"
+    )
+
+
+SQL_GOPHER_QUALITY = r"""
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS n_words,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_word_chars,
+         len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_sym,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS n_bullet,
+         len(regexp_extract_all(text, '(?m)(\.\.\.|…)$')) AS n_ellipsis,
+         len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha_words,
+         len(list_distinct(regexp_extract_all(lower(text),
+             '\b(the|be|to|of|and|that|have|with)\b'))) AS n_stop_distinct
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_word_chars AS BIGINT) AS n_word_chars,
+       CAST(n_sym AS BIGINT) AS n_sym,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_bullet AS BIGINT) AS n_bullet,
+       CAST(n_ellipsis AS BIGINT) AS n_ellipsis,
+       CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+       CAST(n_stop_distinct AS BIGINT) AS n_stop_distinct,
+       (n_words BETWEEN 50 AND 100000
+        AND 3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+        AND 10 * n_sym < n_words
+        AND 10 * n_bullet < 9 * n_lines
+        AND 10 * n_ellipsis < 3 * n_lines
+        AND 10 * n_alpha_words >= 8 * n_words
+        AND n_stop_distinct >= 2) AS keep
+FROM f
+"""
+
+
 def q_curation_pipeline(sf_dir: str):
     """End-to-end C4/RefinedWeb-style curation composed from the
     verified stages, under ONE exact oracle: quality gate (n_words >=
@@ -4036,6 +4079,7 @@ QUERIES = {
     "dup_doc_coverage": q_dup_doc_coverage,
     "domain_mix": q_domain_mix,
     "curation_pipeline": q_curation_pipeline,
+    "gopher_quality": q_gopher_quality,
     "price_quantiles": q_price_quantiles,
     "top_orders_per_customer": q_top_orders_per_customer,
     "sliding_window": q_sliding_window,
@@ -4150,6 +4194,7 @@ ORACLE_SQL = {
     "dup_doc_coverage": SQL_DUP_DOC_COVERAGE,
     "domain_mix": SQL_DOMAIN_MIX,
     "curation_pipeline": SQL_CURATION_PIPELINE,
+    "gopher_quality": SQL_GOPHER_QUALITY,
     "price_quantiles": SQL_PRICE_QUANTILES,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "sliding_window": SQL_SLIDING_WINDOW,

@@ -164,27 +164,51 @@ def pages_from_documents(
     table (500 rows at sf0.01) — at 100 TB the pages corpus would be
     generated shard-wise with the same id arithmetic.
     """
+    import numpy as np
+
     n = documents.num_rows
-    doc_ids = documents["doc_id"].to_pylist()
-    texts = documents["text"].to_pylist()
-    langs = documents["lang"].to_pylist()
-    sources = documents["source"].to_pylist()
-    # child paths are keyed by doc_id: build id -> (lang, source) lookup
-    meta = {d: (l, s) for d, l, s in zip(doc_ids, langs, sources)}
+    ids_np = documents["doc_id"].to_numpy()
+    langs_np = documents["lang"].to_numpy(zero_copy_only=False)
+    sources_np = documents["source"].to_numpy(zero_copy_only=False)
+    # child paths are keyed by doc_id: id -> (lang, source) lookup.
+    # Bench corpora have doc_id == row position (synth_documents), so a
+    # direct array index replaces the 2M-entry dict a per-slice worker
+    # would otherwise rebuild (the r4 spill-holdout OOM); arbitrary-id
+    # tables keep the dict path with identical semantics.
+    if n and ids_np[0] == 0 and ids_np[-1] == n - 1 and len(ids_np) == n:
+        def meta_at(c: int):
+            return langs_np[c], sources_np[c]
+    else:
+        meta = dict(zip(ids_np.tolist(), zip(langs_np, sources_np)))
+
+        def meta_at(c: int):
+            return meta[c]
 
     def base_of(d: int) -> str:
         return f"http://h{d % n_hosts}.example.ca" if n_hosts > 1 else ""
 
-    lo, hi = id_range if id_range is not None else (None, None)
+    # materialize ONLY the requested slice's rows (id_range callers pass
+    # a small window over a large table; to_pylist of the full columns
+    # was the other half of the OOM)
+    if id_range is not None:
+        lo, hi = id_range
+        sub = documents.take(
+            pa.array(np.flatnonzero((ids_np >= lo) & (ids_np < hi)))
+        )
+    else:
+        sub = documents
+    doc_ids = sub["doc_id"].to_pylist()
+    texts = sub["text"].to_pylist()
+    langs = sub["lang"].to_pylist()
+    sources = sub["source"].to_pylist()
+
     urls, tss, htmls, out_texts, out_langs = [], [], [], [], []
     for d, text, lang, source in zip(doc_ids, texts, langs, sources):
-        if lo is not None and not (lo <= d < hi):
-            continue
         kids = child_ids_k(d, n, max(2, n_children))
-        paths = [
-            f"{base_of(c)}/{lang_segment(meta[c][0])}/{meta[c][1]}/doc{c}"
-            for c in kids
-        ]
+        paths = []
+        for c in kids:
+            cl, cs = meta_at(c)
+            paths.append(f"{base_of(c)}/{lang_segment(cl)}/{cs}/doc{c}")
         if n_hosts > 1:
             urls.append(
                 f"{base_of(d)}/{lang_segment(lang)}/{source}/doc{d}"

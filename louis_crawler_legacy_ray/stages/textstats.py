@@ -655,3 +655,65 @@ def ntile_of_rank(rank: int, n: int, tiles: int) -> int:
     if rank <= big:
         return (rank - 1) // (q + 1) + 1
     return rem + (rank - 1 - big) // q + 1
+
+
+# ------------------------------------------------------- Gopher rules
+_G_WS_WORD_RE = re.compile(r"\S+")
+_G_SYM_RE = re.compile(r"#|\.\.\.|…")
+_G_BULLET_RE = re.compile(r"^[ \t]*[-*•]", re.MULTILINE)
+_G_ELLIPSIS_RE = re.compile(r"(\.\.\.|…)$", re.MULTILINE)
+_G_ALPHA_WORD_RE = re.compile(r"\S*[A-Za-z]\S*")
+_G_STOP_RE = re.compile(r"\b(the|be|to|of|and|that|have|with)\b")
+
+
+def gopher_quality_batch(
+    batch: pa.Table, text_col: str = "text", min_words: int = 50
+) -> pa.Table:
+    """Gopher quality heuristics (Rae et al. 2021, A1.1) as EXACT
+    integer features + keep flag — every condition is an integer
+    cross-multiplication (10*n_sym < n_words instead of ratio < 0.1),
+    so the DuckDB oracle hash-matches bit-for-bit:
+
+      * word count in [min_words, 100000] (whitespace words)
+      * mean word length in [3, 10]
+      * symbol-to-word ratio ('#'/'...'/ellipsis) < 0.1
+      * < 90% of lines start with a bullet
+      * < 30% of lines end with an ellipsis
+      * >= 80% of words contain an alphabetic character
+      * >= 2 distinct required stop words
+    """
+    ids = batch["doc_id"].to_pylist()
+    texts = batch[text_col].to_pylist()
+    cols: dict[str, list] = {
+        k: []
+        for k in (
+            "n_words n_word_chars n_sym n_lines n_bullet n_ellipsis "
+            "n_alpha_words n_stop_distinct keep".split()
+        )
+    }
+    for t in texts:
+        t = t or ""
+        words = _G_WS_WORD_RE.findall(t)
+        nw = len(words)
+        nchars = sum(len(w) for w in words)
+        nsym = len(_G_SYM_RE.findall(t))
+        nlines = t.count("\n") + 1
+        nbul = len(_G_BULLET_RE.findall(t))
+        nell = len(_G_ELLIPSIS_RE.findall(t))
+        nalpha = len(_G_ALPHA_WORD_RE.findall(t))
+        nstop = len(set(_G_STOP_RE.findall(t.lower())))
+        keep = (
+            min_words <= nw <= 100_000
+            and 3 * nw <= nchars <= 10 * nw
+            and 10 * nsym < nw
+            and 10 * nbul < 9 * nlines
+            and 10 * nell < 3 * nlines
+            and 10 * nalpha >= 8 * nw
+            and nstop >= 2
+        )
+        for k, v in zip(cols, (nw, nchars, nsym, nlines, nbul, nell, nalpha, nstop, keep)):
+            cols[k].append(v)
+    out: dict[str, pa.Array] = {"doc_id": pa.array(ids, pa.int64())}
+    for k, v in cols.items():
+        out[k] = pa.array(v, pa.bool_() if k == "keep" else pa.int64())
+    return pa.table(out)
