@@ -598,12 +598,28 @@ def prime_pages_cache(pages_path: str) -> None:
         return
     import os as _os
 
-    n_blocks = int(ray.cluster_resources().get("CPU", 8)) * 4
-    mat = (
-        ray.data.read_parquet(pages_path, columns=["url", "html"])
-        .repartition(n_blocks)
-        .materialize()
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_files = sum(
+        1 for f in _os.listdir(pages_path) if f.endswith(".parquet")
     )
+    if n_files >= n_cpus * 2:
+        # bucketed corpora arrive as many right-sized bucket files:
+        # keep one block per file. A repartition here transiently
+        # DOUBLES the corpus in the object store (read blocks + output
+        # blocks both alive), which at spill-holdout scale (56 GB
+        # corpus vs 37 GB plasma) drove spill+fallback past the
+        # container's disk headroom (r4 OutOfDiskError).
+        mat = ray.data.read_parquet(
+            pages_path,
+            columns=["url", "html"],
+            override_num_blocks=n_files,
+        ).materialize()
+    else:
+        mat = (
+            ray.data.read_parquet(pages_path, columns=["url", "html"])
+            .repartition(n_cpus * 4)
+            .materialize()
+        )
     refs = []
     for bundle in mat.iter_internal_ref_bundles():
         refs.extend(bundle.block_refs)
