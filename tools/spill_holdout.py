@@ -28,29 +28,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _spill_stats() -> dict:
-    """Spilled/restored byte counts from Ray's internal memory summary."""
+    """Cumulative spilled/restored byte counts, parsed from the raylet
+    log (the grpc-backed memory_summary API is unavailable in this
+    container). The raylet logs a monotone 'Spilled N MiB, M objects'
+    line as counters grow — take the max seen so far."""
+    import glob
     import re
 
-    import ray
-
-    try:
-        from ray._private.internal_api import memory_summary
-
-        txt = memory_summary(stats_only=True)
-    except Exception:
-        return {}
-    out = {}
-    m = re.search(r"Spilled (\d+) MiB, (\d+) objects", txt)
-    if m:
-        out["spilled_mib"] = int(m.group(1))
-        out["spilled_objects"] = int(m.group(2))
-    m = re.search(r"Restored (\d+) MiB, (\d+) objects", txt)
-    if m:
-        out["restored_mib"] = int(m.group(1))
-        out["restored_objects"] = int(m.group(2))
-    m = re.search(r"Plasma memory usage (\d+) MiB", txt)
-    if m:
-        out["plasma_mib"] = int(m.group(1))
+    out: dict = {}
+    logs = sorted(
+        glob.glob("/tmp/ray/session_latest/logs/raylet.err")
+        + glob.glob("/tmp/ray/ray/session_latest/logs/raylet.err")
+    )
+    for path in logs:
+        try:
+            with open(path, errors="replace") as f:
+                txt = f.read()
+        except OSError:
+            continue
+        for key, pat in (
+            ("spilled", r"Spilled (\d+) MiB, (\d+) objects"),
+            ("restored", r"Restored (\d+) MiB, (\d+) objects"),
+        ):
+            hits = re.findall(pat, txt)
+            if hits:
+                mib, objs = max((int(a), int(b)) for a, b in hits)
+                out[f"{key}_mib"] = mib
+                out[f"{key}_objects"] = objs
     return out
 
 
