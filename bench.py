@@ -372,8 +372,49 @@ def run_scaling() -> dict:
     }
 
 
+def run_probe() -> dict:
+    """Condition-stamp probe (BASELINE.md methodology): one pinned
+    core runs the extract kernel over 64 real bench-corpus pages —
+    reproduces the ms/page number the measured tables are stamped
+    with, no Ray involved. Re-run alongside any absolute-throughput
+    claim: single-box co-tenancy drifts 30-40% on multi-hour scales."""
+    import statistics as _st
+    import time as _t
+
+    import pyarrow.parquet as pq
+
+    from louis_crawler_legacy_ray.functions.html_kernels import extract_page
+
+    n_pages = int(os.environ.get("LOUIS_BENCH_PAGES", "131071"))
+    pad = int(os.environ.get("LOUIS_BENCH_PAD", "28000"))
+    corpus = build_bench_corpus(n_pages, pad)
+    f = sorted(x for x in os.listdir(corpus) if x.endswith(".parquet"))[0]
+    t = pq.read_table(os.path.join(corpus, f), columns=["url", "html"]).slice(0, 64)
+    urls = t["url"].to_pylist()
+    htmls = [
+        h.decode() if isinstance(h, bytes) else h for h in t["html"].to_pylist()
+    ]
+    trials = []
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        for r in range(5):
+            for u, h in zip(urls, htmls):
+                extract_page(u, h, now=0)
+        trials.append((_t.perf_counter() - t0) / (5 * 64) * 1000)
+    return {
+        "metric": "pinned single-core extract-kernel probe",
+        "value": round(_st.median(trials), 3),
+        "unit": "ms/page",
+        "trials_ms_page": [round(x, 3) for x in trials],
+        "avg_page_bytes": sum(len(h) for h in htmls) // len(htmls),
+        "note": "run under `taskset -c 0` for the pinned-core stamp",
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--probe" in sys.argv:
+        print(json.dumps(run_probe()))
     else:
         print(json.dumps(run_bench()))
