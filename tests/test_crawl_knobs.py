@@ -91,3 +91,41 @@ def test_fanout_modes_equivalent(ray_session, tmp_path, fanout):
     )
     assert res.counts["seen"] == len(set(res.order["url"].to_pylist()))
     assert res.counts["seen"] > 1
+
+
+def test_prime_keeps_one_block_per_bucket_file(ray_session, tmp_path):
+    """Bucketed corpora with >= 2x-CPU files must prime WITHOUT a
+    repartition (one block per bucket file): the repartition path
+    transiently doubles the corpus in the object store, which is what
+    tripped the r4 spill holdout's disk headroom."""
+    import pyarrow as pa
+
+    from louis_crawler_legacy_ray.pipelines.crawl import (
+        _PAGES_MAT,
+        clear_pages_cache,
+        prime_pages_cache,
+    )
+    from louis_crawler_legacy_ray.sources.pages import (
+        pages_from_documents,
+        synth_documents,
+        write_pages_parquet,
+    )
+
+    docs = synth_documents(256, seed=7)
+    pages = pages_from_documents(docs, pad_bytes=0, n_children=2)
+    out = str(tmp_path / "bucketed")
+    # rows_per_file=16 -> 16 bucket files >= 2 x the 4-CPU test session
+    write_pages_parquet(pages, out, rows_per_file=16, bucket_by_url=True)
+    clear_pages_cache()
+    try:
+        prime_pages_cache(out)
+        info = _PAGES_MAT[out]
+        n_files = 16
+        assert info["n_buckets"] == n_files
+        assert len(info["refs"]) == n_files  # one block per bucket file
+        assert len(info["block_buckets"]) == n_files
+        # every block's bucket set is exactly its own file's bucket
+        assert sorted(min(s) for s in info["block_buckets"]) == list(range(n_files))
+        assert all(len(s) == 1 for s in info["block_buckets"])
+    finally:
+        clear_pages_cache()
