@@ -4021,6 +4021,53 @@ FROM docs2 GROUP BY clean_hash
 """
 
 
+def q_dsir_topk(sf_dir: str):
+    """DSIR importance selection (Xie et al. 2023): hashed unigram+
+    bigram features (md5_number_lower % 1024 — the md5-companion hash
+    family), target = lang='en' docs within the corpus, per-feature
+    weight the exact-integer cross-multiplication n_t*R - n_r*T, top
+    100 most-target-like docs (stages/dsir.py — B-row count table via
+    combiner partials, weights broadcast once, per-block top-k)."""
+    from ..stages.dsir import dsir_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return dsir_topk(docs, k=100, target_col="lang", target_val="en")
+
+
+SQL_DSIR_TOPK = r"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents),
+uni AS (
+  SELECT doc_id, lang, w[i] AS g
+  FROM toks, UNNEST(generate_series(1, len(w))) AS t(i)
+  WHERE len(w) >= 1),
+bi AS (
+  SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS g
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2),
+f AS (
+  SELECT doc_id, lang,
+         CAST(md5_number_lower(g) % 1024 AS BIGINT) AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+c AS (
+  SELECT bucket,
+         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_t,
+         CAST(count(*) AS BIGINT) AS n_r
+  FROM f GROUP BY bucket),
+tot AS (SELECT sum(n_t) AS t_tot, sum(n_r) AS r_tot FROM c),
+wt AS (SELECT bucket, n_t * r_tot - n_r * t_tot AS wgt FROM c, tot),
+docb AS (
+  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM f GROUP BY doc_id, bucket),
+s AS (
+  SELECT doc_id, CAST(sum(cnt * wgt) AS BIGINT) AS score
+  FROM docb JOIN wt USING (bucket) GROUP BY doc_id)
+SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4078,6 +4125,7 @@ QUERIES = {
     "duplicate_ngrams": q_duplicate_ngrams,
     "dup_doc_coverage": q_dup_doc_coverage,
     "domain_mix": q_domain_mix,
+    "dsir_topk": q_dsir_topk,
     "curation_pipeline": q_curation_pipeline,
     "gopher_quality": q_gopher_quality,
     "price_quantiles": q_price_quantiles,
@@ -4193,6 +4241,7 @@ ORACLE_SQL = {
     "duplicate_ngrams": SQL_DUPLICATE_NGRAMS,
     "dup_doc_coverage": SQL_DUP_DOC_COVERAGE,
     "domain_mix": SQL_DOMAIN_MIX,
+    "dsir_topk": SQL_DSIR_TOPK,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "price_quantiles": SQL_PRICE_QUANTILES,
