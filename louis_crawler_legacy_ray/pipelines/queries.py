@@ -4068,6 +4068,36 @@ SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 100
 """
 
 
+def q_bpe_merges(sf_dir: str):
+    """Learned BPE merge table (rank, left, right) — distributed word
+    counting, driver merge loop over the distinct-word table only
+    (stages/bpe.py). Deterministic (count DESC, pair ASC tie-break):
+    pinned by pytest vs a clean-room naive reimplementation; iterative
+    argmax is not SQL-expressible, so rows-only at the gate."""
+    from ..stages.bpe import train_bpe
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = train_bpe(docs, n_merges=40)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([a for a, _ in merges], pa.string()),
+            "right": pa.array([b for _, b in merges], pa.string()),
+        }
+    )
+
+
+def q_bpe_encode(sf_dir: str):
+    """Corpus-trained BPE encoding of every document (stages/bpe.py
+    BpeEncoder actor pool; merges broadcast once). ``round_trip_ok``
+    is the in-pipeline self-check the driver's rows gate can read:
+    decode(encode(word)) == word for every word of every doc."""
+    from ..stages.bpe import bpe_encode
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_encode(docs, n_merges=40)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4126,6 +4156,8 @@ QUERIES = {
     "dup_doc_coverage": q_dup_doc_coverage,
     "domain_mix": q_domain_mix,
     "dsir_topk": q_dsir_topk,
+    "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "curation_pipeline": q_curation_pipeline,
     "gopher_quality": q_gopher_quality,
     "price_quantiles": q_price_quantiles,
