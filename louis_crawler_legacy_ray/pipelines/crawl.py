@@ -97,7 +97,13 @@ class CrawlConfig:
     robots_txt_by_host: dict | None = None  # host -> robots.txt body
     obey_robots: bool = False               # reference default: settings.py:19
     priority: str = "depth_url"             # frontier order key: "depth_url" (FIFO-BFS) |
-                                            # "short_url_first" ((depth, len(url), url) — shallow pages first)
+                                            # "short_url_first" ((depth, len(url), url) — shallow pages first) |
+                                            # "score_desc" ((depth, -score, url) — importance-ordered crawl,
+                                            # Cho/Garcia-Molina/Page 1998; scores from priority_scores)
+    priority_scores: dict | None = None     # url -> int score for priority="score_desc"
+                                            # (in-degree, PageRank, OPIC...); the Frontier
+                                            # splits it by shard_of so each shard holds only
+                                            # its own hash-range's slice
     inline_round_threshold: int = 64        # tiny rounds run driver-inline
     round_fanout: str = "tasks"             # "tasks" (raw ray.remote per pinned block; A/B-measured
                                             # faster at 8 and 32 CPUs) | "dataset" (fused map_batches)
@@ -130,6 +136,13 @@ def config_hash(cfg: CrawlConfig, seeds: list[str]) -> str:
             "round_limit": cfg.round_limit,
             "obey_robots": cfg.obey_robots,
             "priority": cfg.priority,
+            # digest, not the map itself: the score table can be large
+            "priority_scores": hashlib.blake2b(
+                json.dumps(sorted(cfg.priority_scores.items())).encode(),
+                digest_size=8,
+            ).hexdigest()
+            if cfg.priority_scores
+            else None,
         },
         sort_keys=True,
     )
@@ -183,6 +196,17 @@ class Frontier:
     def __init__(self, cfg: CrawlConfig):
         self.cfg = cfg
         self._pooled = False
+        # split the score_desc score map into per-shard slices keyed by
+        # the SAME shard_of routing as pending/seen — each shard holds
+        # only the scores of URLs it can own (O(frontier/n_shards) per
+        # actor; nothing shard-external is ever shipped)
+        score_slices: list[dict] | None = None
+        if cfg.priority_scores:
+            score_slices = [dict() for _ in range(cfg.n_shards)]
+            for url, sc in cfg.priority_scores.items():
+                s = shard_of(url, host_of(url), cfg.n_shards, cfg.hot_host_salt)
+                score_slices[s][url] = sc
+        self._score_slices = score_slices
         for other_n, entry in list(Frontier._POOL.items()):
             if other_n != cfg.n_shards and not entry["in_use"]:
                 for a in entry["actors"]:
@@ -201,6 +225,9 @@ class Frontier:
                             mode=cfg.mode,
                             robots_txt_by_host=cfg.robots_txt_by_host,
                             obey_robots=cfg.obey_robots,
+                            priority_scores=score_slices[i]
+                            if score_slices
+                            else None,
                         )
                         for i, s in enumerate(entry["actors"])
                     ]
@@ -232,6 +259,7 @@ class Frontier:
                 mode=cfg.mode,
                 robots_txt_by_host=cfg.robots_txt_by_host,
                 obey_robots=cfg.obey_robots,
+                priority_scores=score_slices[i] if score_slices else None,
             )
             for i in range(cfg.n_shards)
         ]

@@ -1463,6 +1463,105 @@ GROUP BY depth, url
 )
 
 
+def q_crawl_priority_indegree(sf_dir: str):
+    """Importance-ordered crawl (Cho, Garcia-Molina & Page 1998): the
+    frontier order key is (depth, -in_degree(url), url) with in-degrees
+    computed by a PRIOR Ray pass over the corpus — pages -> extract
+    links (the same extract_batch kernel the crawl uses) -> one
+    groupby(count). The score map rides CrawlConfig.priority_scores;
+    the Frontier splits it per shard_of so each shard holds only its
+    own hash-range's slice. Global cap 9/round forces every round to
+    pick the nine key-smallest URLs across shards under the new key —
+    the distributed k-th-key selection machinery unchanged over
+    3-tuple keys. Oracle = the capped round simulation ranking by the
+    same (depth, -indeg, url) key."""
+    import ray.data as _rd
+    from ray.data.aggregate import Count as _Count
+
+    from ..stages.extract import extract_batch
+    from .crawl import CrawlConfig, run_crawl
+
+    corpus = multihost_corpus_dir(sf_dir)
+
+    def link_partial(b: pa.Table) -> pa.Table:
+        # in-degree counts DISTINCT linking pages (a page linking the
+        # same target twice — e.g. the corpus's ?ref=nav duplicate that
+        # canonicalizes back to the first child — votes once)
+        items = extract_batch(b)
+        out: list[str] = []
+        for links in items["links"].to_pylist():
+            out.extend(dict.fromkeys(links))
+        return pa.table({"url": pa.array(out, pa.string())})
+
+    indeg = (
+        _rd.read_parquet(corpus, columns=["url", "html"])
+        .map_batches(link_partial, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(_Count(alias_name="c"))
+    )
+    # dimension-sized fold at gate scale; at 10^10 the score table
+    # stays a Dataset and feeds the per-shard slices shard-wise
+    scores = {r["url"]: int(r["c"]) for r in indeg.iter_rows()}
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=6,
+        max_rounds=96,
+        round_limit=9,
+        priority="score_desc",
+        priority_scores=scores,
+    )
+    res = run_crawl(corpus, [_mh_seed(sf_dir)], cfg)
+    return res.order
+
+
+SQL_CRAWL_PRIORITY_INDEGREE = (
+    "WITH RECURSIVE "
+    + _SQL_MH_CTE.replace("WITH ", "", 1)
+    + """,
+edges AS (
+  SELECT url AS src, c1_url AS dst FROM pg
+  UNION ALL SELECT url, c2_url FROM pg),
+indeg AS (SELECT dst AS url, count(*) AS c
+          FROM (SELECT DISTINCT src, dst FROM edges) GROUP BY dst),
+sim(round, url, depth, done) AS (
+  SELECT 0 AS round, url, CAST(0 AS INTEGER) AS depth, FALSE AS done
+  FROM pg WHERE doc_id = 0
+  UNION ALL
+  (
+  WITH prev AS (SELECT * FROM sim),
+  pending AS (SELECT url, depth FROM prev WHERE NOT done),
+  ranked AS (SELECT p.url, p.depth,
+                    (SELECT count(*) FROM pending q
+                     LEFT JOIN indeg iq ON iq.url = q.url
+                     WHERE (q.depth, -coalesce(iq.c, 0), q.url)
+                           <= (p.depth, -coalesce(ip.c, 0), p.url)) AS rn
+             FROM pending p LEFT JOIN indeg ip ON ip.url = p.url),
+  sel AS (SELECT url, depth FROM ranked WHERE rn <= 9),
+  disc AS (SELECT e.dst AS url, min(s.depth + 1) AS ddepth
+           FROM sel s JOIN edges e ON e.src = s.url GROUP BY e.dst),
+  kids AS (SELECT d.url, d.ddepth AS depth FROM disc d
+           WHERE d.ddepth <= 6
+             AND NOT EXISTS (SELECT 1 FROM prev p WHERE p.url = d.url)),
+  nstate AS (
+    SELECT p.url,
+           CASE WHEN p.done OR p.url IN (SELECT url FROM sel) THEN p.depth
+                ELSE least(p.depth, coalesce(d.ddepth, p.depth)) END AS depth,
+           (p.done OR p.url IN (SELECT url FROM sel)) AS done
+    FROM prev p LEFT JOIN disc d ON d.url = p.url
+    UNION ALL
+    SELECT k.url, k.depth, FALSE FROM kids k)
+  SELECT r0.round + 1, n.url, CAST(n.depth AS INTEGER), n.done
+  FROM nstate n, (SELECT max(round) AS round FROM prev) r0
+  WHERE EXISTS (SELECT 1 FROM pending) AND r0.round < 96
+  )
+)
+SELECT CAST(min(round) - 1 AS INTEGER) AS round, depth, url
+FROM sim WHERE done
+GROUP BY depth, url
+"""
+)
+
+
 def q_crawl_robots(sf_dir: str):
     """robots.txt-obeying crawl under the exact gate (reference keeps
     ROBOTSTXT_OBEY=False, settings.py:19, but ships the toggle; our
@@ -4136,6 +4235,7 @@ QUERIES = {
     "crawl_multihost_capped": q_crawl_multihost_capped,
     "crawl_multihost_domains": q_crawl_multihost_domains,
     "crawl_priority_short": q_crawl_priority_short,
+    "crawl_priority_indegree": q_crawl_priority_indegree,
     "crawl_robots": q_crawl_robots,
     "crawl_salted": q_crawl_salted,
     "crawl_graph_bfs": q_crawl_graph_bfs,
@@ -4257,6 +4357,7 @@ ORACLE_SQL = {
     "crawl_multihost_capped": SQL_CRAWL_MULTIHOST_CAPPED,
     "crawl_multihost_domains": SQL_CRAWL_MULTIHOST_DOMAINS,
     "crawl_priority_short": SQL_CRAWL_PRIORITY_SHORT,
+    "crawl_priority_indegree": SQL_CRAWL_PRIORITY_INDEGREE,
     "crawl_robots": SQL_CRAWL_ROBOTS,
     "crawl_salted": SQL_CRAWL_PAGES_BFS,
     "crawl_graph_bfs": SQL_CRAWL_GRAPH_BFS,

@@ -194,8 +194,12 @@ class FrontierShard:
         bloom_bits: int = 1 << 24,
         robots_txt_by_host: dict | None = None,
         obey_robots: bool = False,
+        priority_scores: dict | None = None,
     ):
-        self.reset(shard_id, mode, bloom_bits, robots_txt_by_host, obey_robots)
+        self.reset(
+            shard_id, mode, bloom_bits, robots_txt_by_host, obey_robots,
+            priority_scores,
+        )
 
     def reset(
         self,
@@ -204,6 +208,7 @@ class FrontierShard:
         bloom_bits: int = 1 << 24,
         robots_txt_by_host: dict | None = None,
         obey_robots: bool = False,
+        priority_scores: dict | None = None,
     ) -> None:
         """Full re-initialization — lets a crawl REUSE a pooled shard
         actor from a previous crawl (actor spawn + Ray's one-time
@@ -217,6 +222,11 @@ class FrontierShard:
         # robots cache colocated with the host's queue (T5); default-off
         # to match the reference's ROBOTSTXT_OBEY = False (settings.py:19)
         self.robots = RobotsCache(robots_txt_by_host, obey_robots=obey_robots)
+        # 'score_desc' priority: THIS SHARD'S slice of the per-URL
+        # score map (the Frontier splits the map by shard_of, so each
+        # shard holds only the scores of URLs it can own — O(frontier /
+        # n_shards) per actor, the same partitioning as pending/seen)
+        self.priority_scores: dict = priority_scores or {}
         self.seen: set[str] = set()
         self.errored: dict[str, str] = {}
         self.in_flight: set[str] = set()
@@ -318,6 +328,7 @@ class FrontierShard:
         per_host_budget: int | None = None,
         limit: int | None = None,
         politeness: str = "budget",
+        priority: str = "depth_url",
     ) -> pa.Table:
         """Select the next fetch batch: pending sorted by (depth, url)
         — the BFS priority order (O1, goldie_playwright_parallel.py:
@@ -339,6 +350,7 @@ class FrontierShard:
             per_host_budget=per_host_budget,
             limit=limit,
             politeness=politeness,
+            priority=priority,
         )
         return self._sel_table()
 
@@ -374,12 +386,13 @@ class FrontierShard:
             self._tb_burst = 2 * per_host_budget if token_bucket0 else None
             self._sel = (urls, depths, hosts)
             self._sel_keys = [
-                _sel_key(priority, d, u) for d, u in zip(depths, urls)
+                _sel_key(priority, d, u, self.priority_scores)
+                for d, u in zip(depths, urls)
             ]
             return {"count": len(urls)}
         items = sorted(
             (
-                (_sel_key(priority, depth, url), url, depth, host)
+                (_sel_key(priority, depth, url, self.priority_scores), url, depth, host)
                 for url, (depth, host) in self.pending.items()
                 if max_depth is None or depth <= max_depth
             ),
@@ -425,7 +438,8 @@ class FrontierShard:
         # `items` iteration order — for rank probes and the order part
         self._sel = (sel_urls, sel_depths, sel_hosts)
         self._sel_keys = [
-            _sel_key(priority, d, u) for d, u in zip(sel_depths, sel_urls)
+            _sel_key(priority, d, u, self.priority_scores)
+            for d, u in zip(sel_depths, sel_urls)
         ]
         return {"count": len(sel_urls)}
 
@@ -849,9 +863,21 @@ def _h64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
 
 
-def _sel_key(priority: str, depth: int, url: str) -> tuple:
-    """Frontier order key (pure URL function — every shard and the
-    driver's threshold probes agree without coordination)."""
+def _sel_key(
+    priority: str, depth: int, url: str, scores: dict | None = None
+) -> tuple:
+    """Frontier order key (pure function of the URL plus, for
+    'score_desc', the crawl-config score map — identical on every
+    shard, so the driver's threshold probes agree without
+    coordination).
+
+    'score_desc' is the classic importance-ordered crawl (Cho,
+    Garcia-Molina & Page 1998, "Efficient Crawling Through URL
+    Ordering"): within a depth level, highest externally-computed
+    score first (in-degree, PageRank, OPIC cash, ...), URL as the
+    deterministic tie-break. Unscored URLs rank as score 0."""
     if priority == "short_url_first":
         return (depth, len(url), url)
+    if priority == "score_desc":
+        return (depth, -(scores.get(url, 0) if scores else 0), url)
     return (depth, url)
