@@ -4167,6 +4167,62 @@ SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 100
 """
 
 
+def q_snapshot_delta(sf_dir: str):
+    """Incremental-recrawl delta between two crawl snapshots
+    (stages/joins.py:snapshot_delta): old = the documents table; new =
+    a deterministic re-crawl of it (doc_id%11==5 vanished, doc_id%7==3
+    changed content, doc_id%13==1 re-appeared under a new id). Output
+    (doc_id, status in added/changed/deleted/same) — the feed a
+    recrawl scheduler consumes. Fingerprints reduce per block, ONE
+    groupby(key) merges the sides; payloads never shuffle."""
+    from ..stages.joins import snapshot_delta
+
+    old = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def evolve(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b["doc_id"].cast(pa.int64()).to_numpy()
+        kept = b.filter(pa.array(ids % 11 != 5))
+        kids = kept["doc_id"].cast(pa.int64()).to_numpy()
+        changed = pa.array(kids % 7 == 3)
+        text2 = pc.if_else(
+            changed,
+            pc.binary_join_element_wise(kept["text"], pa.scalar(" v2"), ""),
+            kept["text"],
+        )
+        base = pa.table({"doc_id": pa.array(kids, pa.int64()), "text": text2})
+        adds = b.filter(pa.array(ids % 13 == 1))
+        extra = pa.table(
+            {
+                "doc_id": pc.add(adds["doc_id"].cast(pa.int64()),
+                                 pa.scalar(1000000, pa.int64())),
+                "text": adds["text"],
+            }
+        )
+        return pa.concat_tables([base, extra])
+
+    new = old.map_batches(evolve, batch_format="pyarrow")
+    return snapshot_delta(old, new, key_col="doc_id", content_col="text")
+
+
+SQL_SNAPSHOT_DELTA = """
+WITH old AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3 THEN text || ' v2' ELSE text END AS text
+  FROM old WHERE doc_id % 11 <> 5
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM old WHERE doc_id % 13 = 1)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN n.doc_id IS NULL THEN 'deleted'
+            WHEN o.doc_id IS NULL THEN 'added'
+            WHEN md5(o.text) = md5(n.text) THEN 'same'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
+
 def q_bpe_merges(sf_dir: str):
     """Learned BPE merge table (rank, left, right) — distributed word
     counting, driver merge loop over the distinct-word table only
@@ -4256,6 +4312,7 @@ QUERIES = {
     "dup_doc_coverage": q_dup_doc_coverage,
     "domain_mix": q_domain_mix,
     "dsir_topk": q_dsir_topk,
+    "snapshot_delta": q_snapshot_delta,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "curation_pipeline": q_curation_pipeline,
@@ -4375,6 +4432,7 @@ ORACLE_SQL = {
     "dup_doc_coverage": SQL_DUP_DOC_COVERAGE,
     "domain_mix": SQL_DOMAIN_MIX,
     "dsir_topk": SQL_DSIR_TOPK,
+    "snapshot_delta": SQL_SNAPSHOT_DELTA,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "price_quantiles": SQL_PRICE_QUANTILES,

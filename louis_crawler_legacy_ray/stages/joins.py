@@ -218,3 +218,70 @@ def broadcast_interval_join(
         return taken.append_column(out_col, pa.array(ivs, pa.int64()))
 
     return ds.map_batches(match, batch_format="pyarrow")
+
+
+def snapshot_delta(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    key_col: str,
+    content_col: str,
+) -> ray.data.Dataset:
+    """Incremental-recrawl diff of two crawl snapshots keyed by URL:
+    each key is classified ``added`` / ``deleted`` / ``changed`` /
+    ``same`` by comparing an md5 content fingerprint across sides (the
+    delta a re-crawl scheduler feeds on; the reference's upsert sink,
+    db.py:506-516, only ever sees the "changed implies overwrite" half
+    of this).
+
+    Scale shape: each side is reduced IN ITS BLOCKS to (key, h_old) /
+    (key, h_new) fingerprint rows — the content column never leaves
+    the map task — then ONE union + groupby(key) merges sides with
+    null-ignoring min aggregates. The shuffle carries two 16-byte-ish
+    rows per key, not the payloads."""
+    import hashlib as _hl
+
+    from ray.data.aggregate import Count, Min
+
+    def fp_side(side: str):
+        other = "h_new" if side == "h_old" else "h_old"
+
+        def fp(b: pa.Table) -> pa.Table:
+            hs = [
+                _hl.md5((t or "").encode()).hexdigest()
+                for t in b[content_col].to_pylist()
+            ]
+            return pa.table(
+                {
+                    key_col: b[key_col],
+                    side: pa.array(hs, pa.string()),
+                    other: pa.array([None] * len(hs), pa.string()),
+                }
+            )
+
+        return fp
+
+    tagged = old.map_batches(fp_side("h_old"), batch_format="pyarrow").union(
+        new.map_batches(fp_side("h_new"), batch_format="pyarrow")
+    )
+    agg = tagged.groupby(key_col).aggregate(
+        Min("h_old", alias_name="h_old", ignore_nulls=True),
+        Min("h_new", alias_name="h_new", ignore_nulls=True),
+        Count(alias_name="n"),
+    )
+
+    def classify(b: pa.Table) -> pa.Table:
+        ho, hn = b["h_old"], b["h_new"]
+        status = pc.if_else(
+            pc.is_null(hn),
+            pa.scalar("deleted"),
+            pc.if_else(
+                pc.is_null(ho),
+                pa.scalar("added"),
+                pc.if_else(
+                    pc.equal(ho, hn), pa.scalar("same"), pa.scalar("changed")
+                ),
+            ),
+        )
+        return pa.table({key_col: b[key_col], "status": status})
+
+    return agg.map_batches(classify, batch_format="pyarrow")
