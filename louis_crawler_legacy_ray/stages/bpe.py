@@ -261,3 +261,54 @@ def bpe_encode(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+
+
+class BpeTokenEncoder:
+    """Drop-in for the chunker's tokenizer seam (the duck-typed
+    ``encode(text) -> list[int]`` / ``count(text) -> int`` contract of
+    functions/tokenizer.py — the reference swaps tokenizers at exactly
+    this seam, louis/crawler/chunking.py:10): a CORPUS-TRAINED BPE
+    instead of the hash stand-in. Word runs ([a-z0-9]+, lowercased)
+    encode through the learned merges; every other non-space mark is
+    its own token (the repo's standard token model). Ids are stable
+    31-bit hashes of the piece strings — processes and runs agree
+    without a shared vocab file, and the chunker's semantics never
+    depend on concrete id values."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        import hashlib as _hl
+
+        self.name = f"corpus-trained BPE ({len(merges)} merges)"
+        self.ranks = {tuple(p): i for i, p in enumerate(merges)}
+        self._word_cache: dict[str, list[int]] = {}
+        self._hl = _hl
+
+    def _piece_id(self, piece: str) -> int:
+        return (
+            int.from_bytes(
+                self._hl.blake2b(piece.encode(), digest_size=4).digest(), "big"
+            )
+            & 0x7FFFFFFF
+        )
+
+    def encode(self, text: str) -> list[int]:
+        out: list[int] = []
+        for m in _TOKEN_RE.finditer(text.lower()):
+            tok = m.group()
+            if tok[0].isalnum():
+                ids = self._word_cache.get(tok)
+                if ids is None:
+                    ids = [
+                        self._piece_id(p) for p in encode_word(tok, self.ranks)
+                    ]
+                    self._word_cache[tok] = ids
+                out.extend(ids)
+            else:
+                out.append(self._piece_id(tok))
+        return out
+
+    def count(self, text: str) -> int:
+        return len(self.encode(text))
+
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+|[^a-z0-9\s]")

@@ -133,3 +133,43 @@ def test_query_surface_sf0001(ray_session):
     # chars+end-markers, i.e. somewhere a merge applied
     assert (enc["n_tokens"] < enc["n_words"] * 30).all()
     assert (enc["n_tokens"].sum()) > 0
+
+
+def test_bpe_token_encoder_drives_chunker(ray_session):
+    """The chunker's tokenizer seam accepts the corpus-trained BPE
+    (the same seam the reference swaps tiktoken through,
+    chunking.py:10): the <=512-token invariant holds in BPE units and
+    token counts are consistent with direct encoding."""
+    from louis_crawler_legacy_ray.functions.chunking import chunk_html
+    from louis_crawler_legacy_ray.stages.bpe import BpeTokenEncoder
+
+    rows = [
+        {"doc_id": i, "text": "low lower lowest newer wider new " * 30}
+        for i in range(8)
+    ]
+    merges = train_bpe(ray.data.from_items(rows), 30)
+    enc = BpeTokenEncoder(merges)
+    body = "<p>" + "low lower lowest newer wider new. " * 120 + "</p>"
+    html = f"<html><body><main><h1>T</h1>{body}{body}</main></body></html>"
+    chunks = chunk_html(html, enc)
+    assert len(chunks) >= 2  # big page must split
+    for c in chunks:
+        assert c["token_count"] <= 512
+        assert c["token_count"] == len(enc.encode(c["text_content"]))
+    # deterministic across instances (fresh cache)
+    again = chunk_html(html, BpeTokenEncoder(merges))
+    assert [c["token_count"] for c in chunks] == [
+        c["token_count"] for c in again
+    ]
+
+
+def test_bpe_token_encoder_contract():
+    merges = bpe_merges_from_freqs(dict(FREQS), 50)
+    from louis_crawler_legacy_ray.stages.bpe import BpeTokenEncoder
+
+    enc = BpeTokenEncoder(merges)
+    assert enc.count("") == 0
+    assert enc.count("...") == 3          # marks are one token each
+    assert enc.encode("LOW low") == enc.encode("low LOW")  # lowercased
+    assert all(isinstance(i, int) and 0 <= i < 2**31
+               for i in enc.encode("lowest unseen9 ?!"))
