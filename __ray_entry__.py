@@ -48,7 +48,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     samples is maximally oracle-checkable."""
     from louis_crawler_legacy_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
-    first = [  # oracled but never driver-gated through round 2
+    first = [  # oracled but never driver-gated through round 3
+        "dsir_topk",  # new in r4 (DSIR importance selection)
+        "snapshot_delta",  # new in r4 (incremental recrawl diff)
+        "crawl_priority_indegree",  # new in r4 (importance-ordered crawl)
+        "perplexity_buckets",  # new in r4 (CCNet-style LM bucketing)
+        "domain_mix",  # new in r4 (quota domain mixing)
+        "dup_doc_coverage",  # new in r4 (doc-level dup-ngram coverage)
+        "curation_pipeline",  # new in r4 (end-to-end curation oracle)
+        "gopher_quality",  # new in r4 (Gopher rules, exact ints)
         "rolling_fp_cp",  # new in r4 (codepoint fingerprint companion)
         "minhash_md5_sigs",  # new in r4 (md5-family LSH signatures)
         "minhash_md5_pairs",  # new in r4 (md5-family band candidates)
