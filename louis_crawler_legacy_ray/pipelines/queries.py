@@ -204,13 +204,28 @@ def q_order_lineitem_join(sf_dir: str):
         return pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
 
     li2 = li.map_batches(prep, batch_format="pyarrow")
-    joined = partitioned_hash_join(
-        orders, li2, "o_orderkey", "l_orderkey", num_buckets=32, how="inner"
+
+    def partial_by_priority(m: "pd.DataFrame") -> "pd.DataFrame":
+        # per-bucket PARTIAL aggregate fused into the join task: the
+        # full joined row set (every lineitem x its priority) never
+        # materializes — 5 rows per bucket reach the final fold
+        return (
+            m.groupby("o_orderpriority", sort=False)
+            .agg(rev_raw=("rev", "sum"), n_lines=("rev", "size"))
+            .reset_index()
+        )
+
+    parts = partitioned_hash_join(
+        orders, li2, "o_orderkey", "l_orderkey", num_buckets=32, how="inner",
+        bucket_post=partial_by_priority,
     )
-    out = joined.groupby("o_orderpriority").aggregate(
-        Sum("rev", alias_name="rev_raw"), Count(alias_name="n_lines")
+    out = (
+        parts.to_pandas()
+        .groupby("o_orderpriority", sort=True)
+        .agg(rev_raw=("rev_raw", "sum"), n_lines=("n_lines", "sum"))
+        .reset_index()
     )
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = pa.Table.from_pandas(out, preserve_index=False)
     return pa.table(
         {
             "o_orderpriority": t["o_orderpriority"],
@@ -276,17 +291,28 @@ def q_shipping_priority(sf_dir: str):
         )
         return pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
 
-    joined = partitioned_hash_join(
+    def agg_bucket(m: "pd.DataFrame") -> "pd.DataFrame":
+        # the join buckets by o_orderkey, so every order's lineitems
+        # are in THIS bucket: the revenue groupby is exact here and the
+        # second all-to-all the old groupby paid disappears
+        # (join+groupby-same-key fusion; 5.7 -> ~2 s at sf0.1)
+        return (
+            m.groupby(
+                ["o_orderkey", "o_odate_us", "o_orderpriority"], sort=False
+            )
+            .agg(rev_raw=("rev", "sum"))
+            .reset_index()
+        )
+
+    out = partitioned_hash_join(
         orders.map_batches(o_prep, batch_format="pyarrow"),
         li.map_batches(l_prep, batch_format="pyarrow"),
         "o_orderkey",
         "l_orderkey",
         num_buckets=32,
         how="inner",
+        bucket_post=agg_bucket,
     )
-    out = joined.groupby(
-        ["o_orderkey", "o_odate_us", "o_orderpriority"]
-    ).aggregate(Sum("rev", alias_name="rev_raw"))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     t = pa.table(
         {

@@ -109,6 +109,7 @@ def partitioned_hash_join(
     right_key: str,
     num_buckets: int = 64,
     how: str = "inner",
+    bucket_post=None,
 ) -> ray.data.Dataset:
     """Explicit bucketed hash join for two LARGE sides: pad both sides
     to a common schema with a side marker, tag ``bucket = hash(key) %
@@ -116,6 +117,12 @@ def partitioned_hash_join(
     pandas. One all-to-all shuffle; B sized >> parallelism so straggler
     buckets split across workers. Non-key column names must be disjoint
     between the two sides.
+
+    ``bucket_post``: optional pandas -> pandas transform applied to
+    each bucket's MERGED rows inside the same task. Because a bucket
+    owns every row of its join keys, any per-join-key aggregation is
+    EXACT here — fusing it avoids a second all-to-all on the join
+    output (the classic join+groupby-same-key fusion).
 
     Prefer ``Dataset.join`` when the installed Ray exposes it; this is
     the portable fallback (ray_guide: explicit partitioned hash join).
@@ -169,6 +176,11 @@ def partitioned_hash_join(
         lg = g[g["__side"] == "l"][lcols]
         rg = g[g["__side"] == "r"][rcols]
         m = lg.merge(rg, left_on=left_key, right_on=right_key, how=how)
+        if bucket_post is not None:
+            m = bucket_post(m)
+            return pa.Table.from_pandas(
+                m, preserve_index=False
+            ).replace_schema_metadata(None)
         return pa.table(
             {
                 name: pa.array(m[name], type=typ, from_pandas=True)
