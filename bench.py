@@ -267,6 +267,8 @@ def run_bench() -> dict:
         timed("line_dedup", Q.q_line_dedup)
         timed("inverted_index", Q.q_inverted_index)
         timed("shipping_priority", Q.q_shipping_priority)
+        timed("dsir_topk", Q.q_dsir_topk)
+        timed("snapshot_delta", Q.q_snapshot_delta)
 
     result = {
         "metric": "crawl+extract seconds over synthetic pages corpus "
