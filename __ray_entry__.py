@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_topk",  # new in r4 (DSIR importance selection)
         "snapshot_delta",  # new in r4 (incremental recrawl diff)
         "crawl_priority_indegree",  # new in r4 (importance-ordered crawl)
+        "anchor_texts",  # new in r4 (anchor-text aggregation)
         "perplexity_buckets",  # new in r4 (CCNet-style LM bucketing)
         "domain_mix",  # new in r4 (quota domain mixing)
         "dup_doc_coverage",  # new in r4 (doc-level dup-ngram coverage)

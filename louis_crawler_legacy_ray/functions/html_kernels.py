@@ -175,3 +175,24 @@ def extract_page(
         "children": extract_children(hrefs, url, allowed_domains),
         "links": extract_links(hrefs, url, allowed_domains),
     }
+
+
+def extract_anchors(url: str, html: str) -> list[tuple[str, str]]:
+    """(absolute_link, anchor_text) pairs of a page — the web-graph
+    anchor-text signal (the reference extracts hrefs only, goldie.py:23;
+    anchor text is the classic ranking/describe-the-target feature this
+    engine adds for link-graph analytics). One parse; links filtered +
+    absolutized + canonicalized EXACTLY like the frontier candidates
+    (extract_links rules: pdf/#/?/mailto handling, fix_vhost), anchor
+    text whitespace-normalized. One pair per link occurrence — a page
+    linking the same target under two texts contributes both."""
+    doc = parse_html(html)
+    out: list[tuple[str, str]] = []
+    for a in doc.find_all("a"):
+        href = a.attrs.get("href")
+        if not isinstance(href, str):
+            continue
+        links = extract_links([href], url)
+        if links:
+            out.append((links[0], normalize_ws(a.get_text())))
+    return out

@@ -1588,6 +1588,74 @@ GROUP BY depth, url
 )
 
 
+def q_anchor_texts(sf_dir: str):
+    """Anchor-text aggregation over the link graph (the classic
+    describe-the-target web signal; the reference extracts hrefs only,
+    goldie.py:23): per (target url, anchor text), how many link
+    occurrences carry it. The Ray side PARSES the real page html
+    (functions/html_kernels.py:extract_anchors — one DOM pass, frontier
+    link rules); the oracle reconstructs the corpus generator's
+    deterministic anchor layout (sources/pages.py:98-103: 'next' on c1,
+    'more' on c2, 'dup' on the query-stripped c1 duplicate; #top /
+    mailto / pdf dropped by the link rules). Bucketed int-key aggregate
+    — distinct (url, anchor) rows only ever shuffle."""
+    import ray.data as _rd
+    from collections import Counter as _Counter
+
+    from ..functions.html_kernels import extract_anchors
+
+    corpus = multihost_corpus_dir(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        c: _Counter = _Counter()
+        for url, html in zip(b["url"].to_pylist(), b["html"].to_pylist()):
+            for dst, anchor in extract_anchors(url, html.decode()):
+                c[(dst, anchor)] += 1
+        keys = list(c.keys())
+        buckets = [
+            int.from_bytes(
+                hashlib.blake2b(u.encode(), digest_size=4).digest(), "big"
+            )
+            % 32
+            for u, _ in keys
+        ]
+        return pa.table(
+            {
+                "url": pa.array([u for u, _ in keys], pa.string()),
+                "anchor": pa.array([a for _, a in keys], pa.string()),
+                "n": pa.array([c[k] for k in keys], pa.int64()),
+                "bucket": pa.array(buckets, pa.int32()),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        r = (
+            g.groupby(["url", "anchor"], sort=False)
+            .agg(n=("n", "sum"))
+            .reset_index()
+        )
+        return r[["url", "anchor", "n"]]
+
+    return (
+        _rd.read_parquet(corpus, columns=["url", "html"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+SQL_ANCHOR_TEXTS = (
+    _SQL_MH_CTE
+    + """
+SELECT dst AS url, anchor, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT c1_url AS dst, 'next' AS anchor FROM pg
+  UNION ALL SELECT c2_url, 'more' FROM pg
+  UNION ALL SELECT c1_url, 'dup' FROM pg)
+GROUP BY dst, anchor
+"""
+)
+
+
 def q_crawl_robots(sf_dir: str):
     """robots.txt-obeying crawl under the exact gate (reference keeps
     ROBOTSTXT_OBEY=False, settings.py:19, but ships the toggle; our
@@ -4318,6 +4386,7 @@ QUERIES = {
     "crawl_multihost_domains": q_crawl_multihost_domains,
     "crawl_priority_short": q_crawl_priority_short,
     "crawl_priority_indegree": q_crawl_priority_indegree,
+    "anchor_texts": q_anchor_texts,
     "crawl_robots": q_crawl_robots,
     "crawl_salted": q_crawl_salted,
     "crawl_graph_bfs": q_crawl_graph_bfs,
@@ -4441,6 +4510,7 @@ ORACLE_SQL = {
     "crawl_multihost_domains": SQL_CRAWL_MULTIHOST_DOMAINS,
     "crawl_priority_short": SQL_CRAWL_PRIORITY_SHORT,
     "crawl_priority_indegree": SQL_CRAWL_PRIORITY_INDEGREE,
+    "anchor_texts": SQL_ANCHOR_TEXTS,
     "crawl_robots": SQL_CRAWL_ROBOTS,
     "crawl_salted": SQL_CRAWL_PAGES_BFS,
     "crawl_graph_bfs": SQL_CRAWL_GRAPH_BFS,

@@ -95,3 +95,25 @@ def test_normalize_ws():
 def test_fra_url_language():
     rec = extract_page("http://inspection.canada.ca/fra/page", "<main><p>x</p></main>")
     assert rec["lang"] == "fr"
+
+
+def test_extract_anchors_rules():
+    from louis_crawler_legacy_ray.functions.html_kernels import extract_anchors
+
+    h = (
+        '<html><body>'
+        '<a href="http://x.ca/a">  next\n page </a>'
+        '<a href="#top">top</a>'
+        '<a href="mailto:a@b">mail</a>'
+        '<a href="/p">rel</a>'
+        '<a href="/f.pdf">pdf</a>'
+        '<a href="http://x.ca/a?q=1">dup</a>'
+        '<a>no href</a>'
+        '</body></html>'
+    )
+    got = extract_anchors("http://base.ca/page", h)
+    assert got == [
+        ("http://x.ca/a", "next page"),   # ws-normalized text
+        ("http://base.ca/p", "rel"),      # site-relative resolved
+        ("http://x.ca/a", "dup"),         # query stripped -> same target
+    ]
