@@ -107,11 +107,15 @@ def q_q1_pricing_summary(sf_dir: str):
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def pre(b: pa.Table) -> pa.Table:
+    def partial(b: pa.Table) -> pa.Table:
+        # per-block combiner: the shuffle carries <= groups x blocks
+        # partial rows instead of every lineitem (the canonical Q1
+        # shape at scale; the row-level groupby paid a full-table
+        # string-key sort shuffle)
         disc_price = pc.multiply(
             b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
         )
-        return pa.table(
+        df = pa.table(
             {
                 "l_returnflag": b["l_returnflag"],
                 "l_linestatus": b["l_linestatus"],
@@ -119,19 +123,34 @@ def q_q1_pricing_summary(sf_dir: str):
                 "l_extendedprice": b["l_extendedprice"],
                 "disc_price": disc_price,
             }
+        ).to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty_raw=("l_quantity", "sum"),
+                sum_base_raw=("l_extendedprice", "sum"),
+                sum_disc_raw=("disc_price", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+            .reset_index()
         )
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
 
+    parts = ds.map_batches(partial, batch_format="pyarrow")
     out = (
-        ds.map_batches(pre, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty_raw"),
-            Sum("l_extendedprice", alias_name="sum_base_raw"),
-            Sum("disc_price", alias_name="sum_disc_raw"),
-            Count(alias_name="count_order"),
+        parts.to_pandas()  # <= groups x blocks tiny rows
+        .groupby(["l_returnflag", "l_linestatus"], sort=True)
+        .agg(
+            sum_qty_raw=("sum_qty_raw", "sum"),
+            sum_base_raw=("sum_base_raw", "sum"),
+            sum_disc_raw=("sum_disc_raw", "sum"),
+            count_order=("count_order", "sum"),
         )
+        .reset_index()
     )
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = pa.Table.from_pandas(out, preserve_index=False)
     return pa.table(
         {
             "l_returnflag": t["l_returnflag"],
