@@ -235,6 +235,10 @@ class MinHasher:
 _POS_MIX = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5)
 _BAND_MIX = np.uint64(0x9E3779B97F4A7C15)
 
+# word -> blake2b u64, shared across batches per worker process
+_WORD_HASH_CACHE: dict[str, int] = {}
+_WORD_HASH_CACHE_CAP = 1 << 21
+
 
 class MinHashStage:
     """Actor-pool stage: signature + LSH band rows per document.
@@ -277,7 +281,12 @@ class MinHashStage:
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
         n = len(ids)
-        cache: dict[str, int] = {}
+        # per-worker-process word-hash memo: the Zipf head re-hashes
+        # for free across batches; cleared at the cap so a pathological
+        # vocabulary can't grow the heap unboundedly
+        cache = _WORD_HASH_CACHE
+        if len(cache) > _WORD_HASH_CACHE_CAP:
+            cache.clear()
         per_doc = [self._doc_shingle_hashes(t, cache) for t in texts]
         counts = np.array([len(a) for a in per_doc], dtype=np.int64)
         sigs = np.full((n, self.mh.num_perm), MERSENNE31, dtype=np.int64)
@@ -460,7 +469,10 @@ def minhash_lsh_pairs(
         minhash_band_rows,
         fn_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
         batch_format="pyarrow",
-        batch_size=512,
+        # 64-doc batches measured fastest at sf0.1 (more tasks -> all
+        # cores busy, less long-doc skew per task); the kernel stays
+        # vectorized across the whole batch either way
+        batch_size=64,
     )
 
     cand = bucketed_self_pairs(band_rows, ["band", "band_hash"], "doc_id")
