@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from louis_crawler_legacy_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
     first = [  # oracled but never driver-gated through round 3
+        "recrawl_priority",  # new in r4 (adaptive recrawl scheduler)
+        "crawl_recrawl_scheduled",  # new in r4 (change-rate-driven crawl)
         "dsir_topk",  # new in r4 (DSIR importance selection)
         "snapshot_delta",  # new in r4 (incremental recrawl diff)
         "crawl_priority_indegree",  # new in r4 (importance-ordered crawl)

@@ -4336,6 +4336,226 @@ FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """
 
 
+def q_recrawl_priority(sf_dir: str):
+    """Adaptive recrawl scheduling (stages/recrawl.py — Cho &
+    Garcia-Molina frequency-greedy, exact ints): 4 deterministic
+    snapshots of the documents table, change rule
+    ``doc_id % (t+2) == 0`` — change counts vary 0..3 across the
+    corpus (content gains a ' r<cum>'
+    suffix per change), with observation gaps (doc_id%23==7 missing
+    from snapshot 1, doc_id%19==3 gone by snapshot 3). The scheduler
+    sees only (key, snap, content) rows and recovers the change
+    statistics from content FINGERPRINTS; the oracle computes them
+    analytically from the rule. Top 200 recrawlable keys by
+    (priority DESC, doc_id)."""
+    from ..stages.recrawl import recrawl_priorities
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    k = 4
+
+    def snapshots(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        parts = []
+        cum = np.zeros(len(ids), np.int64)
+        for t in range(k):
+            if t >= 1:
+                cum = cum + (ids % (t + 2) == 0)
+            present = np.ones(len(ids), bool)
+            if t == 1:
+                present &= ids % 23 != 7
+            if t == k - 1:
+                present &= ids % 19 != 3
+            keep = np.flatnonzero(present)
+            sub = b.take(pa.array(keep, pa.int64()))
+            content = pc.binary_join_element_wise(
+                sub["text"].cast(pa.string()),
+                pa.array([f" r{c}" for c in cum[keep]], pa.string()),
+                "",
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": sub["doc_id"].cast(pa.int64()),
+                        "snap": pa.array(
+                            np.full(len(keep), t, np.int64), pa.int64()
+                        ),
+                        "content": content,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    obs = docs.map_batches(snapshots, batch_format="pyarrow")
+    pri = recrawl_priorities(obs, n_snaps=k, key_col="doc_id")
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(b["present"])
+        return b.select(
+            ["doc_id", "n_obs", "n_changes", "last_changed", "staleness",
+             "priority"]
+        )
+
+    return (
+        pri.map_batches(finish, batch_format="pyarrow")
+        .sort(["priority", "doc_id"], descending=[True, False])
+        .limit(200)
+    )
+
+
+SQL_RECRAWL_PRIORITY = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+pairs AS (
+  SELECT doc_id, t,
+         CASE WHEN doc_id % (t + 2) = 0 THEN 1 ELSE 0 END AS chg,
+         CASE WHEN t IN (1, 2) THEN (doc_id % 23 <> 7)
+              WHEN t = 3 THEN (doc_id % 19 <> 3)
+         END AS pair_ok
+  FROM d, UNNEST([1, 2, 3]) AS s(t)),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN pair_ok THEN chg ELSE 0 END) AS BIGINT)
+           AS n_changes,
+         CAST(max(CASE WHEN pair_ok AND chg = 1 THEN t ELSE 0 END) AS BIGINT)
+           AS last_changed
+  FROM pairs GROUP BY doc_id)
+SELECT a.doc_id,
+       CAST(4 - (CASE WHEN a.doc_id % 23 = 7 THEN 1 ELSE 0 END)
+              - (CASE WHEN a.doc_id % 19 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_obs,
+       a.n_changes, a.last_changed,
+       3 - a.last_changed AS staleness,
+       a.n_changes * 4 + (3 - a.last_changed) AS priority
+FROM agg a
+WHERE a.doc_id % 19 <> 3
+ORDER BY priority DESC, a.doc_id
+LIMIT 200
+"""
+
+
+def q_crawl_recrawl_scheduled(sf_dir: str):
+    """Recrawl-scheduled crawl: the adaptive scheduler's priorities
+    drive the frontier. Four synthetic snapshots of the MULTI-host
+    corpus evolve by ``md5_number_lower(url) % (t+2) == 0`` (html
+    gains a byte suffix per change); fingerprinting is FUSED into the
+    snapshot synthesis (fp_col path — snapshot payloads never exist as
+    a column), stages/recrawl.py turns fingerprints into priorities,
+    and the crawl fetches in (depth, -priority, url) order under a
+    9/round global cap — the same score_desc machinery as the
+    in-degree crawl. Oracle = the capped round simulation ranking by
+    the analytically-computed priorities."""
+    import ray.data as _rd
+
+    from ..stages.dsir import _md5_u64_lower
+    from ..stages.recrawl import recrawl_priorities
+    from .crawl import CrawlConfig, run_crawl
+
+    corpus = multihost_corpus_dir(sf_dir)
+    k = 4
+
+    def snapshot_fps(b: pa.Table) -> pa.Table:
+        urls = b["url"].to_pylist()
+        htmls = b["html"].to_pylist()
+        u64 = np.array([_md5_u64_lower(u) for u in urls], np.uint64)
+        parts = []
+        cum = np.zeros(len(urls), np.int64)
+        for t in range(k):
+            if t >= 1:
+                cum = cum + (u64 % np.uint64(t + 2) == 0)
+            fps = np.empty(len(urls), np.int64)
+            for i, (h, c) in enumerate(zip(htmls, cum)):
+                fps[i] = int.from_bytes(
+                    hashlib.md5((h or b"") + b" r%d" % c).digest()[:8],
+                    "big",
+                    signed=True,
+                )
+            parts.append(
+                pa.table(
+                    {
+                        "url": b["url"],
+                        "snap": pa.array(
+                            np.full(len(urls), t, np.int64), pa.int64()
+                        ),
+                        "fp": pa.array(fps, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    obs = _rd.read_parquet(corpus, columns=["url", "html"]).map_batches(
+        snapshot_fps, batch_format="pyarrow"
+    )
+    pri = recrawl_priorities(obs, n_snaps=k, key_col="url", fp_col="fp")
+    # dimension-sized fold at gate scale; at 10^10 the score table
+    # stays a Dataset and feeds the per-shard slices shard-wise
+    scores = {r["url"]: int(r["priority"]) for r in pri.iter_rows()}
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=6,
+        max_rounds=96,
+        round_limit=9,
+        priority="score_desc",
+        priority_scores=scores,
+    )
+    res = run_crawl(corpus, [_mh_seed(sf_dir)], cfg)
+    return res.order
+
+
+SQL_CRAWL_RECRAWL_SCHEDULED = (
+    "WITH RECURSIVE "
+    + _SQL_MH_CTE.replace("WITH ", "", 1)
+    + """,
+edges AS (
+  SELECT url AS src, c1_url AS dst FROM pg
+  UNION ALL SELECT url, c2_url FROM pg),
+chg AS (
+  SELECT url, t,
+         CASE WHEN md5_number_lower(url) % (t + 2) = 0 THEN 1 ELSE 0 END
+           AS c
+  FROM pg, UNNEST([1, 2, 3]) AS s(t)),
+score AS (
+  SELECT url,
+         CAST(sum(c) * 4 + (3 - max(CASE WHEN c = 1 THEN t ELSE 0 END))
+              AS BIGINT) AS c
+  FROM chg GROUP BY url),
+sim(round, url, depth, done) AS (
+  SELECT 0 AS round, url, CAST(0 AS INTEGER) AS depth, FALSE AS done
+  FROM pg WHERE doc_id = 0
+  UNION ALL
+  (
+  WITH prev AS (SELECT * FROM sim),
+  pending AS (SELECT url, depth FROM prev WHERE NOT done),
+  ranked AS (SELECT p.url, p.depth,
+                    (SELECT count(*) FROM pending q
+                     LEFT JOIN score iq ON iq.url = q.url
+                     WHERE (q.depth, -coalesce(iq.c, 0), q.url)
+                           <= (p.depth, -coalesce(ip.c, 0), p.url)) AS rn
+             FROM pending p LEFT JOIN score ip ON ip.url = p.url),
+  sel AS (SELECT url, depth FROM ranked WHERE rn <= 9),
+  disc AS (SELECT e.dst AS url, min(s.depth + 1) AS ddepth
+           FROM sel s JOIN edges e ON e.src = s.url GROUP BY e.dst),
+  kids AS (SELECT d.url, d.ddepth AS depth FROM disc d
+           WHERE d.ddepth <= 6
+             AND NOT EXISTS (SELECT 1 FROM prev p WHERE p.url = d.url)),
+  nstate AS (
+    SELECT p.url,
+           CASE WHEN p.done OR p.url IN (SELECT url FROM sel) THEN p.depth
+                ELSE least(p.depth, coalesce(d.ddepth, p.depth)) END AS depth,
+           (p.done OR p.url IN (SELECT url FROM sel)) AS done
+    FROM prev p LEFT JOIN disc d ON d.url = p.url
+    UNION ALL
+    SELECT k.url, k.depth, FALSE FROM kids k)
+  SELECT r0.round + 1, n.url, CAST(n.depth AS INTEGER), n.done
+  FROM nstate n, (SELECT max(round) AS round FROM prev) r0
+  WHERE EXISTS (SELECT 1 FROM pending) AND r0.round < 96
+  )
+)
+SELECT CAST(min(round) - 1 AS INTEGER) AS round, depth, url
+FROM sim WHERE done
+GROUP BY depth, url
+"""
+)
+
+
 def q_bpe_merges(sf_dir: str):
     """Learned BPE merge table (rank, left, right) — distributed word
     counting, driver merge loop over the distinct-word table only
@@ -4427,6 +4647,8 @@ QUERIES = {
     "domain_mix": q_domain_mix,
     "dsir_topk": q_dsir_topk,
     "snapshot_delta": q_snapshot_delta,
+    "recrawl_priority": q_recrawl_priority,
+    "crawl_recrawl_scheduled": q_crawl_recrawl_scheduled,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "curation_pipeline": q_curation_pipeline,
@@ -4548,6 +4770,8 @@ ORACLE_SQL = {
     "domain_mix": SQL_DOMAIN_MIX,
     "dsir_topk": SQL_DSIR_TOPK,
     "snapshot_delta": SQL_SNAPSHOT_DELTA,
+    "recrawl_priority": SQL_RECRAWL_PRIORITY,
+    "crawl_recrawl_scheduled": SQL_CRAWL_RECRAWL_SCHEDULED,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "price_quantiles": SQL_PRICE_QUANTILES,

@@ -1,0 +1,147 @@
+"""Adaptive recrawl scheduling — change-rate estimation over a window
+of crawl snapshots, ranked frequency-greedy (Cho & Garcia-Molina,
+"Effective Page Refresh Policies for Web Crawlers", TODS 2003: the
+refresh policy ranks pages by their estimated change frequency
+lambda-hat = X/n, X observed changes over n observation intervals;
+at a fixed window length n the ranking is the integer pair
+(X, staleness), so the whole score stays exact integers and the DuckDB
+oracle hash-matches bit-for-bit).
+
+Reference tie-in: the reference refreshes unconditionally — every
+refetch upserts by url (louis/db.py:494-528 ``ON CONFLICT (url) DO
+UPDATE``) and nothing decides WHICH urls deserve a refetch first. This
+stage is that missing scheduler: it consumes the same snapshot history
+the upsert sink accumulates and emits the priority order a recrawl
+round should fetch in, which rides ``CrawlConfig.priority_scores``
+(the 'score_desc' frontier key, state/seen.py) unchanged.
+
+Input: an observations Dataset with one row per (key, snapshot) —
+``key_col`` (url), ``snap_col`` (0..n_snaps-1), and either a content
+column (fingerprinted in-block here) or a precomputed int64
+fingerprint column (``fp_col``) when the caller fused fingerprinting
+into an upstream stage to avoid materializing snapshot payloads.
+
+Scale shape: content is hashed to an int64 fingerprint INSIDE the map
+task (payloads never shuffle), the per-row fingerprint is pivoted into
+``n_snaps`` sparse columns, and ONE groupby(key) with null-ignoring
+Min aggregates merges the window — the shuffle carries one row of
+n_snaps int64s (mostly null) per observation. The classify pass is
+stateless vectorized numpy. n_snaps is asserted small (a recrawl
+window is a handful of revisits by nature) so the pivot never becomes
+a wide-table problem.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Min
+
+MAX_SNAPS = 64
+
+
+def content_fp64(values: list) -> np.ndarray:
+    """int64 md5 fingerprint of each content value (str or bytes).
+    Collision probability ~2^-64 per pair — this is a fingerprint
+    scheduler by construction, same trust model as the exact-dedup
+    hash column."""
+    md5 = hashlib.md5
+    out = np.empty(len(values), np.int64)
+    for i, v in enumerate(values):
+        if v is None:
+            v = b""
+        elif isinstance(v, str):
+            v = v.encode()
+        out[i] = int.from_bytes(md5(v).digest()[:8], "big", signed=True)
+    return out
+
+
+def recrawl_priorities(
+    obs: ray.data.Dataset,
+    n_snaps: int,
+    key_col: str = "url",
+    snap_col: str = "snap",
+    content_col: str = "content",
+    fp_col: str | None = None,
+) -> ray.data.Dataset:
+    """Per-key change statistics and recrawl priority over an
+    ``n_snaps``-snapshot window.
+
+    A key "changed at t" iff it was observed at both t-1 and t and the
+    fingerprints differ; observation gaps contribute no change (the
+    estimator only counts intervals it actually saw, per the paper's
+    X/n discipline). Emits one row per key:
+
+      n_obs        snapshots the key was present in
+      n_changes    observed consecutive-pair changes (X)
+      last_changed latest t with a change, 0 if none
+      staleness    (n_snaps-1) - last_changed  — intervals since the
+                   last observed change
+      present      observed in the final snapshot (recrawlable now)
+      priority     n_changes * n_snaps + staleness — frequency-greedy,
+                   staleness tie-break; exact int64
+
+    Duplicate (key, snap) observations are merged by fingerprint Min —
+    deterministic regardless of block layout."""
+    if not 2 <= n_snaps <= MAX_SNAPS:
+        raise ValueError(f"n_snaps must be in [2, {MAX_SNAPS}], got {n_snaps}")
+    hcols = [f"__h{t}" for t in range(n_snaps)]
+
+    def pivot(batch: pa.Table) -> pa.Table:
+        snaps = batch[snap_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if fp_col is not None:
+            fps = batch[fp_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        else:
+            fps = content_fp64(batch[content_col].to_pylist())
+        cols: dict = {key_col: batch[key_col]}
+        for t in range(n_snaps):
+            mask = snaps != t  # True = null (masked out)
+            cols[hcols[t]] = pa.array(fps, pa.int64(), mask=mask)
+        return pa.table(cols)
+
+    merged = (
+        obs.map_batches(pivot, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(
+            *[Min(h, alias_name=h, ignore_nulls=True) for h in hcols]
+        )
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        hs, present = [], []
+        for h in hcols:
+            # an all-null column (no key observed at t) aggregates to
+            # null type — re-anchor to int64 before fill_null
+            col = batch[h].combine_chunks().cast(pa.int64())
+            present.append(pc.is_valid(col).to_numpy(zero_copy_only=False))
+            hs.append(col.fill_null(0).to_numpy(zero_copy_only=False))
+        n_obs = np.zeros(n, np.int64)
+        for p in present:
+            n_obs += p
+        n_changes = np.zeros(n, np.int64)
+        last_changed = np.zeros(n, np.int64)
+        for t in range(1, n_snaps):
+            chg = present[t] & present[t - 1] & (hs[t] != hs[t - 1])
+            n_changes += chg
+            last_changed = np.where(chg, t, last_changed)
+        staleness = (n_snaps - 1) - last_changed
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "n_obs": pa.array(n_obs, pa.int64()),
+                "n_changes": pa.array(n_changes, pa.int64()),
+                "last_changed": pa.array(last_changed, pa.int64()),
+                "staleness": pa.array(staleness, pa.int64()),
+                "present": pa.array(present[n_snaps - 1]),
+                "priority": pa.array(
+                    n_changes * n_snaps + staleness, pa.int64()
+                ),
+            }
+        )
+
+    return merged.map_batches(classify, batch_format="pyarrow")
