@@ -248,25 +248,24 @@ def snapshot_delta(
     Scale shape: each side is reduced IN ITS BLOCKS to (key, h_old) /
     (key, h_new) fingerprint rows — the content column never leaves
     the map task — then ONE union + groupby(key) merges sides with
-    null-ignoring min aggregates. The shuffle carries two 16-byte-ish
-    rows per key, not the payloads."""
-    import hashlib as _hl
-
+    null-ignoring min aggregates. The shuffle carries two int64
+    fingerprints per key (stages/recrawl.py's content_fp64 — same
+    ~2^-64 collision trust model as the exact-dedup hash column), not
+    the payloads."""
     from ray.data.aggregate import Count, Min
+
+    from .recrawl import content_fp64
 
     def fp_side(side: str):
         other = "h_new" if side == "h_old" else "h_old"
 
         def fp(b: pa.Table) -> pa.Table:
-            hs = [
-                _hl.md5((t or "").encode()).hexdigest()
-                for t in b[content_col].to_pylist()
-            ]
+            hs = content_fp64(b[content_col].to_pylist())
             return pa.table(
                 {
                     key_col: b[key_col],
-                    side: pa.array(hs, pa.string()),
-                    other: pa.array([None] * len(hs), pa.string()),
+                    side: pa.array(hs, pa.int64()),
+                    other: pa.array([None] * len(hs), pa.int64()),
                 }
             )
 
