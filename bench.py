@@ -269,6 +269,7 @@ def run_bench() -> dict:
         timed("shipping_priority", Q.q_shipping_priority)
         timed("dsir_topk", Q.q_dsir_topk)
         timed("snapshot_delta", Q.q_snapshot_delta)
+        timed("recrawl_priority", Q.q_recrawl_priority)
 
     result = {
         "metric": "crawl+extract seconds over synthetic pages corpus "
