@@ -4556,6 +4556,43 @@ GROUP BY depth, url
 )
 
 
+def q_host_budgets(sf_dir: str):
+    """Crawl-budget apportionment (stages/apportion.py — largest
+    remainder / Hare quota, exact ints): split a 1000-fetch cycle
+    budget across hosts (documents.source as the host key)
+    proportionally to frontier share. Distributed remainder ranking
+    via the scan.py prefix rank; sum(budget) == 1000 exactly."""
+    from ..stages.apportion import apportion_budgets
+
+    counts = (
+        _read(sf_dir, "documents", ["source"])
+        .map_batches(
+            lambda b: pa.table({"host": b["source"]}), batch_format="pyarrow"
+        )
+        .groupby("host")
+        .aggregate(Count(alias_name="n"))
+    )
+    return apportion_budgets(counts, 1000).sort("host")
+
+
+SQL_HOST_BUDGETS = """
+WITH c AS (SELECT source AS host, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
+q AS (SELECT host, n, (1000 * n) // nt AS fl, (1000 * n) % nt AS rem
+      FROM c, tot),
+lo AS (SELECT CAST(1000 - sum(fl) AS BIGINT) AS r FROM q),
+rk AS (SELECT host, n, fl,
+              row_number() OVER (ORDER BY rem DESC, host) AS rn
+       FROM q)
+SELECT rk.host, rk.n,
+       CAST(rk.fl + CASE WHEN rk.rn <= lo.r THEN 1 ELSE 0 END AS BIGINT)
+         AS budget
+FROM rk, lo
+ORDER BY host
+"""
+
+
 def q_bpe_merges(sf_dir: str):
     """Learned BPE merge table (rank, left, right) — distributed word
     counting, driver merge loop over the distinct-word table only
@@ -4649,6 +4686,7 @@ QUERIES = {
     "snapshot_delta": q_snapshot_delta,
     "recrawl_priority": q_recrawl_priority,
     "crawl_recrawl_scheduled": q_crawl_recrawl_scheduled,
+    "host_budgets": q_host_budgets,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "curation_pipeline": q_curation_pipeline,
@@ -4772,6 +4810,7 @@ ORACLE_SQL = {
     "snapshot_delta": SQL_SNAPSHOT_DELTA,
     "recrawl_priority": SQL_RECRAWL_PRIORITY,
     "crawl_recrawl_scheduled": SQL_CRAWL_RECRAWL_SCHEDULED,
+    "host_budgets": SQL_HOST_BUDGETS,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "price_quantiles": SQL_PRICE_QUANTILES,
