@@ -136,3 +136,26 @@ def detect_language(url: str) -> str:
     """Canonical language rule (goldie.py:17-19): 'fr' iff the url
     contains '/fra/', else 'en'."""
     return "fr" if url.find("/fra/") != -1 else "en"
+
+
+def surt(url: str) -> str:
+    """Sort-friendly URI Reordering Transform — the canonical key of
+    web-archive CDX indexes (Internet Archive / Common Crawl index
+    convention): scheme dropped, host lowercased, a leading ``www.``
+    stripped, host labels REVERSED and comma-joined, then ``)`` and the
+    path+query. ``com,example,docs)/a/b`` sorts every page of a domain
+    (and of each subdomain subtree) contiguously, which is what makes a
+    range-partitioned URL index scannable by domain prefix.
+
+    The reference has no index at all (its lookups are per-row SQL
+    point reads, louis/db.py:620-631); this key extends the engine
+    with the web-archive indexing convention per the task brief."""
+    u = (url or "").lower()
+    for pre in ("https://", "http://"):
+        if u.startswith(pre):
+            u = u[len(pre):]
+            break
+    host, sep, rest = u.partition("/")
+    if host.startswith("www."):
+        host = host[4:]
+    return ",".join(reversed(host.split("."))) + ")/" + (rest if sep else "")

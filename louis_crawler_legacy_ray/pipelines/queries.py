@@ -4593,6 +4593,49 @@ ORDER BY host
 """
 
 
+def q_surt_index(sf_dir: str):
+    """CDX-style URL index over the multi-host corpus: every page
+    keyed by its SURT (functions/urls.py:surt — host labels reversed
+    so a domain's pages sort contiguously), globally sorted. At scale
+    the sort IS the index build: range partitioning by SURT prefix
+    gives per-domain scannable parquet parts (write_parquet per sorted
+    block); the gate checks the first 300 index entries."""
+    import ray.data as _rd
+
+    from ..functions.urls import surt as _surt
+
+    corpus = multihost_corpus_dir(sf_dir)
+
+    def key(b: pa.Table) -> pa.Table:
+        urls = b["url"].to_pylist()
+        return pa.table(
+            {
+                "surt": pa.array([_surt(u) for u in urls], pa.string()),
+                "url": b["url"],
+            }
+        )
+
+    return (
+        _rd.read_parquet(corpus, columns=["url"])
+        .map_batches(key, batch_format="pyarrow")
+        .sort(["surt", "url"])
+        .limit(300)
+    )
+
+
+SQL_SURT_INDEX = (
+    _SQL_MH_CTE
+    + """
+SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+         || ')/' || substr(url, 7 + length(host) + 2) AS surt,
+       url
+FROM pg
+ORDER BY surt, url
+LIMIT 300
+"""
+)
+
+
 def q_bpe_merges(sf_dir: str):
     """Learned BPE merge table (rank, left, right) — distributed word
     counting, driver merge loop over the distinct-word table only
@@ -4687,6 +4730,7 @@ QUERIES = {
     "recrawl_priority": q_recrawl_priority,
     "crawl_recrawl_scheduled": q_crawl_recrawl_scheduled,
     "host_budgets": q_host_budgets,
+    "surt_index": q_surt_index,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "curation_pipeline": q_curation_pipeline,
@@ -4811,6 +4855,7 @@ ORACLE_SQL = {
     "recrawl_priority": SQL_RECRAWL_PRIORITY,
     "crawl_recrawl_scheduled": SQL_CRAWL_RECRAWL_SCHEDULED,
     "host_budgets": SQL_HOST_BUDGETS,
+    "surt_index": SQL_SURT_INDEX,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "price_quantiles": SQL_PRICE_QUANTILES,

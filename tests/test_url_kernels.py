@@ -72,3 +72,19 @@ def test_hash_and_host_stable():
     assert h == url_hash64("http://a.ca/x")
     assert 0 <= h < 2**64
     assert h != url_hash64("http://a.ca/y")
+
+
+def test_surt_canonical_key():
+    from louis_crawler_legacy_ray.functions.urls import surt
+
+    assert surt("http://h3.example.ca/fra/src1/doc42") == (
+        "ca,example,h3)/fra/src1/doc42"
+    )
+    # scheme dropped, case folded, www. stripped, query kept
+    assert surt("https://WWW.Example.COM/A/B?q=1") == "com,example)/a/b?q=1"
+    # bare host -> trailing slash form; domain pages sort contiguously
+    assert surt("http://example.com") == "com,example)/"
+    assert surt("") == ")/"
+    a = surt("http://a.example.com/z")
+    b = surt("http://b.example.com/a")
+    assert a < b  # same domain groups before the next subdomain
