@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_priority",  # new in r4 (adaptive recrawl scheduler)
         "host_budgets",  # new in r4 (largest-remainder budget apportionment)
         "surt_index",  # new in r4 (CDX-style SURT-keyed URL index)
+        "warc_roundtrip",  # new in r4 (WARC sink/source fidelity)
         "crawl_recrawl_scheduled",  # new in r4 (change-rate-driven crawl)
         "dsir_topk",  # new in r4 (DSIR importance selection)
         "snapshot_delta",  # new in r4 (incremental recrawl diff)

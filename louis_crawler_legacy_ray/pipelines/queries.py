@@ -4636,6 +4636,40 @@ LIMIT 300
 )
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """WARC sink/source fidelity (sources/warc.py): write the
+    multi-host corpus as Common-Crawl-style gzip-member WARC parts,
+    read them back, and diff payloads against the source through
+    snapshot_delta — a lost/corrupted/missing record surfaces as a
+    non-'same' status and fails the hash gate. Oracle: every corpus
+    url, status 'same'."""
+    import shutil
+
+    import ray.data as _rd
+
+    from ..sources.warc import read_warc, write_warc
+    from ..stages.joins import snapshot_delta
+
+    corpus = multihost_corpus_dir(sf_dir)
+    pages = _rd.read_parquet(corpus, columns=["url", "warc_ts", "html"])
+    tag = hashlib.blake2b(f"warc|{sf_dir}".encode(), digest_size=6).hexdigest()
+    out = f"/tmp/louis_warc_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_warc(pages, out, gzip=True)
+    back = read_warc(out)
+    return snapshot_delta(
+        pages, back, key_col="url", content_col="html"
+    ).sort("url")
+
+
+SQL_WARC_ROUNDTRIP = (
+    _SQL_MH_CTE
+    + """
+SELECT url, 'same' AS status FROM pg ORDER BY url
+"""
+)
+
+
 def q_bpe_merges(sf_dir: str):
     """Learned BPE merge table (rank, left, right) — distributed word
     counting, driver merge loop over the distinct-word table only
@@ -4731,6 +4765,7 @@ QUERIES = {
     "crawl_recrawl_scheduled": q_crawl_recrawl_scheduled,
     "host_budgets": q_host_budgets,
     "surt_index": q_surt_index,
+    "warc_roundtrip": q_warc_roundtrip,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "curation_pipeline": q_curation_pipeline,
@@ -4856,6 +4891,7 @@ ORACLE_SQL = {
     "crawl_recrawl_scheduled": SQL_CRAWL_RECRAWL_SCHEDULED,
     "host_budgets": SQL_HOST_BUDGETS,
     "surt_index": SQL_SURT_INDEX,
+    "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "price_quantiles": SQL_PRICE_QUANTILES,

@@ -1,0 +1,186 @@
+"""WARC source/sink — the web-archive interchange format (ISO 28500 /
+WARC/1.0), the container Common Crawl actually ships pages in.
+
+The reference stores raw html in Postgres text columns / loose
+``{uuid}.html`` files (louis/db.py:129-171); anyone operating at
+web-archive scale ingests and emits WARC instead. This module writes a
+pages Dataset (the input_hint schema: url, warc_ts, html) as standard
+``response`` records and reads WARC files back into the same schema —
+round-trip byte identity is oracle- and pytest-checked.
+
+Format notes (kept strictly standard so external tools can read us):
+  * each record: ``WARC/1.0`` + CRLF headers (WARC-Type,
+    WARC-Record-ID, WARC-Date, WARC-Target-URI, Content-Type,
+    Content-Length) + CRLF CRLF + the HTTP response block + CRLF CRLF;
+  * the payload is a full ``HTTP/1.1 200 OK`` response with its own
+    Content-Length — ``application/http; msgtype=response``;
+  * ``gzip=True`` writes one gzip MEMBER per record concatenated into
+    a ``.warc.gz`` (the Common Crawl convention — members are
+    independently seekable); Python's gzip.decompress consumes
+    multi-member streams natively on read;
+  * record ids are DETERMINISTIC urn:uuid values derived from
+    (url, date) so task retries rewrite identical bytes.
+
+Scale shape: one ``.warc[.gz]`` part per input block, written inside
+``map_batches`` with a content-hashed filename (idempotent under
+re-execution) — a resumable partitioned layout, never one giant file.
+Reading streams through ``read_binary_files`` + a flat per-file parse;
+a WARC part is block-sized by construction so the parse stays in one
+task's memory.
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import hashlib
+import os
+import uuid
+
+import pyarrow as pa
+import ray.data
+
+_CRLF = b"\r\n"
+
+
+def _warc_date(ts_us: int) -> str:
+    """WARC-Date (ISO 8601 Z) from microseconds since epoch."""
+    import datetime as _dt
+
+    return (
+        _dt.datetime.fromtimestamp(ts_us / 1e6, tz=_dt.timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%SZ")
+    )
+
+
+def _record(url: str, ts_us: int, html: bytes) -> bytes:
+    http = (
+        b"HTTP/1.1 200 OK" + _CRLF
+        + b"Content-Type: text/html; charset=utf-8" + _CRLF
+        + b"Content-Length: " + str(len(html)).encode() + _CRLF
+        + _CRLF
+        + html
+    )
+    date = _warc_date(ts_us)
+    rid = uuid.UUID(
+        bytes=hashlib.blake2b(
+            (url + "|" + date).encode(), digest_size=16
+        ).digest()
+    )
+    head = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: response" + _CRLF
+        + b"WARC-Record-ID: <urn:uuid:" + str(rid).encode() + b">" + _CRLF
+        + b"WARC-Date: " + date.encode() + _CRLF
+        + b"WARC-Target-URI: " + url.encode() + _CRLF
+        + b"Content-Type: application/http; msgtype=response" + _CRLF
+        + b"Content-Length: " + str(len(http)).encode() + _CRLF
+        + _CRLF
+    )
+    return head + http + _CRLF + _CRLF
+
+
+def write_warc(
+    pages: ray.data.Dataset, out_dir: str, gzip: bool = False
+) -> ray.data.Dataset:
+    """Write a pages Dataset as WARC parts (one per block). Returns the
+    materialized manifest Dataset (path, n_records, n_bytes)."""
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip else ".warc"
+
+    def write_block(b: pa.Table) -> pa.Table:
+        ts = b["warc_ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
+        recs = [
+            _record(u, t or 0, h or b"")
+            for u, t, h in zip(b["url"].to_pylist(), ts, b["html"].to_pylist())
+        ]
+        if gzip:
+            # mtime=0 keeps member bytes deterministic, so retries and
+            # re-runs land on the same content-hashed filename
+            blob = b"".join(_gzip.compress(r, mtime=0) for r in recs)
+        else:
+            blob = b"".join(recs)
+        name = hashlib.blake2b(blob, digest_size=12).hexdigest()
+        path = os.path.join(out_dir, f"part-{name}{ext}")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)  # atomic; retries rewrite identical bytes
+        return pa.table(
+            {
+                "path": pa.array([path], pa.string()),
+                "n_records": pa.array([len(recs)], pa.int64()),
+                "n_bytes": pa.array([len(blob)], pa.int64()),
+            }
+        )
+
+    return pages.map_batches(write_block, batch_format="pyarrow").materialize()
+
+
+def parse_warc_bytes(blob: bytes) -> list[tuple[str, int, bytes]]:
+    """Parse one WARC file's bytes into (url, ts_us, html) tuples.
+    Handles plain and (multi-member) gzip input; skips non-response
+    records; tolerates any standard header order."""
+    import datetime as _dt
+
+    if blob[:2] == b"\x1f\x8b":
+        blob = _gzip.decompress(blob)
+    out: list[tuple[str, int, bytes]] = []
+    i = 0
+    n = len(blob)
+    while i < n:
+        j = blob.find(b"WARC/", i)
+        if j < 0:
+            break
+        he = blob.find(_CRLF + _CRLF, j)
+        if he < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in blob[j:he].split(_CRLF)[1:]:
+            k, _, v = line.decode("utf-8", "replace").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        clen = int(headers.get("content-length", "0"))
+        body = blob[he + 4 : he + 4 + clen]
+        i = he + 4 + clen
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri", "")
+        ts = 0
+        if "warc-date" in headers:
+            ts = int(
+                _dt.datetime.strptime(
+                    headers["warc-date"], "%Y-%m-%dT%H:%M:%SZ"
+                )
+                .replace(tzinfo=_dt.timezone.utc)
+                .timestamp()
+                * 1_000_000
+            )
+        hb = body.find(_CRLF + _CRLF)
+        html = body[hb + 4 :] if hb >= 0 else b""
+        out.append((url, ts, html))
+    return out
+
+
+def read_warc(path: str) -> ray.data.Dataset:
+    """Read a WARC directory (or single file) back into the pages
+    schema (url, warc_ts, html) — one parse task per file."""
+
+    def parse(b: dict) -> pa.Table:
+        urls: list[str] = []
+        tss: list[int] = []
+        htmls: list[bytes] = []
+        for blob in b["bytes"].to_pylist():
+            for u, t, h in parse_warc_bytes(blob):
+                urls.append(u)
+                tss.append(t)
+                htmls.append(h)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.int64()).cast(pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    return ray.data.read_binary_files(path).map_batches(
+        parse, batch_format="pyarrow"
+    )

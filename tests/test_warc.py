@@ -1,0 +1,89 @@
+"""WARC sink/source beyond the roundtrip oracle: standard framing,
+deterministic record ids, gzip member handling, non-response records
+skipped, empty payloads, and idempotent part filenames."""
+
+import gzip
+import os
+
+import pyarrow as pa
+import ray.data
+
+from louis_crawler_legacy_ray.sources.warc import (
+    _record,
+    parse_warc_bytes,
+    read_warc,
+    write_warc,
+)
+
+
+def _pages(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([u for u, _, _ in rows], pa.string()),
+                "warc_ts": pa.array(
+                    [t for _, t, _ in rows], pa.int64()
+                ).cast(pa.timestamp("us")),
+                "html": pa.array([h for _, _, h in rows], pa.binary()),
+            }
+        )
+    )
+
+
+def test_record_framing_is_standard():
+    rec = _record("http://a/x", 1_700_000_000_000_000, b"<html>hi</html>")
+    text = rec.decode()
+    assert text.startswith("WARC/1.0\r\n")
+    assert "WARC-Type: response\r\n" in text
+    assert "WARC-Target-URI: http://a/x\r\n" in text
+    assert "Content-Type: application/http; msgtype=response\r\n" in text
+    assert rec.endswith(b"<html>hi</html>\r\n\r\n")
+    # the declared record Content-Length covers exactly the HTTP block
+    head, _, rest = rec.partition(b"\r\n\r\n")
+    clen = int(
+        [l for l in head.split(b"\r\n") if l.startswith(b"Content-Length")][0]
+        .split(b":")[1]
+    )
+    assert rest == rest[:clen] + b"\r\n\r\n"
+    # deterministic record id: same (url, ts) -> identical bytes
+    assert rec == _record("http://a/x", 1_700_000_000_000_000, b"<html>hi</html>")
+
+
+def test_parse_skips_non_response_and_handles_empty():
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: http://a/req\r\nContent-Length: 4\r\n\r\nGET /\r\n\r\n"
+    )
+    resp = _record("http://a/x", 0, b"")
+    got = parse_warc_bytes(req + resp)
+    assert got == [("http://a/x", 0, b"")]
+
+
+def test_gzip_members_roundtrip():
+    recs = [_record(f"http://a/{i}", i * 1_000_000, b"x" * i) for i in range(5)]
+    blob = b"".join(gzip.compress(r) for r in recs)
+    got = parse_warc_bytes(blob)
+    assert [u for u, _, _ in got] == [f"http://a/{i}" for i in range(5)]
+    assert [len(h) for _, _, h in got] == list(range(5))
+
+
+def test_write_read_dataset_roundtrip(ray_session, tmp_path):
+    rows = [
+        (f"http://h{i % 3}.ex/p{i}", i * 1_000_000, f"<p>{i}</p>".encode())
+        for i in range(40)
+    ]
+    out = str(tmp_path / "warc")
+    man = write_warc(_pages(rows).repartition(4), out, gzip=True)
+    assert man.sum("n_records") == 40
+    assert all(p.endswith(".warc.gz") for p in man.to_pandas()["path"])
+    back = sorted(
+        read_warc(out).take_all(), key=lambda r: r["url"]
+    )
+    src = sorted(rows)
+    assert [(r["url"], r["html"]) for r in back] == [
+        (u, h) for u, _, h in src
+    ]
+    # idempotent parts: rewriting the same data adds no new files
+    n_before = len(os.listdir(out))
+    write_warc(_pages(rows).repartition(4), out, gzip=True)
+    assert len(os.listdir(out)) == n_before
