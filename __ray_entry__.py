@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_budgets",  # new in r4 (largest-remainder budget apportionment)
         "surt_index",  # new in r4 (CDX-style SURT-keyed URL index)
         "warc_roundtrip",  # new in r4 (WARC sink/source fidelity)
+        "sitemap_seeds",  # new in r4 (sitemaps.org seed ingestion)
         "crawl_recrawl_scheduled",  # new in r4 (change-rate-driven crawl)
         "dsir_topk",  # new in r4 (DSIR importance selection)
         "snapshot_delta",  # new in r4 (incremental recrawl diff)

@@ -4670,6 +4670,75 @@ SELECT url, 'same' AS status FROM pg ORDER BY url
 )
 
 
+def q_sitemap_seeds(sf_dir: str):
+    """Sitemap ingestion (sources/sitemaps.py): one sitemaps.org
+    ``<urlset>`` document synthesized per corpus host (lastmod =
+    2024-01-01 + doc_id%365 days), parsed back distributed into
+    (url, lastmod) seed rows. Group-to-document happens in ONE
+    groupby(host).map_groups (a sitemap is host-sized and protocol-
+    capped at 50k urls); the parse is a stateless flat map."""
+    import datetime as _dt
+
+    import ray.data as _rd
+
+    from ..sources.sitemaps import sitemap_seeds
+
+    corpus = multihost_corpus_dir(sf_dir)
+    base = _dt.date(2024, 1, 1)
+
+    def host_rows(b: pa.Table) -> pa.Table:
+        urls = b["url"].to_pylist()
+        return pa.table(
+            {
+                "host": pa.array(
+                    [u.split("//", 1)[1].split("/", 1)[0] for u in urls],
+                    pa.string(),
+                ),
+                "url": b["url"],
+                "doc_id": pa.array(
+                    [int(u.rsplit("doc", 1)[1]) for u in urls], pa.int64()
+                ),
+            }
+        )
+
+    def build_xml(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("url")
+        parts = ['<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">']
+        for u, d in zip(g["url"], g["doc_id"]):
+            lastmod = (base + _dt.timedelta(days=int(d) % 365)).isoformat()
+            parts.append(
+                f"<url><loc>{u}</loc><lastmod>{lastmod}</lastmod></url>"
+            )
+        parts.append("</urlset>")
+        return pd.DataFrame(
+            {"host": [g["host"].iloc[0]], "xml": ["".join(parts)]}
+        )
+
+    sitemaps = (
+        _rd.read_parquet(corpus, columns=["url"])
+        .map_batches(host_rows, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(build_xml, batch_format="pandas")
+    )
+    return (
+        sitemap_seeds(sitemaps)
+        .select_columns(["url", "lastmod"])
+        .sort("url")
+    )
+
+
+SQL_SITEMAP_SEEDS = (
+    _SQL_MH_CTE
+    + """
+SELECT url,
+       strftime(DATE '2024-01-01' + (doc_id % 365) * INTERVAL 1 DAY,
+                '%Y-%m-%d') AS lastmod
+FROM pg
+ORDER BY url
+"""
+)
+
+
 def q_bpe_merges(sf_dir: str):
     """Learned BPE merge table (rank, left, right) — distributed word
     counting, driver merge loop over the distinct-word table only
@@ -4766,6 +4835,7 @@ QUERIES = {
     "host_budgets": q_host_budgets,
     "surt_index": q_surt_index,
     "warc_roundtrip": q_warc_roundtrip,
+    "sitemap_seeds": q_sitemap_seeds,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "curation_pipeline": q_curation_pipeline,
@@ -4892,6 +4962,7 @@ ORACLE_SQL = {
     "host_budgets": SQL_HOST_BUDGETS,
     "surt_index": SQL_SURT_INDEX,
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
+    "sitemap_seeds": SQL_SITEMAP_SEEDS,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "price_quantiles": SQL_PRICE_QUANTILES,

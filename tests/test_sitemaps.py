@@ -1,0 +1,68 @@
+"""Sitemap parsing beyond the oracle: namespace handling, index vs
+leaf kinds, malformed-document tolerance, strict mode, and the
+dataset-level flatten."""
+
+import pytest
+import ray.data
+
+from louis_crawler_legacy_ray.sources.sitemaps import (
+    parse_sitemap,
+    sitemap_seeds,
+)
+
+NS = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+
+
+def test_urlset_with_and_without_namespace():
+    doc = (
+        f"<urlset {NS}><url><loc> http://a/x </loc>"
+        "<lastmod>2024-03-01</lastmod></url>"
+        "<url><loc>http://a/y</loc></url></urlset>"
+    )
+    assert parse_sitemap(doc) == (
+        "urlset",
+        [("http://a/x", "2024-03-01"), ("http://a/y", None)],
+    )
+    bare = "<urlset><url><loc>http://a/z</loc></url></urlset>"
+    assert parse_sitemap(bare) == ("urlset", [("http://a/z", None)])
+
+
+def test_sitemapindex_kind():
+    doc = (
+        f"<sitemapindex {NS}><sitemap><loc>http://a/s1.xml</loc>"
+        "<lastmod>2024-01-02</lastmod></sitemap></sitemapindex>"
+    )
+    assert parse_sitemap(doc) == (
+        "sitemapindex",
+        [("http://a/s1.xml", "2024-01-02")],
+    )
+
+
+def test_malformed_and_foreign_documents():
+    assert parse_sitemap("<urlset><url>") == ("invalid", [])
+    assert parse_sitemap("<rss><item/></rss>") == ("invalid", [])
+    assert parse_sitemap("") == ("invalid", [])
+    # entries missing <loc> are skipped, unknown children ignored
+    doc = "<urlset><url><lastmod>2024</lastmod></url><x/></urlset>"
+    assert parse_sitemap(doc) == ("urlset", [])
+    with pytest.raises(Exception):
+        parse_sitemap("<urlset><url>", strict=True)
+    with pytest.raises(ValueError):
+        parse_sitemap("<rss/>", strict=True)
+
+
+def test_dataset_flatten_mixed_kinds(ray_session):
+    docs = [
+        {"xml": "<urlset><url><loc>http://a/1</loc></url></urlset>"},
+        {"xml": "<sitemapindex><sitemap><loc>http://a/more.xml</loc>"
+                "</sitemap></sitemapindex>"},
+        {"xml": "not xml at all"},  # contributes zero rows
+    ]
+    rows = sorted(
+        sitemap_seeds(ray.data.from_items(docs)).take_all(),
+        key=lambda r: r["url"],
+    )
+    assert [(r["url"], r["kind"]) for r in rows] == [
+        ("http://a/1", "url"),
+        ("http://a/more.xml", "sitemap"),
+    ]
