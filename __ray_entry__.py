@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "surt_index",  # new in r4 (CDX-style SURT-keyed URL index)
         "warc_roundtrip",  # new in r4 (WARC sink/source fidelity)
         "sitemap_seeds",  # new in r4 (sitemaps.org seed ingestion)
+        "host_graph",  # new in r4 (host-level webgraph rollup)
         "crawl_recrawl_scheduled",  # new in r4 (change-rate-driven crawl)
         "dsir_topk",  # new in r4 (DSIR importance selection)
         "snapshot_delta",  # new in r4 (incremental recrawl diff)

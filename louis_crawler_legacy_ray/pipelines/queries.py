@@ -4739,6 +4739,66 @@ ORDER BY url
 )
 
 
+def q_host_graph(sf_dir: str):
+    """Host-level webgraph rollup (the artifact Common Crawl publishes
+    as its host/domain graph releases): parse every page's html with
+    the extract kernel, dedup links per page (M3 order-preserving
+    rule), roll (src_host, dst_host) up with per-block Counter
+    partials — the groupby shuffle carries distinct host pairs per
+    block, never page-level edges — and drop intra-host self-loops.
+    n_links counts distinct page-level links per host pair."""
+    import collections
+
+    import ray.data as _rd
+
+    corpus = multihost_corpus_dir(sf_dir)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        items = extract_batch(b)
+        counts: collections.Counter = collections.Counter()
+        for src, links in zip(
+            items["url"].to_pylist(), items["links"].to_pylist()
+        ):
+            sh = src.split("//", 1)[1].split("/", 1)[0]
+            for dst in dict.fromkeys(links):
+                dh = dst.split("//", 1)[1].split("/", 1)[0]
+                if dh != sh:
+                    counts[(sh, dh)] += 1
+        return pa.table(
+            {
+                "src_host": pa.array([k[0] for k in counts], pa.string()),
+                "dst_host": pa.array([k[1] for k in counts], pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    return (
+        _rd.read_parquet(corpus, columns=["url", "html"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("n", alias_name="n_links"))
+        .sort(["src_host", "dst_host"])
+    )
+
+
+SQL_HOST_GRAPH = (
+    _SQL_MH_CTE
+    + """,
+edges AS (
+  SELECT DISTINCT url AS src, host AS src_host, c1_url AS dst FROM pg
+  UNION
+  SELECT DISTINCT url, host, c2_url FROM pg)
+SELECT src_host,
+       regexp_extract(dst, '^http://([^/]+)', 1) AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links
+FROM edges
+WHERE regexp_extract(dst, '^http://([^/]+)', 1) <> src_host
+GROUP BY src_host, dst_host
+ORDER BY src_host, dst_host
+"""
+)
+
+
 def q_bpe_merges(sf_dir: str):
     """Learned BPE merge table (rank, left, right) — distributed word
     counting, driver merge loop over the distinct-word table only
@@ -4836,6 +4896,7 @@ QUERIES = {
     "surt_index": q_surt_index,
     "warc_roundtrip": q_warc_roundtrip,
     "sitemap_seeds": q_sitemap_seeds,
+    "host_graph": q_host_graph,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "curation_pipeline": q_curation_pipeline,
@@ -4963,6 +5024,7 @@ ORACLE_SQL = {
     "surt_index": SQL_SURT_INDEX,
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "sitemap_seeds": SQL_SITEMAP_SEEDS,
+    "host_graph": SQL_HOST_GRAPH,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "price_quantiles": SQL_PRICE_QUANTILES,
