@@ -139,3 +139,25 @@ def robots_from_corpus(pages_path: str) -> dict[str, str]:
             out[h] = row["body"]
             best_url[h] = u
     return out
+
+
+def sitemaps_in_robots(robots_txt: str) -> list[str]:
+    """``Sitemap:`` directives of one robots.txt body — the standard
+    sitemap-discovery channel (sitemaps.org / REP: the directive is
+    case-insensitive, lives outside User-agent groups, and may appear
+    any number of times). Order-preserving, exact-duplicate lines
+    dropped; feeds sources/sitemaps.py:sitemap_seeds."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for line in (robots_txt or "").splitlines():
+        body = line.split("#", 1)[0].strip()
+        if not body or ":" not in body:
+            continue
+        key, _, value = body.partition(":")
+        if key.strip().lower() != "sitemap":
+            continue
+        value = value.strip()
+        if value and value not in seen:
+            seen.add(value)
+            out.append(value)
+    return out

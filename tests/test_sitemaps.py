@@ -66,3 +66,19 @@ def test_dataset_flatten_mixed_kinds(ray_session):
         ("http://a/1", "url"),
         ("http://a/more.xml", "sitemap"),
     ]
+
+
+def test_sitemaps_in_robots():
+    from louis_crawler_legacy_ray.state.politeness import sitemaps_in_robots
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "sitemap: http://a/s1.xml\n"
+        "SITEMAP: http://a/s2.xml  # trailing comment\n"
+        "Sitemap: http://a/s1.xml\n"  # duplicate dropped
+        "Sitemap:\n"  # empty value skipped
+        "# Sitemap: http://a/commented.xml\n"
+    )
+    assert sitemaps_in_robots(txt) == ["http://a/s1.xml", "http://a/s2.xml"]
+    assert sitemaps_in_robots("") == []
