@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from louis_crawler_legacy_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
     first = [  # oracled but never driver-gated through round 3
+        "crawl_delay_budget",  # new in r4 (robots Crawl-delay politeness)
         "recrawl_priority",  # new in r4 (adaptive recrawl scheduler)
         "host_budgets",  # new in r4 (largest-remainder budget apportionment)
         "surt_index",  # new in r4 (CDX-style SURT-keyed URL index)

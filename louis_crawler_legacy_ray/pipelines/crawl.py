@@ -87,6 +87,14 @@ class CrawlConfig:
     per_host_budget: int | None = None      # politeness cap per round; None = unbounded
     politeness: str = "budget"              # "budget" (flat per-round cap) |
                                             # "token_bucket" (carry + 2x burst, north_rule)
+    host_budgets: dict | None = None        # per-HOST per-round budget overrides (flat
+                                            # "budget" politeness only); hosts absent keep
+                                            # per_host_budget. Feed from robots Crawl-delay
+                                            # (honor_crawl_delay) or apportion_budgets.
+    honor_crawl_delay: bool = False         # derive host_budgets from robots_txt_by_host's
+                                            # Crawl-delay directives (budget =
+                                            # round_seconds // delay, PolitenessPolicy
+                                            # round_seconds=60); explicit host_budgets win
     round_limit: int | None = None          # overall per-round URL cap
     max_rounds: int = 64
     allowed_domains: list[str] | None = None
@@ -127,6 +135,11 @@ def config_hash(cfg: CrawlConfig, seeds: list[str]) -> str:
             "max_depth": cfg.max_depth,
             "per_host_budget": cfg.per_host_budget,
             "politeness": cfg.politeness,
+            # resolved map (run_frontier folds Crawl-delay derivations
+            # in BEFORE hashing): same effective budgets == same crawl
+            "host_budgets": sorted(cfg.host_budgets.items())
+            if cfg.host_budgets
+            else None,
             "seeds": sorted(seeds),
             "mode": cfg.mode,
             "hot_host_salt": sorted(cfg.hot_host_salt.items()),
@@ -327,6 +340,7 @@ class Frontier:
                     limit=cfg.round_limit,
                     politeness=cfg.politeness,
                     priority=cfg.priority,
+                    host_budgets=cfg.host_budgets,
                 )
                 for s in self.shards
             ]
@@ -1473,6 +1487,24 @@ def run_frontier(
     # run_frontier twice; the module-global survives) (ADVICE r3). A
     # SIGTERM that lands after this line still stops this crawl.
     clear_graceful_stop()
+    if cfg.honor_crawl_delay and cfg.robots_txt_by_host:
+        # resolve the published Crawl-delay directives into per-host
+        # budgets ONCE, before config_hash and shard creation, so the
+        # lineage hash and every round see the same effective caps
+        from dataclasses import replace as _dc_replace
+
+        from ..state.politeness import RobotsCache
+
+        derived = RobotsCache(cfg.robots_txt_by_host).budgets_from_delays()
+        cfg = _dc_replace(
+            cfg, host_budgets={**derived, **(cfg.host_budgets or {})}
+        )
+    if cfg.host_budgets and cfg.politeness != "budget":
+        raise ValueError(
+            "host_budgets (per-host overrides) require the flat "
+            "'budget' politeness; the token bucket keeps one global "
+            "refill rate"
+        )
     owns_frontier = frontier is None
     if owns_frontier:
         frontier = Frontier(cfg)

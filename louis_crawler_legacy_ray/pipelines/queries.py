@@ -1341,6 +1341,86 @@ def q_crawl_metrics_budget(sf_dir: str):
     )
 
 
+def q_crawl_delay_budget(sf_dir: str):
+    """robots.txt ``Crawl-delay``-driven politeness under the exact
+    gate: three of the seven hosts PUBLISH delay directives (15/30/60 s
+    -> 4/2/1 fetches per 60 s round via the same round_seconds/delay
+    mapping PolitenessPolicy uses for AutoThrottle, state/politeness.py
+    budgets_from_delays); the other four hosts stay unbounded. The
+    derived per-host budgets override the flat cap inside each owning
+    shard's take (host state colocated — north_rule), so throttled and
+    unthrottled hosts drain at different rates within the same rounds.
+    The oracle is the flat per-host-cap round simulation with caps
+    {h0:4, h1:2, h2:1, others: unbounded}."""
+    from .crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=6,
+        max_rounds=96,
+        obey_robots=True,
+        honor_crawl_delay=True,
+        robots_txt_by_host={
+            "h0.example.ca": "User-agent: *\nCrawl-delay: 15\n",
+            "h1.example.ca": "User-agent: *\nCrawl-delay: 30\n",
+            "h2.example.ca": "User-agent: *\nCrawl-delay: 60\n",
+        },
+    )
+    res = run_crawl(multihost_corpus_dir(sf_dir), [_mh_seed(sf_dir)], cfg)
+    return res.order
+
+
+SQL_CRAWL_DELAY_BUDGET = (
+    "WITH RECURSIVE "
+    + _SQL_MH_CTE.replace("WITH ", "", 1)
+    + """,
+edges AS (
+  SELECT url AS src, c1_url AS dst FROM pg
+  UNION ALL SELECT url, c2_url FROM pg),
+caps(chost, cap) AS (VALUES
+  ('h0.example.ca', 4), ('h1.example.ca', 2), ('h2.example.ca', 1)),
+sim(round, url, host, depth, done) AS (
+  SELECT 0 AS round, url, host, CAST(0 AS INTEGER) AS depth, FALSE AS done
+  FROM pg WHERE doc_id = 0
+  UNION ALL
+  (
+  WITH prev AS (SELECT * FROM sim),
+  pending AS (SELECT url, host, depth FROM prev WHERE NOT done),
+  ranked AS (SELECT p.url, p.host, p.depth,
+                    (SELECT count(*) FROM pending q
+                     WHERE q.host = p.host
+                       AND (q.depth, q.url) <= (p.depth, p.url)) AS rn
+             FROM pending p),
+  sel AS (SELECT r.url, r.host, r.depth
+          FROM ranked r LEFT JOIN caps c ON c.chost = r.host
+          WHERE r.rn <= coalesce(c.cap, 1000000000)),
+  disc AS (SELECT e.dst AS url, min(s.depth + 1) AS ddepth
+           FROM sel s JOIN edges e ON e.src = s.url GROUP BY e.dst),
+  kids AS (SELECT d.url, d.ddepth FROM disc d
+           WHERE d.ddepth <= 6
+             AND NOT EXISTS (SELECT 1 FROM prev p WHERE p.url = d.url)),
+  nstate AS (
+    SELECT p.url, p.host,
+           CASE WHEN p.done OR p.url IN (SELECT url FROM sel) THEN p.depth
+                ELSE least(p.depth, coalesce(d.ddepth, p.depth)) END AS depth,
+           (p.done OR p.url IN (SELECT url FROM sel)) AS done
+    FROM prev p LEFT JOIN disc d ON d.url = p.url
+    UNION ALL
+    SELECT k.url, split_part(split_part(k.url, '//', 2), '/', 1),
+           k.ddepth, FALSE
+    FROM kids k)
+  SELECT r0.round + 1, n.url, n.host, CAST(n.depth AS INTEGER), n.done
+  FROM nstate n, (SELECT max(round) AS round FROM prev) r0
+  WHERE EXISTS (SELECT 1 FROM pending) AND r0.round < 96
+  )
+)
+SELECT CAST(min(round) - 1 AS INTEGER) AS round, depth, url
+FROM sim WHERE done
+GROUP BY depth, url
+"""
+)
+
+
 def q_crawl_multihost_capped(sf_dir: str):
     """The r3 DISTRIBUTED global round cap under the exact gate: a
     multi-host crawl with round_limit=9 makes every round select the 9
@@ -4863,6 +4943,7 @@ QUERIES = {
     "crawl_ttl_recrawl": q_crawl_ttl_recrawl,
     "crawl_multihost_bfs": q_crawl_multihost_bfs,
     "crawl_multihost_budget": q_crawl_multihost_budget,
+    "crawl_delay_budget": q_crawl_delay_budget,
     "crawl_metrics_budget": q_crawl_metrics_budget,
     "crawl_multihost_capped": q_crawl_multihost_capped,
     "crawl_multihost_domains": q_crawl_multihost_domains,
@@ -4994,6 +5075,7 @@ ORACLE_SQL = {
     "crawl_ttl_recrawl": SQL_CRAWL_TTL_RECRAWL,
     "crawl_multihost_bfs": SQL_CRAWL_MULTIHOST_BFS,
     "crawl_multihost_budget": SQL_CRAWL_MULTIHOST_BUDGET,
+    "crawl_delay_budget": SQL_CRAWL_DELAY_BUDGET,
     "crawl_metrics_budget": SQL_CRAWL_METRICS_BUDGET,
     "crawl_multihost_capped": SQL_CRAWL_MULTIHOST_CAPPED,
     "crawl_multihost_domains": SQL_CRAWL_MULTIHOST_DOMAINS,

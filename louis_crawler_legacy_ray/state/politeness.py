@@ -98,6 +98,31 @@ class RobotsCache:
     def filter_urls(self, urls: list[str]) -> list[bool]:
         return [self.allowed(u) for u in urls]
 
+    def crawl_delay(self, host: str) -> float | None:
+        """The host's robots ``Crawl-delay`` directive in seconds (the
+        politeness knob sites publish themselves; AutoThrottle-style
+        feedback covers the hosts that don't). None when the host has
+        no robots.txt or no directive for our agent group."""
+        p = self._parser_for(host)
+        if p is None:
+            return None
+        d = p.crawl_delay(self.user_agent)
+        return float(d) if d is not None else None
+
+    def budgets_from_delays(self, round_seconds: float = 60.0) -> dict[str, int]:
+        """Per-host per-round fetch budgets derived from the published
+        Crawl-delay directives, via the same mapping PolitenessPolicy
+        uses for AutoThrottle delays (budget = round_seconds / delay,
+        floor 1). Only hosts that DECLARE a delay appear — everyone
+        else keeps the engine-level default (flat per_host_budget or
+        unbounded)."""
+        out: dict[str, int] = {}
+        for host in self._raw:
+            d = self.crawl_delay(host)
+            if d is not None and d > 0:
+                out[host] = max(1, int(round_seconds // d))
+        return out
+
 
 def robots_from_corpus(pages_path: str) -> dict[str, str]:
     """Build ``robots_txt_by_host`` from the corpus itself: one

@@ -329,6 +329,7 @@ class FrontierShard:
         limit: int | None = None,
         politeness: str = "budget",
         priority: str = "depth_url",
+        host_budgets: dict | None = None,
     ) -> pa.Table:
         """Select the next fetch batch: pending sorted by (depth, url)
         — the BFS priority order (O1, goldie_playwright_parallel.py:
@@ -351,6 +352,7 @@ class FrontierShard:
             limit=limit,
             politeness=politeness,
             priority=priority,
+            host_budgets=host_budgets,
         )
         return self._sel_table()
 
@@ -361,6 +363,7 @@ class FrontierShard:
         limit: int | None = None,
         politeness: str = "budget",
         priority: str = "depth_url",
+        host_budgets: dict | None = None,
     ) -> dict:
         """Same selection semantics as ``take`` but the selection stays
         HELD in this shard — the driver receives only ``{"count": n}``
@@ -406,10 +409,17 @@ class FrontierShard:
         sel_depths: list[int] = []
         sel_hosts: list[str] = []
         host_counts: dict[str, int] = {}
+        # per-host overrides (robots Crawl-delay-derived or apportioned
+        # budgets) take precedence over the flat cap; a host absent
+        # from the map keeps the flat per_host_budget (or unbounded).
+        # Flat-budget politeness only: the token bucket keeps one
+        # global refill (its carry/burst refunds are clamped by a
+        # single _tb_burst).
+        overrides = host_budgets if not token_bucket else None
         for _key, url, depth, host in items:
             if limit is not None and len(sel_urls) >= limit:
                 break
-            if per_host_budget is not None:
+            if per_host_budget is not None or overrides:
                 c = host_counts.get(host, 0)
                 if token_bucket:
                     cap = caps.get(host)
@@ -419,8 +429,12 @@ class FrontierShard:
                         )
                         caps[host] = cap
                 else:
-                    cap = per_host_budget
-                if c >= cap:
+                    cap = (
+                        overrides.get(host, per_host_budget)
+                        if overrides
+                        else per_host_budget
+                    )
+                if cap is not None and c >= cap:
                     continue
                 host_counts[host] = c + 1
             sel_urls.append(url)
