@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     first = [  # oracled but never driver-gated through round 3
         "crawl_delay_budget",  # new in r4 (robots Crawl-delay politeness)
+        "crawl_traps",  # new in r4 (URL-pattern-explosion trap detection)
+        "crawl_trap_guard",  # new in r4 (deny-pattern quarantine at admission)
         "recrawl_priority",  # new in r4 (adaptive recrawl scheduler)
         "host_budgets",  # new in r4 (largest-remainder budget apportionment)
         "surt_index",  # new in r4 (CDX-style SURT-keyed URL index)

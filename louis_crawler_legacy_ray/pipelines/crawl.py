@@ -104,6 +104,9 @@ class CrawlConfig:
     hot_host_salt: dict = field(default_factory=dict)  # host -> n_salts
     robots_txt_by_host: dict | None = None  # host -> robots.txt body
     obey_robots: bool = False               # reference default: settings.py:19
+    deny_url_patterns: list | None = None   # trap-guard regexes quarantined at
+                                            # admission (feed from crawl_traps'
+                                            # flagged patterns)
     priority: str = "depth_url"             # frontier order key: "depth_url" (FIFO-BFS) |
                                             # "short_url_first" ((depth, len(url), url) — shallow pages first) |
                                             # "score_desc" ((depth, -score, url) — importance-ordered crawl,
@@ -148,6 +151,9 @@ def config_hash(cfg: CrawlConfig, seeds: list[str]) -> str:
             else None,
             "round_limit": cfg.round_limit,
             "obey_robots": cfg.obey_robots,
+            "deny_url_patterns": sorted(cfg.deny_url_patterns)
+            if cfg.deny_url_patterns
+            else None,
             "priority": cfg.priority,
             # digest, not the map itself: the score table can be large
             "priority_scores": hashlib.blake2b(
@@ -241,6 +247,7 @@ class Frontier:
                             priority_scores=score_slices[i]
                             if score_slices
                             else None,
+                            deny_url_patterns=cfg.deny_url_patterns,
                         )
                         for i, s in enumerate(entry["actors"])
                     ]
@@ -273,6 +280,7 @@ class Frontier:
                 robots_txt_by_host=cfg.robots_txt_by_host,
                 obey_robots=cfg.obey_robots,
                 priority_scores=score_slices[i] if score_slices else None,
+                deny_url_patterns=cfg.deny_url_patterns,
             )
             for i in range(cfg.n_shards)
         ]

@@ -1421,6 +1421,117 @@ GROUP BY depth, url
 )
 
 
+def q_crawl_traps(sf_dir: str):
+    """Crawler-trap detection — the URL-pattern-explosion heuristic
+    production crawlers run to avoid calendar/session-id/faceted-nav
+    traps (Heritrix path-pattern caps, StormCrawler's url filters):
+    mask digit runs in the URL path to a pattern, count URLs per
+    (host, pattern), and flag patterns whose fan-out crosses the trap
+    threshold so the frontier can quarantine or down-prioritize them.
+    Per-block Counter partials mean the groupby shuffle carries
+    distinct (host, pattern) pairs per block, never page URLs — at
+    10^10 URLs the exchanged rows stay O(hosts x templates)."""
+    import collections
+
+    import ray.data as _rd
+
+    corpus = multihost_corpus_dir(sf_dir)
+    thresh = 20
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            b["url"], r"^[a-z]+://(?P<host>[^/]+)(?P<path>/.*)$"
+        )
+        hosts = pc.struct_field(ex, "host").to_pylist()
+        pats = pc.replace_substring_regex(
+            pc.struct_field(ex, "path"), r"[0-9]+", "#"
+        ).to_pylist()
+        c: collections.Counter = collections.Counter(zip(hosts, pats))
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "host": pa.array([k[0] for k in keys], pa.string()),
+                "pattern": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    def flag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": b["host"],
+                "pattern": b["pattern"],
+                "n_urls": b["n_urls"],
+                "trapped": pc.cast(
+                    pc.greater_equal(b["n_urls"], thresh), pa.int32()
+                ),
+            }
+        )
+
+    return (
+        _rd.read_parquet(corpus, columns=["url"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["host", "pattern"])
+        .aggregate(Sum("n", alias_name="n_urls"))
+        .map_batches(flag, batch_format="pyarrow")
+        .sort(["host", "pattern"])
+    )
+
+
+SQL_CRAWL_TRAPS = (
+    _SQL_MH_CTE
+    + """
+SELECT host,
+       regexp_replace(regexp_replace(url, '^http://[^/]+', ''),
+                      '[0-9]+', '#', 'g') AS pattern,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(CASE WHEN count(*) >= 20 THEN 1 ELSE 0 END AS INTEGER) AS trapped
+FROM pg
+GROUP BY host, pattern
+ORDER BY host, pattern
+"""
+)
+
+
+def q_crawl_trap_guard(sf_dir: str):
+    """The trap guard under the exact gate: deny_url_patterns
+    quarantines matching candidates at admission (terminal, like a
+    robots disallow) — the consumer side of crawl_traps, where flagged
+    URL templates are fed back to the frontier so the crawl never
+    descends into the trap. Denied subtrees stay reachable only
+    through non-matching paths; oracle = the recursive multi-host walk
+    restricted to seg <> 'de'."""
+    from .crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=6,
+        max_rounds=16,
+        deny_url_patterns=[r"/de/"],
+    )
+    res = run_crawl(multihost_corpus_dir(sf_dir), [_mh_seed(sf_dir)], cfg)
+    assert res.counts["errored"] > 0, "trap quarantine must fire"
+    return res.order.select(["url", "depth"])
+
+
+SQL_CRAWL_TRAP_GUARD = (
+    "WITH RECURSIVE "
+    + _SQL_MH_CTE.replace("WITH ", "", 1)
+    + """,
+edges AS (
+  SELECT url AS src, c1_url AS dst FROM pg
+  UNION ALL SELECT url, c2_url FROM pg),
+walk(url, depth) AS (
+  SELECT url, 0 FROM pg WHERE doc_id = 0
+  UNION ALL
+  SELECT e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.url
+  WHERE w.depth < 6 AND e.dst NOT LIKE '%/de/%')
+SELECT url, CAST(min(depth) AS INTEGER) AS depth FROM walk GROUP BY url
+"""
+)
+
+
 def q_crawl_multihost_capped(sf_dir: str):
     """The r3 DISTRIBUTED global round cap under the exact gate: a
     multi-host crawl with round_limit=9 makes every round select the 9
@@ -4944,6 +5055,8 @@ QUERIES = {
     "crawl_multihost_bfs": q_crawl_multihost_bfs,
     "crawl_multihost_budget": q_crawl_multihost_budget,
     "crawl_delay_budget": q_crawl_delay_budget,
+    "crawl_traps": q_crawl_traps,
+    "crawl_trap_guard": q_crawl_trap_guard,
     "crawl_metrics_budget": q_crawl_metrics_budget,
     "crawl_multihost_capped": q_crawl_multihost_capped,
     "crawl_multihost_domains": q_crawl_multihost_domains,
@@ -5076,6 +5189,8 @@ ORACLE_SQL = {
     "crawl_multihost_bfs": SQL_CRAWL_MULTIHOST_BFS,
     "crawl_multihost_budget": SQL_CRAWL_MULTIHOST_BUDGET,
     "crawl_delay_budget": SQL_CRAWL_DELAY_BUDGET,
+    "crawl_traps": SQL_CRAWL_TRAPS,
+    "crawl_trap_guard": SQL_CRAWL_TRAP_GUARD,
     "crawl_metrics_budget": SQL_CRAWL_METRICS_BUDGET,
     "crawl_multihost_capped": SQL_CRAWL_MULTIHOST_CAPPED,
     "crawl_multihost_domains": SQL_CRAWL_MULTIHOST_DOMAINS,

@@ -195,10 +195,11 @@ class FrontierShard:
         robots_txt_by_host: dict | None = None,
         obey_robots: bool = False,
         priority_scores: dict | None = None,
+        deny_url_patterns: list | None = None,
     ):
         self.reset(
             shard_id, mode, bloom_bits, robots_txt_by_host, obey_robots,
-            priority_scores,
+            priority_scores, deny_url_patterns,
         )
 
     def reset(
@@ -209,12 +210,15 @@ class FrontierShard:
         robots_txt_by_host: dict | None = None,
         obey_robots: bool = False,
         priority_scores: dict | None = None,
+        deny_url_patterns: list | None = None,
     ) -> None:
         """Full re-initialization — lets a crawl REUSE a pooled shard
         actor from a previous crawl (actor spawn + Ray's one-time
         Arrow-serializer warmup cost ~0.5 s per fresh process, paid in
         round 0 otherwise). Every field is rebuilt; nothing survives."""
         assert mode in ("exact", "approx", "cuckoo")
+        import re as _re
+
         from .politeness import RobotsCache
 
         self.shard_id = shard_id
@@ -222,6 +226,10 @@ class FrontierShard:
         # robots cache colocated with the host's queue (T5); default-off
         # to match the reference's ROBOTSTXT_OBEY = False (settings.py:19)
         self.robots = RobotsCache(robots_txt_by_host, obey_robots=obey_robots)
+        # trap guard: URL regexes quarantined at admission (the
+        # crawl_traps detector's output feeds this — Heritrix-style
+        # pattern caps); compiled ONCE per shard actor, not per batch
+        self.deny_rx = [_re.compile(p) for p in (deny_url_patterns or [])]
         # 'score_desc' priority: THIS SHARD'S slice of the per-URL
         # score map (the Frontier splits the map by shard_of, so each
         # shard holds only the scores of URLs it can own — O(frontier /
@@ -286,6 +294,12 @@ class FrontierShard:
         batch dict build dominates; the loop stays.)"""
         added = 0
         for url, depth, host in zip(urls, depths, hosts):
+            if self.deny_rx and any(rx.search(url) for rx in self.deny_rx):
+                # trap-pattern quarantine: same terminal handling as a
+                # robots disallow — never enqueued, never retried
+                if url not in self.errored:
+                    self.errored[url] = "trap_denied"
+                continue
             if self.robots.obey and not self.robots.allowed(url):
                 # quarantined like a fetch failure: never enqueued,
                 # never retried, visible in the errored table

@@ -129,3 +129,62 @@ def test_prime_keeps_one_block_per_bucket_file(ray_session, tmp_path):
         assert all(len(s) == 1 for s in info["block_buckets"])
     finally:
         clear_pages_cache()
+
+
+def test_deny_url_patterns_quarantine(ray_session):
+    """Trap-guard regexes quarantine candidates at admission: denied
+    URLs land in errored as trap_denied, are never fetched, and their
+    subtrees stay unreachable through the denied edge."""
+    import pyarrow as pa
+
+    from louis_crawler_legacy_ray.pipelines.crawl import (
+        CrawlConfig,
+        edges_expand,
+        run_frontier,
+    )
+
+    edges = pa.table(
+        {
+            "src": [
+                "http://a.ca/root",
+                "http://a.ca/root",
+                "http://a.ca/cal?d=1",
+                "http://a.ca/page",
+            ],
+            "dst": [
+                "http://a.ca/cal?d=1",
+                "http://a.ca/page",
+                "http://a.ca/cal?d=2",
+                "http://a.ca/leaf",
+            ],
+        }
+    )
+    res = run_frontier(
+        edges_expand(edges),
+        ["http://a.ca/root"],
+        CrawlConfig(n_shards=2, max_depth=4, deny_url_patterns=[r"/cal\?"]),
+    )
+    urls = set(res.order["url"].to_pylist())
+    assert urls == {"http://a.ca/root", "http://a.ca/page", "http://a.ca/leaf"}
+    # d=1 quarantined at admission; d=2 only discoverable through the
+    # denied page so it was never even seen
+    assert res.counts["errored"] == 1
+
+    # reason string on the shard itself
+    import ray as _ray
+
+    from louis_crawler_legacy_ray.state.seen import FrontierShard
+
+    shard = FrontierShard.options(num_cpus=0).remote(
+        0, deny_url_patterns=[r"/cal\?"]
+    )
+    added = _ray.get(
+        shard.enqueue.remote(
+            ["http://a.ca/cal?d=9", "http://a.ca/ok"], [1, 1], ["a.ca", "a.ca"]
+        )
+    )
+    assert added == 1
+    d = _ray.get(shard.dump.remote())
+    err = dict(zip(d["errored"]["url"].to_pylist(), d["errored"]["error"].to_pylist()))
+    assert err == {"http://a.ca/cal?d=9": "trap_denied"}
+    _ray.kill(shard)
