@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_delay_budget",  # new in r4 (robots Crawl-delay politeness)
         "crawl_traps",  # new in r4 (URL-pattern-explosion trap detection)
         "crawl_trap_guard",  # new in r4 (deny-pattern quarantine at admission)
+        "crawl_retry_backoff",  # new in r4 (transient-failure exponential backoff)
         "recrawl_priority",  # new in r4 (adaptive recrawl scheduler)
         "host_budgets",  # new in r4 (largest-remainder budget apportionment)
         "surt_index",  # new in r4 (CDX-style SURT-keyed URL index)

@@ -107,6 +107,11 @@ class CrawlConfig:
     deny_url_patterns: list | None = None   # trap-guard regexes quarantined at
                                             # admission (feed from crawl_traps'
                                             # flagged patterns)
+    max_retries: int = 0                    # transient-failure retries per URL
+                                            # (0 = reference behavior: one shot,
+                                            # then quarantine as not_found)
+    backoff_base: int = 2                   # failure #f waits backoff_base**f
+                                            # rounds before re-eligibility
     priority: str = "depth_url"             # frontier order key: "depth_url" (FIFO-BFS) |
                                             # "short_url_first" ((depth, len(url), url) — shallow pages first) |
                                             # "score_desc" ((depth, -score, url) — importance-ordered crawl,
@@ -154,6 +159,8 @@ def config_hash(cfg: CrawlConfig, seeds: list[str]) -> str:
             "deny_url_patterns": sorted(cfg.deny_url_patterns)
             if cfg.deny_url_patterns
             else None,
+            "max_retries": cfg.max_retries,
+            "backoff_base": cfg.backoff_base,
             "priority": cfg.priority,
             # digest, not the map itself: the score table can be large
             "priority_scores": hashlib.blake2b(
@@ -324,7 +331,9 @@ class Frontier:
         ]
         return sum(ray.get(refs))
 
-    def take_round(self, n_buckets: int | None = None) -> "RoundSelection":
+    def take_round(
+        self, n_buckets: int | None = None, round_no: int = 0
+    ) -> "RoundSelection":
         """The r3 DISTRIBUTED round control plane: shards select and
         HOLD their sorted batches (take2); the driver works on counts,
         key probes, and driver-owned ObjectRefs — never on a row table
@@ -349,6 +358,7 @@ class Frontier:
                     politeness=cfg.politeness,
                     priority=cfg.priority,
                     host_budgets=cfg.host_budgets,
+                    round_no=round_no,
                 )
                 for s in self.shards
             ]
@@ -408,7 +418,8 @@ class Frontier:
     def counts(self) -> dict:
         per = ray.get([s.counts.remote() for s in self.shards])
         tot = {
-            k: sum(p[k] for p in per) for k in ("seen", "pending", "errored", "in_flight")
+            k: sum(p[k] for p in per)
+            for k in ("seen", "pending", "errored", "in_flight", "retrying")
         }
         tot["per_shard"] = per
         return tot
@@ -1579,9 +1590,17 @@ def run_frontier(
                 # complete; a plain --resume continues from it
                 break
             t0 = time.perf_counter()
-            sel = frontier.take_round(n_buckets=nb)
+            sel = frontier.take_round(n_buckets=nb, round_no=round_no)
             t_take = time.perf_counter() - t0
             if sel.total == 0:
+                if cfg.max_retries > 0 and frontier.counts().get("retrying", 0):
+                    # nothing eligible THIS round but backoff slots are
+                    # still pending: the scheduler idles this tick (no
+                    # order part, no metrics row) and re-takes at the
+                    # next round number — exactly how the oracle
+                    # simulation advances through empty rounds
+                    round_no += 1
+                    continue
                 break
             attempt = part_attempt if round_no == start_round else 0
             tag = f".a{attempt:02d}" if attempt else ""
@@ -1657,12 +1676,16 @@ def run_frontier(
             fin_refs, part_refs = [], []
             for s in frontier.shards:
                 a, b = s.finish_round_part.options(num_returns=2).remote(
-                    round_no, order_dir
+                    round_no,
+                    order_dir,
+                    max_retries=cfg.max_retries,
+                    backoff_base=cfg.backoff_base,
                 )
                 fin_refs.append(a)
                 part_refs.append(b)
             fin = ray.get(fin_refs)
             n_errored = sum(f["errored"] for f in fin)
+            n_retried = sum(f.get("retried", 0) for f in fin)
             if order_dir is None:
                 order_refs.extend(part_refs)
             dt = time.perf_counter() - t0
@@ -1672,6 +1695,7 @@ def run_frontier(
                 "selected": sel.total,
                 "fetched": stats["fetched"],
                 "errored": n_errored,
+                "retried": n_retried,
                 "new_candidates": stats["admitted"],
                 "pending_lag": counts["pending"],
                 "seconds": dt,

@@ -1532,6 +1532,95 @@ SELECT url, CAST(min(depth) AS INTEGER) AS depth FROM walk GROUP BY url
 )
 
 
+def q_crawl_retry_backoff(sf_dir: str):
+    """Transient-failure retry with exponential backoff under the
+    exact gate: a shared flaky origin (stages/fetch.py
+    FlakyOriginServer — pages with doc_id % 5 == 3 return nothing
+    until their 3rd fetch attempt) drives the scheduler's retry path:
+    failure #f re-schedules the URL for round + 2**f inside its owning
+    shard, so a flaky page discovered at round r fetches at r+6
+    (fail, +2, fail, +4, success) and its subtree's discovery shifts
+    with it. The oracle simulation carries (attempts, avail_round) per
+    URL through the same recursion. max_retries=3 bounds escalation;
+    rounds where only backoff slots are pending idle forward without
+    an order part."""
+    import ray as _ray
+
+    from ..stages.fetch import FlakyClient, FlakyOriginServer
+    from .crawl import CrawlConfig, run_crawl_with_fetcher
+
+    corpus = multihost_corpus_dir(sf_dir)
+    server = _ray.remote(FlakyOriginServer).options(num_cpus=0).remote(corpus)
+    try:
+        cfg = CrawlConfig(
+            n_shards=4,
+            max_depth=6,
+            max_rounds=96,
+            max_retries=3,
+            backoff_base=2,
+        )
+        res = run_crawl_with_fetcher(
+            lambda: FlakyClient(server), [_mh_seed(sf_dir)], cfg
+        )
+        assert any(m.get("retried") for m in res.metrics), "retries must fire"
+        assert res.counts["errored"] == 0, "every flaky page recovers"
+        order = res.order
+    finally:
+        _ray.kill(server)
+    return order
+
+
+SQL_CRAWL_RETRY_BACKOFF = (
+    "WITH RECURSIVE "
+    + _SQL_MH_CTE.replace("WITH ", "", 1)
+    + """,
+edges AS (
+  SELECT url AS src, c1_url AS dst FROM pg
+  UNION ALL SELECT url, c2_url FROM pg),
+sim(round, url, depth, att, avail, done) AS (
+  SELECT 0 AS round, url, CAST(0 AS INTEGER) AS depth,
+         0 AS att, 0 AS avail, FALSE AS done
+  FROM pg WHERE doc_id = 0
+  UNION ALL
+  (
+  WITH prev AS (SELECT * FROM sim),
+  cur AS (SELECT max(round) AS r FROM prev),
+  sel AS (SELECT p.url, p.depth, p.att, g.doc_id
+          FROM prev p JOIN pg g ON g.url = p.url, cur
+          WHERE NOT p.done AND p.avail <= cur.r),
+  oc AS (SELECT url, depth, att + 1 AS att2,
+                ((doc_id % 5) <> 3 OR att + 1 >= 3) AS succ
+         FROM sel),
+  disc AS (SELECT e.dst AS url, min(o.depth + 1) AS ddepth
+           FROM oc o JOIN edges e ON e.src = o.url
+           WHERE o.succ GROUP BY e.dst),
+  kids AS (SELECT d.url, d.ddepth FROM disc d
+           WHERE d.ddepth <= 6
+             AND NOT EXISTS (SELECT 1 FROM prev p WHERE p.url = d.url)),
+  nstate AS (
+    SELECT o.url, o.depth, o.att2 AS att,
+           CASE WHEN o.succ THEN 0
+                ELSE cur.r + CAST(power(2, o.att2) AS INTEGER) END AS avail,
+           o.succ AS done
+    FROM oc o, cur
+    UNION ALL
+    SELECT p.url, p.depth, p.att, p.avail, p.done
+    FROM prev p, cur
+    WHERE p.done OR p.avail > cur.r
+    UNION ALL
+    SELECT k.url, k.ddepth, 0, 0, FALSE FROM kids k)
+  SELECT cur.r + 1, n.url, CAST(n.depth AS INTEGER), n.att, n.avail, n.done
+  FROM nstate n, cur
+  WHERE EXISTS (SELECT 1 FROM prev WHERE NOT done) AND cur.r < 96
+  )
+)
+SELECT CAST(min(round) - 1 AS INTEGER) AS round, depth, url
+FROM sim WHERE done
+GROUP BY depth, url
+"""
+)
+
+
 def q_crawl_multihost_capped(sf_dir: str):
     """The r3 DISTRIBUTED global round cap under the exact gate: a
     multi-host crawl with round_limit=9 makes every round select the 9
@@ -5057,6 +5146,7 @@ QUERIES = {
     "crawl_delay_budget": q_crawl_delay_budget,
     "crawl_traps": q_crawl_traps,
     "crawl_trap_guard": q_crawl_trap_guard,
+    "crawl_retry_backoff": q_crawl_retry_backoff,
     "crawl_metrics_budget": q_crawl_metrics_budget,
     "crawl_multihost_capped": q_crawl_multihost_capped,
     "crawl_multihost_domains": q_crawl_multihost_domains,
@@ -5191,6 +5281,7 @@ ORACLE_SQL = {
     "crawl_delay_budget": SQL_CRAWL_DELAY_BUDGET,
     "crawl_traps": SQL_CRAWL_TRAPS,
     "crawl_trap_guard": SQL_CRAWL_TRAP_GUARD,
+    "crawl_retry_backoff": SQL_CRAWL_RETRY_BACKOFF,
     "crawl_metrics_budget": SQL_CRAWL_METRICS_BUDGET,
     "crawl_multihost_capped": SQL_CRAWL_MULTIHOST_CAPPED,
     "crawl_multihost_domains": SQL_CRAWL_MULTIHOST_DOMAINS,

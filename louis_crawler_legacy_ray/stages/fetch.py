@@ -276,3 +276,89 @@ class DictFetcher(Fetcher):
                 "html": pa.array(got_html, pa.string()),
             }
         )
+
+
+class FlakyOriginServer:
+    """A stand-in FLAKY origin for the retry/backoff scheduler: pages
+    whose doc id satisfies ``doc_id % flaky_mod == flaky_rem`` return
+    nothing (a transient 5xx) until their ``succeed_on``-th fetch
+    attempt, then serve normally. Attempt counts must be GLOBAL per
+    URL (a real origin recovers per resource, not per client), so this
+    runs as ONE Ray actor — wrap with ``ray.remote(FlakyOriginServer)``
+    and hand workers a :class:`FlakyClient`. It is a fault-injection
+    test double, not a scale path: a production crawl's flakiness
+    comes from the network; only the per-url attempt bookkeeping needs
+    to be shared, and only in tests."""
+
+    def __init__(
+        self,
+        pages_path: str,
+        flaky_mod: int = 5,
+        flaky_rem: int = 3,
+        succeed_on: int = 3,
+    ):
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
+        tbl = pa.concat_tables(
+            [pq.read_table(f, columns=["url", "html"]) for f in files]
+        )
+        html = tbl["html"]
+        if html.type in (pa.binary(), pa.large_binary()):
+            html = html.cast(pa.string())
+        self.pages = dict(zip(tbl["url"].to_pylist(), html.to_pylist()))
+        self.attempts: dict[str, int] = {}
+        self.flaky_mod = flaky_mod
+        self.flaky_rem = flaky_rem
+        self.succeed_on = succeed_on
+
+    def _doc_id(self, url: str) -> int | None:
+        import re
+
+        m = re.search(r"doc(\d+)$", url)
+        return int(m.group(1)) if m else None
+
+    def fetch(self, urls) -> pa.Table:
+        if not isinstance(urls, list):
+            urls = urls.to_pylist()
+        got_urls: list[str] = []
+        got_html: list[str] = []
+        for u in urls:
+            a = self.attempts.get(u, 0) + 1
+            self.attempts[u] = a
+            doc = self._doc_id(u)
+            if (
+                doc is not None
+                and doc % self.flaky_mod == self.flaky_rem
+                and a < self.succeed_on
+            ):
+                continue  # transient failure: url absent from the result
+            html = self.pages.get(u)
+            if html is not None:
+                got_urls.append(u)
+                got_html.append(html)
+        return pa.table(
+            {
+                "url": pa.array(got_urls, pa.string()),
+                "html": pa.array(got_html, pa.string()),
+            }
+        )
+
+    def attempt_counts(self) -> dict:
+        return dict(self.attempts)
+
+
+class FlakyClient(Fetcher):
+    """Worker-side handle to a shared :class:`FlakyOriginServer` actor
+    (picklable: actor handles serialize into fetch tasks)."""
+
+    def __init__(self, server):
+        self.server = server
+
+    def fetch(self, urls: pa.Array) -> pa.Table:
+        import ray
+
+        return ray.get(self.server.fetch.remote(urls))

@@ -67,6 +67,10 @@ def write_checkpoint(
             pq.write_table(
                 d["host_tokens"], os.path.join(sdir, "host_tokens.parquet")
             )
+        # transient-failure backoff state (written only when non-empty:
+        # retry-free crawls keep the r3 checkpoint layout byte-for-byte)
+        if d.get("retries") is not None and d["retries"].num_rows:
+            pq.write_table(d["retries"], os.path.join(sdir, "retries.parquet"))
         # a salvaged partial round's unfetched remainder (SIGTERM
         # salvage): the resumed round re-takes exactly these rows
         if "resume_sel" in d:
@@ -167,6 +171,8 @@ def load_checkpoint(
         host_tokens = pq.read_table(ht_path) if os.path.exists(ht_path) else None
         rs_path = os.path.join(sdir, "resume_sel.parquet")
         resume_sel = pq.read_table(rs_path) if os.path.exists(rs_path) else None
+        rt_path = os.path.join(sdir, "retries.parquet")
+        retries = pq.read_table(rt_path) if os.path.exists(rt_path) else None
         loads.append(
             shard.load.remote(
                 tables["seen"],
@@ -174,6 +180,7 @@ def load_checkpoint(
                 tables["errored"],
                 host_tokens,
                 resume_sel,
+                retries,
             )
         )
     ray.get(loads)

@@ -241,6 +241,14 @@ class FrontierShard:
         # pending: url -> (depth, host); first enqueue wins (depth is the
         # BFS discovery depth — a url is only ever enqueued once)
         self.pending: dict[str, tuple[int, str]] = {}
+        # transient-failure retry state (CrawlConfig.max_retries > 0):
+        # url -> (depth, host, failures, avail_round). A failed fetch
+        # waits out its exponential backoff here instead of being
+        # quarantined; take2 admits entries whose avail_round has
+        # arrived. retry_fails carries the failure count while the URL
+        # is back in flight so the NEXT failure keeps escalating.
+        self.retrying: dict[str, tuple[int, str, int, int]] = {}
+        self.retry_fails: dict[str, int] = {}
         # membership front: bloom (space-optimal) or cuckoo (supports
         # deletion — TTL recrawl / host purges at 10^10 scale); both
         # share the add/maybe_contains API and keep the exact backing
@@ -327,7 +335,11 @@ class FrontierShard:
                 url in self.seen
                 or url in self.errored
                 or url in self.in_flight
+                or url in self.retrying
             ):
+                # a retrying URL keeps its original discovery depth and
+                # backoff slot; rediscovery neither re-admits nor
+                # promotes it (it already failed a fetch at that depth)
                 continue
             self.pending[url] = (depth, host)
             if self.bloom is not None:
@@ -344,6 +356,7 @@ class FrontierShard:
         politeness: str = "budget",
         priority: str = "depth_url",
         host_budgets: dict | None = None,
+        round_no: int = 0,
     ) -> pa.Table:
         """Select the next fetch batch: pending sorted by (depth, url)
         — the BFS priority order (O1, goldie_playwright_parallel.py:
@@ -367,6 +380,7 @@ class FrontierShard:
             politeness=politeness,
             priority=priority,
             host_budgets=host_budgets,
+            round_no=round_no,
         )
         return self._sel_table()
 
@@ -378,6 +392,7 @@ class FrontierShard:
         politeness: str = "budget",
         priority: str = "depth_url",
         host_budgets: dict | None = None,
+        round_no: int = 0,
     ) -> dict:
         """Same selection semantics as ``take`` but the selection stays
         HELD in this shard — the driver receives only ``{"count": n}``
@@ -407,11 +422,27 @@ class FrontierShard:
                 for d, u in zip(depths, urls)
             ]
             return {"count": len(urls)}
+        import itertools as _it
+
+        # retry entries whose backoff has elapsed compete in the same
+        # priority order as fresh pending URLs (they keep their original
+        # discovery depth); not-yet-due entries stay in retrying
+        due = (
+            (u, v)
+            for u, v in self.retrying.items()
+            if v[3] <= round_no and (max_depth is None or v[0] <= max_depth)
+        )
         items = sorted(
-            (
-                (_sel_key(priority, depth, url, self.priority_scores), url, depth, host)
-                for url, (depth, host) in self.pending.items()
-                if max_depth is None or depth <= max_depth
+            _it.chain(
+                (
+                    (_sel_key(priority, depth, url, self.priority_scores), url, depth, host)
+                    for url, (depth, host) in self.pending.items()
+                    if max_depth is None or depth <= max_depth
+                ),
+                (
+                    (_sel_key(priority, d, u, self.priority_scores), u, d, h)
+                    for u, (d, h, _f, _a) in due
+                ),
             ),
         )
         token_bucket = politeness == "token_bucket" and per_host_budget is not None
@@ -460,7 +491,13 @@ class FrontierShard:
             for host, cap in caps.items():
                 self.host_tokens[host] = cap - host_counts.get(host, 0)
         for url in sel_urls:
-            del self.pending[url]
+            if url in self.pending:
+                del self.pending[url]
+            else:
+                # selected out of retrying: carry the failure count so
+                # another failure keeps escalating the backoff
+                _d, _h, fails, _avail = self.retrying.pop(url)
+                self.retry_fails[url] = fails
             self.in_flight.add(url)
         # selection stays shard-side, sorted by the priority key — the
         # `items` iteration order — for rank probes and the order part
@@ -649,7 +686,13 @@ class FrontierShard:
         for partial-round resume — see load())."""
         self._resume_sel = None
 
-    def finish_round_part(self, round_no: int, order_dir: str | None = None):
+    def finish_round_part(
+        self,
+        round_no: int,
+        order_dir: str | None = None,
+        max_retries: int = 0,
+        backoff_base: int = 2,
+    ):
         """End-of-round, shard-side: quarantine still-in-flight URLs as
         errored (the reference's 404 path) and emit THIS shard's slice
         of the crawl order — the selection minus the errored rows — as
@@ -660,14 +703,37 @@ class FrontierShard:
         resumable layout crawl_items/metrics already use), in which
         case the returned table is empty. Replaces the driver-side
         ``order_parts.append`` accumulation (VERDICT r2 'What's wrong'
-        #2)."""
-        errored = sorted(self.in_flight)
-        for url in errored:
-            self.errored[url] = "not_found"
+        #2).
+
+        With ``max_retries > 0`` a failed fetch is TRANSIENT until its
+        failure count exceeds the cap: failure #f re-schedules the URL
+        for round ``round_no + backoff_base**f`` (exponential backoff,
+        state colocated in this shard); only failure #(max_retries+1)
+        quarantines. Retried URLs are excluded from this round's order
+        part exactly like quarantined ones."""
+        failed = sorted(self.in_flight)
+        errored = []
+        if max_retries > 0 and failed:
+            selmap = {
+                u: (d, h)
+                for u, d, h in zip(*(self._sel or ([], [], [])))
+            }
+            for url in failed:
+                f = self.retry_fails.pop(url, 0) + 1
+                if f <= max_retries and url in selmap:
+                    d, h = selmap[url]
+                    self.retrying[url] = (d, h, f, round_no + backoff_base**f)
+                else:
+                    self.errored[url] = "not_found"
+                    errored.append(url)
+        else:
+            errored = failed
+            for url in errored:
+                self.errored[url] = "not_found"
         self.in_flight.clear()
         urls, depths, _hosts = self._sel if self._sel is not None else ([], [], [])
-        if errored:
-            bad = set(errored)
+        if failed:
+            bad = set(failed)
             keep = [(u, d) for u, d in zip(urls, depths) if u not in bad]
             urls = [u for u, _ in keep]
             depths = [d for _, d in keep]
@@ -680,7 +746,11 @@ class FrontierShard:
         )
         self._sel = None
         self._sel_keys = None
-        stats = {"errored": len(errored), "ok": ok.num_rows}
+        stats = {
+            "errored": len(errored),
+            "ok": ok.num_rows,
+            "retried": len(failed) - len(errored),
+        }
         if order_dir is not None:
             import os
             import uuid
@@ -741,6 +811,10 @@ class FrontierShard:
         s = set(urls)
         self.in_flight -= s
         self.seen |= s
+        if self.retry_fails:
+            # a retried URL finally fetched: its failure count is done
+            for u in s.intersection(self.retry_fails):
+                del self.retry_fails[u]
 
     def expire(self, urls: list[str]) -> int:
         """TTL recrawl primitive: forget that these URLs were seen so a
@@ -778,6 +852,7 @@ class FrontierShard:
             "pending": len(self.pending),
             "errored": len(self.errored),
             "in_flight": len(self.in_flight),
+            "retrying": len(self.retrying),
         }
 
     def dump(self) -> dict:
@@ -800,6 +875,46 @@ class FrontierShard:
                 {
                     "url": pa.array(list(self.errored.keys()), pa.string()),
                     "error": pa.array(list(self.errored.values()), pa.string()),
+                }
+            ),
+            # transient-failure retry state: both waiting entries
+            # (backoff slot + failure count) and the failure counts of
+            # URLs currently back in flight (state='inflight', whose
+            # depth/host ride the selection, not this table) — without
+            # them a resumed crawl would restart every backoff from
+            # scratch and schedule differently
+            "retries": pa.table(
+                {
+                    "url": pa.array(
+                        list(self.retrying.keys())
+                        + list(self.retry_fails.keys()),
+                        pa.string(),
+                    ),
+                    "depth": pa.array(
+                        [v[0] for v in self.retrying.values()]
+                        + [0] * len(self.retry_fails),
+                        pa.int32(),
+                    ),
+                    "host": pa.array(
+                        [v[1] for v in self.retrying.values()]
+                        + [""] * len(self.retry_fails),
+                        pa.string(),
+                    ),
+                    "fails": pa.array(
+                        [v[2] for v in self.retrying.values()]
+                        + list(self.retry_fails.values()),
+                        pa.int32(),
+                    ),
+                    "avail": pa.array(
+                        [v[3] for v in self.retrying.values()]
+                        + [-1] * len(self.retry_fails),
+                        pa.int32(),
+                    ),
+                    "state": pa.array(
+                        ["waiting"] * len(self.retrying)
+                        + ["inflight"] * len(self.retry_fails),
+                        pa.string(),
+                    ),
                 }
             ),
             # banked politeness carry: without it a token_bucket crawl
@@ -833,6 +948,7 @@ class FrontierShard:
         errored: pa.Table,
         host_tokens: pa.Table | None = None,
         resume_sel: pa.Table | None = None,
+        retries: pa.Table | None = None,
     ) -> None:
         self.seen = set(seen["url"].to_pylist())
         self.pending = {
@@ -856,6 +972,21 @@ class FrontierShard:
             if host_tokens is not None
             else {}
         )
+        self.retrying = {}
+        self.retry_fails = {}
+        if retries is not None:
+            for u, d, h, f, a, st in zip(
+                retries["url"].to_pylist(),
+                retries["depth"].to_pylist(),
+                retries["host"].to_pylist(),
+                retries["fails"].to_pylist(),
+                retries["avail"].to_pylist(),
+                retries["state"].to_pylist(),
+            ):
+                if st == "waiting":
+                    self.retrying[u] = (int(d), h, int(f), int(a))
+                else:
+                    self.retry_fails[u] = int(f)
         # a salvaged partial round's remainder: back to in_flight (so
         # enqueue dedup still knows it) and stashed for the next take2.
         # A PRESENT-but-EMPTY resume_sel is meaningful: the shard was

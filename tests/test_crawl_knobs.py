@@ -188,3 +188,146 @@ def test_deny_url_patterns_quarantine(ray_session):
     err = dict(zip(d["errored"]["url"].to_pylist(), d["errored"]["error"].to_pylist()))
     assert err == {"http://a.ca/cal?d=9": "trap_denied"}
     _ray.kill(shard)
+
+
+def test_retry_backoff_schedule(ray_session, tmp_path):
+    """A flaky origin (doc3 fails until its 3rd attempt): the retry
+    scheduler re-tries at +2 then +4 rounds, the page finally fetches
+    at round 7 (discovered round 1), and nothing is quarantined."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    from louis_crawler_legacy_ray.pipelines.crawl import (
+        CrawlConfig,
+        run_crawl_with_fetcher,
+    )
+    from louis_crawler_legacy_ray.stages.fetch import (
+        FlakyClient,
+        FlakyOriginServer,
+    )
+
+    corpus = tmp_path / "flaky_pages"
+    corpus.mkdir()
+    pages = pa.table(
+        {
+            "url": [
+                "http://a.ca/doc0",
+                "http://a.ca/doc3",
+                "http://a.ca/doc4",
+            ],
+            "html": [
+                '<a href="/doc3">x</a><a href="/doc4">y</a>',
+                '<a href="/doc4">y</a>',
+                "<p>leaf</p>",
+            ],
+        }
+    )
+    pq.write_table(pages, corpus / "part0.parquet")
+    server = _ray.remote(FlakyOriginServer).options(num_cpus=0).remote(
+        str(corpus)
+    )
+    try:
+        res = run_crawl_with_fetcher(
+            lambda: FlakyClient(server),
+            ["http://a.ca/doc0"],
+            CrawlConfig(n_shards=2, max_depth=3, max_rounds=32, max_retries=3),
+        )
+        got = {
+            u: r
+            for u, r in zip(
+                res.order["url"].to_pylist(), res.order["round"].to_pylist()
+            )
+        }
+        # doc0 round 0; doc4 round 1; doc3 fails at rounds 1 and 3,
+        # succeeds at round 7 (1 + 2 + 4)
+        assert got == {
+            "http://a.ca/doc0": 0,
+            "http://a.ca/doc4": 1,
+            "http://a.ca/doc3": 7,
+        }
+        assert res.counts["errored"] == 0
+        counts = _ray.get(server.attempt_counts.remote())
+        assert counts["http://a.ca/doc3"] == 3
+        # a permanently missing page exhausts max_retries then quarantines
+        res2 = run_crawl_with_fetcher(
+            lambda: FlakyClient(server),
+            ["http://a.ca/doc0", "http://a.ca/gone"],
+            CrawlConfig(n_shards=2, max_depth=3, max_rounds=32, max_retries=2),
+        )
+        assert res2.counts["errored"] == 1
+        assert "http://a.ca/gone" not in set(res2.order["url"].to_pylist())
+    finally:
+        _ray.kill(server)
+
+
+def test_retry_state_rides_checkpoints(ray_session, tmp_path):
+    """Kill between rounds while a URL waits out its backoff: the
+    resumed crawl reloads (fails, avail_round) and fetches it at the
+    SAME round an uninterrupted run would."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    from louis_crawler_legacy_ray.pipelines.crawl import (
+        CrawlConfig,
+        run_crawl_with_fetcher,
+    )
+    from louis_crawler_legacy_ray.stages.fetch import (
+        FlakyClient,
+        FlakyOriginServer,
+    )
+
+    corpus = tmp_path / "flaky_pages2"
+    corpus.mkdir()
+    pages = pa.table(
+        {
+            "url": ["http://a.ca/doc0", "http://a.ca/doc3"],
+            "html": ['<a href="/doc3">x</a>', "<p>leaf</p>"],
+        }
+    )
+    pq.write_table(pages, corpus / "part0.parquet")
+
+    def fresh_server():
+        return _ray.remote(FlakyOriginServer).options(num_cpus=0).remote(
+            str(corpus)
+        )
+
+    cfg_kwargs = dict(n_shards=2, max_depth=3, max_retries=3)
+    s1 = fresh_server()
+    try:
+        base = run_crawl_with_fetcher(
+            lambda: FlakyClient(s1),
+            ["http://a.ca/doc0"],
+            CrawlConfig(max_rounds=32, **cfg_kwargs),
+        )
+        base_order = sorted(
+            zip(base.order["url"].to_pylist(), base.order["round"].to_pylist())
+        )
+    finally:
+        _ray.kill(s1)
+
+    # interrupted run: stop after round 3 (doc3 failed twice, waiting
+    # for round 7), then resume from the checkpoint with a fresh
+    # engine but the SAME origin attempt counts
+    s2 = fresh_server()
+    ck = str(tmp_path / "ck")
+    try:
+        run_crawl_with_fetcher(
+            lambda: FlakyClient(s2),
+            ["http://a.ca/doc0"],
+            CrawlConfig(max_rounds=4, checkpoint_dir=ck, **cfg_kwargs),
+        )
+        res = run_crawl_with_fetcher(
+            lambda: FlakyClient(s2),
+            ["http://a.ca/doc0"],
+            CrawlConfig(max_rounds=32, checkpoint_dir=ck, **cfg_kwargs),
+            resume=True,
+        )
+        got = sorted(
+            zip(res.order["url"].to_pylist(), res.order["round"].to_pylist())
+        )
+        assert got == base_order
+        assert _ray.get(s2.attempt_counts.remote())["http://a.ca/doc3"] == 3
+    finally:
+        _ray.kill(s2)
