@@ -174,7 +174,35 @@ def extract_page(
         "last_updated": last_updated,
         "children": extract_children(hrefs, url, allowed_domains),
         "links": extract_links(hrefs, url, allowed_domains),
+        "redirect": meta_refresh_target(url, html, allowed_domains),
     }
+
+
+_META_REFRESH_RX = None
+
+
+def meta_refresh_target(
+    url: str, html: str, allowed_domains: list[str] | None = None
+) -> str | None:
+    """The page's ``<meta http-equiv="refresh" content="N;url=...">``
+    target, absolutized + canonicalized EXACTLY like a frontier link
+    candidate (extract_links rules) — the HTML-level stand-in for an
+    HTTP 3xx in a corpus of stored bodies. None when the page has no
+    refresh directive or its target is filtered (pdf/mailto/#/…)."""
+    import re as _re
+
+    global _META_REFRESH_RX
+    if _META_REFRESH_RX is None:
+        _META_REFRESH_RX = _re.compile(
+            r"<meta\s+http-equiv=[\"']refresh[\"']\s+"
+            r"content=[\"']\s*\d+\s*;\s*url=([^\"'>]+)[\"']",
+            _re.IGNORECASE,
+        )
+    m = _META_REFRESH_RX.search(html or "")
+    if not m:
+        return None
+    links = extract_links([m.group(1).strip()], url, allowed_domains)
+    return links[0] if links else None
 
 
 def extract_anchors(url: str, html: str) -> list[tuple[str, str]]:

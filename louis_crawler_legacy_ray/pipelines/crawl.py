@@ -112,6 +112,10 @@ class CrawlConfig:
                                             # then quarantine as not_found)
     backoff_base: int = 2                   # failure #f waits backoff_base**f
                                             # rounds before re-eligibility
+    follow_redirects: bool = False          # meta-refresh targets (the stored-
+                                            # corpus 3xx stand-in) enqueue at the
+                                            # SOURCE's depth (a redirect hop
+                                            # costs a round, not depth)
     priority: str = "depth_url"             # frontier order key: "depth_url" (FIFO-BFS) |
                                             # "short_url_first" ((depth, len(url), url) — shallow pages first) |
                                             # "score_desc" ((depth, -score, url) — importance-ordered crawl,
@@ -161,6 +165,7 @@ def config_hash(cfg: CrawlConfig, seeds: list[str]) -> str:
             else None,
             "max_retries": cfg.max_retries,
             "backoff_base": cfg.backoff_base,
+            "follow_redirects": cfg.follow_redirects,
             "priority": cfg.priority,
             # digest, not the map itself: the score table can be large
             "priority_scores": hashlib.blake2b(
@@ -532,7 +537,11 @@ def _hosts_and_shards(urls: pa.Array, n_shards: int, salt: dict):
 
 
 def _control_from_items(
-    items: pa.Table, n_shards: int, salt: dict, max_depth: int
+    items: pa.Table,
+    n_shards: int,
+    salt: dict,
+    max_depth: int,
+    follow_redirects: bool = False,
 ) -> pa.Table:
     """Build the round's control rows from an extracted batch -- all
     Arrow/numpy kernels, no Python per-URL loop, and NO blocking RPC
@@ -540,6 +549,10 @@ def _control_from_items(
     triggers replacement-worker oversubscription):
       kind 'f': fetched page URLs (-> record_fetched)
       kind 'c': depth+1 link candidates within the bound (-> enqueue)
+    With ``follow_redirects``, a page's meta-refresh target (the stored
+    -corpus stand-in for an HTTP 3xx Location) also becomes a 'c' row
+    at the SOURCE's depth — a redirect hop costs a round but no depth,
+    like Scrapy's redirect middleware re-requesting in place.
     """
     import numpy as np
 
@@ -557,6 +570,15 @@ def _control_from_items(
     keep = pc.less_equal(nd, pa.scalar(max_depth, pa.int32()))
     dst = dst.filter(keep)
     nd = nd.filter(keep)
+    if follow_redirects and "redirect" in items.column_names:
+        red = _cc(items["redirect"])
+        rmask = red.is_valid()
+        if pc.any(rmask).as_py():
+            rdst = red.filter(rmask)
+            rnd = depths.filter(rmask).cast(pa.int32())
+            rkeep = pc.less_equal(rnd, pa.scalar(max_depth, pa.int32()))
+            dst = pa.concat_arrays([dst, rdst.filter(rkeep)])
+            nd = pa.concat_arrays([nd, rnd.filter(rkeep)])
 
     f_hosts, f_shards = _hosts_and_shards(urls, n_shards, salt)
     c_hosts, c_shards = _hosts_and_shards(dst, n_shards, salt)
@@ -724,6 +746,7 @@ def _fused_round_task(
     out_part: str | None,
     block_idx: int = 0,
     task_delay_ms: int = 0,
+    follow_redirects: bool = False,
 ) -> pa.Table:
     """One round x one GROUP of pinned corpus blocks: semi-join +
     extract, then SEND the control rows straight to their owning shard
@@ -836,7 +859,9 @@ def _fused_round_task(
     ts2 = _time.time()
     if out_part is not None:
         _write_items_part(items, out_part, f"part-{block_idx:05d}")
-    counts = _send_control(items, shards, n_shards, salt, max_depth)
+    counts = _send_control(
+        items, shards, n_shards, salt, max_depth, follow_redirects
+    )
     ts3 = _time.time()
     return _counts_table(
         counts["n_fetched_sent"][0].as_py(),
@@ -872,12 +897,17 @@ def _counts_table(
 
 
 def _send_control(
-    items: pa.Table, shards, n_shards: int, salt: dict, max_depth: int
+    items: pa.Table,
+    shards,
+    n_shards: int,
+    salt: dict,
+    max_depth: int,
+    follow_redirects: bool = False,
 ) -> pa.Table:
     """Fire-and-forget the round's control rows from inside a data task
     to their owning shard actors; returns the per-kind sent counts for
     the driver's delivery reconciliation."""
-    ctrl = _control_from_items(items, n_shards, salt, max_depth)
+    ctrl = _control_from_items(items, n_shards, salt, max_depth, follow_redirects)
     n_f = n_c = 0
     for sid in range(n_shards):
         sub = ctrl.filter(pc.equal(ctrl["shard"], sid))
@@ -1004,6 +1034,7 @@ def _fetch_round_task(
     max_depth: int,
     out_part: str | None,
     chunk_idx: int,
+    follow_redirects: bool = False,
 ) -> pa.Table:
     """One round x one URL chunk through an injected fetcher (the
     FetcherActor seam, stages/fetch.py): the factory builds/reuses the
@@ -1033,7 +1064,9 @@ def _fetch_round_task(
     items = extract_batch(pages, now_us=now_us, allowed_domains=allowed_domains)
     if out_part is not None:
         _write_items_part(items, out_part, f"part-{chunk_idx:05d}")
-    return _send_control(items, shards, n_shards, salt, max_depth)
+    return _send_control(
+        items, shards, n_shards, salt, max_depth, follow_redirects
+    )
 
 
 def fetcher_expand(
@@ -1078,6 +1111,7 @@ def fetcher_expand(
                         cfg.max_depth,
                         out_part,
                         chunk_idx,
+                        cfg.follow_redirects,
                     )
                 )
                 chunk_idx += 1
@@ -1207,7 +1241,11 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                     continue
                 ctrls.append(
                     _control_from_items(
-                        extract(hit), cfg.n_shards, cfg.hot_host_salt, cfg.max_depth
+                        extract(hit),
+                        cfg.n_shards,
+                        cfg.hot_host_salt,
+                        cfg.max_depth,
+                        cfg.follow_redirects,
                     )
                 )
             if not ctrls:
@@ -1310,6 +1348,7 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                         out_part,
                         g,
                         cfg.task_delay_ms,
+                        cfg.follow_redirects,
                     )
                 )
             _t_submit = time.perf_counter() - _tsub0
@@ -1342,6 +1381,7 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                     cfg.n_shards,
                     cfg.hot_host_salt,
                     cfg.max_depth,
+                    cfg.follow_redirects,
                 )
             items = extract(hit)
             if out_dir is not None:
@@ -1357,7 +1397,11 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                     f"part-{tag}",
                 )
             return _control_from_items(
-                items, cfg.n_shards, cfg.hot_host_salt, cfg.max_depth
+                items,
+                cfg.n_shards,
+                cfg.hot_host_salt,
+                cfg.max_depth,
+                cfg.follow_redirects,
             )
 
         ctrl_batches = list(

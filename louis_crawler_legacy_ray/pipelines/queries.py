@@ -1621,6 +1621,120 @@ GROUP BY depth, url
 )
 
 
+def redirect_corpus_dir(sf_dir: str) -> str:
+    """Multi-host corpus variant where every doc_id % 9 == 5 page is a
+    meta-refresh stub (the stored-corpus stand-in for an HTTP 301) to
+    its FIRST heap child — the page serves no body and no links, just
+    the redirect. Built once per sf_dir and cached like the other
+    derived corpora."""
+    key = f"{sf_dir}|mh{_MH_HOSTS}|redir9"
+    if key in _PAGES_CACHE:
+        return _PAGES_CACHE[key]
+    tag = hashlib.blake2b(key.encode(), digest_size=6).hexdigest()
+    out = f"/tmp/louis_pages_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        tmp = f"{out}.build-{os.getpid()}"
+        docs = _docs_table(sf_dir)
+        pages = pages_from_documents(docs, n_hosts=_MH_HOSTS)
+        n = docs.num_rows
+        langs = docs["lang"].to_pylist()
+        sources = docs["source"].to_pylist()
+
+        def url_of(doc: int) -> str:
+            seg = "fra" if langs[doc] == "fr" else langs[doc]
+            return (
+                f"http://h{doc % _MH_HOSTS}.example.ca/{seg}/"
+                f"{sources[doc]}/doc{doc}"
+            )
+
+        rx = re.compile(r"doc(\d+)$")
+        urls = pages["url"].to_pylist()
+        htmls = pages["html"].to_pylist()
+        for i, u in enumerate(urls):
+            doc = int(rx.search(u).group(1))
+            if doc % 9 == 5:
+                target = url_of((2 * doc + 1) % n)
+                htmls[i] = (
+                    '<html><head><meta http-equiv="refresh" '
+                    f'content="0;url={target}"></head>'
+                    "<body>Moved</body></html>"
+                ).encode()
+        pages = pages.set_column(
+            pages.schema.get_field_index("html"),
+            "html",
+            pa.array(htmls, pa.binary()),
+        )
+        write_pages_parquet(pages, tmp, rows_per_file=4096)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    _PAGES_CACHE[key] = out
+    return out
+
+
+def q_crawl_redirects(sf_dir: str):
+    """Redirect following under the exact gate: doc_id % 9 == 5 pages
+    serve a meta-refresh (the HTTP-3xx stand-in a stored corpus can
+    express) to their first child, and with follow_redirects=True the
+    target enqueues at the SOURCE's depth — a redirect hop costs a
+    round but no depth, like Scrapy's redirect middleware re-requesting
+    in place. Redirect stubs publish no links, so their second subtree
+    is reachable only through other paths. The oracle is a round
+    simulation whose edge weights are 0 for redirects and 1 for links,
+    with per-round min over same-round discoveries."""
+    from .crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        n_shards=4, max_depth=6, max_rounds=64, follow_redirects=True
+    )
+    res = run_crawl(redirect_corpus_dir(sf_dir), [_mh_seed(sf_dir)], cfg)
+    return res.order
+
+
+SQL_CRAWL_REDIRECTS = (
+    "WITH RECURSIVE "
+    + _SQL_MH_CTE.replace("WITH ", "", 1)
+    + """,
+sim(round, url, depth, done) AS (
+  SELECT 0 AS round, url, CAST(0 AS INTEGER) AS depth, FALSE AS done
+  FROM pg WHERE doc_id = 0
+  UNION ALL
+  (
+  WITH prev AS (SELECT * FROM sim),
+  cur AS (SELECT max(round) AS r FROM prev),
+  sel AS (SELECT p.url, p.depth, g.doc_id, g.c1_url, g.c2_url
+          FROM prev p JOIN pg g ON g.url = p.url WHERE NOT p.done),
+  contrib AS (
+    SELECT c1_url AS url,
+           CASE WHEN doc_id % 9 = 5 THEN depth ELSE depth + 1 END AS d
+    FROM sel
+    UNION ALL
+    SELECT c2_url, depth + 1 FROM sel WHERE doc_id % 9 <> 5),
+  disc AS (SELECT url, min(d) AS ddepth FROM contrib GROUP BY url),
+  kids AS (SELECT d.url, d.ddepth FROM disc d
+           WHERE d.ddepth <= 6
+             AND NOT EXISTS (SELECT 1 FROM prev p WHERE p.url = d.url)),
+  nstate AS (
+    SELECT p.url, p.depth, TRUE AS done FROM prev p
+    UNION ALL
+    SELECT k.url, k.ddepth, FALSE FROM kids k)
+  SELECT cur.r + 1, n.url, CAST(n.depth AS INTEGER), n.done
+  FROM nstate n, cur
+  WHERE EXISTS (SELECT 1 FROM prev WHERE NOT done) AND cur.r < 64
+  )
+)
+SELECT CAST(min(round) - 1 AS INTEGER) AS round, depth, url
+FROM sim WHERE done
+GROUP BY depth, url
+"""
+)
+
+
 def q_crawl_multihost_capped(sf_dir: str):
     """The r3 DISTRIBUTED global round cap under the exact gate: a
     multi-host crawl with round_limit=9 makes every round select the 9
@@ -5147,6 +5261,7 @@ QUERIES = {
     "crawl_traps": q_crawl_traps,
     "crawl_trap_guard": q_crawl_trap_guard,
     "crawl_retry_backoff": q_crawl_retry_backoff,
+    "crawl_redirects": q_crawl_redirects,
     "crawl_metrics_budget": q_crawl_metrics_budget,
     "crawl_multihost_capped": q_crawl_multihost_capped,
     "crawl_multihost_domains": q_crawl_multihost_domains,
@@ -5282,6 +5397,7 @@ ORACLE_SQL = {
     "crawl_traps": SQL_CRAWL_TRAPS,
     "crawl_trap_guard": SQL_CRAWL_TRAP_GUARD,
     "crawl_retry_backoff": SQL_CRAWL_RETRY_BACKOFF,
+    "crawl_redirects": SQL_CRAWL_REDIRECTS,
     "crawl_metrics_budget": SQL_CRAWL_METRICS_BUDGET,
     "crawl_multihost_capped": SQL_CRAWL_MULTIHOST_CAPPED,
     "crawl_multihost_domains": SQL_CRAWL_MULTIHOST_DOMAINS,

@@ -30,6 +30,7 @@ CRAWL_ITEMS_SCHEMA = pa.schema(
         ("depth", pa.int32()),
         ("children", pa.list_(pa.string())),
         ("links", pa.list_(pa.string())),
+        ("redirect", pa.string()),
     ]
 )
 
@@ -78,6 +79,7 @@ def extract_items(
         "depth": [],
         "children": [],
         "links": [],
+        "redirect": [],
     }
     for url, html, depth in zip(urls, htmls, depths):
         if isinstance(html, bytes):
@@ -92,6 +94,7 @@ def extract_items(
         out["depth"].append(depth)
         out["children"].append(rec["children"])
         out["links"].append(rec["links"])
+        out["redirect"].append(rec.get("redirect"))
     return pa.table(
         {
             "url": pa.array(out["url"], pa.string()),
@@ -103,6 +106,7 @@ def extract_items(
             "depth": pa.array(out["depth"], pa.int32()),
             "children": pa.array(out["children"], pa.list_(pa.string())),
             "links": pa.array(out["links"], pa.list_(pa.string())),
+            "redirect": pa.array(out["redirect"], pa.string()),
         }
     )
 

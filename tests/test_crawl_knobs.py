@@ -331,3 +331,65 @@ def test_retry_state_rides_checkpoints(ray_session, tmp_path):
         assert _ray.get(s2.attempt_counts.remote())["http://a.ca/doc3"] == 3
     finally:
         _ray.kill(s2)
+
+
+def test_follow_redirects_same_depth(ray_session, tmp_path):
+    """A meta-refresh page redirects at ZERO depth cost: the target
+    lands at the source's depth one round later; with the flag off the
+    redirect page is just a dead end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from louis_crawler_legacy_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    corpus = tmp_path / "redir_pages"
+    corpus.mkdir()
+    pages = pa.table(
+        {
+            "url": [
+                "http://a.ca/root",
+                "http://a.ca/moved",
+                "http://a.ca/final",
+                "http://a.ca/deep",
+            ],
+            "html": [
+                b'<a href="/moved">m</a>',
+                b'<meta http-equiv="refresh" content="0;url=http://a.ca/final">',
+                b'<a href="/deep">d</a>',
+                b"<p>leaf</p>",
+            ],
+        }
+    )
+    pq.write_table(pages, corpus / "part0.parquet")
+
+    on = run_crawl(
+        str(corpus),
+        ["http://a.ca/root"],
+        CrawlConfig(n_shards=2, max_depth=2, max_rounds=16, follow_redirects=True),
+    )
+    got = {
+        u: (r, d)
+        for u, r, d in zip(
+            on.order["url"].to_pylist(),
+            on.order["round"].to_pylist(),
+            on.order["depth"].to_pylist(),
+        )
+    }
+    # moved: depth 1 round 1; final: SAME depth 1, round 2 (one round,
+    # zero depth); deep: depth 2 round 3
+    assert got == {
+        "http://a.ca/root": (0, 0),
+        "http://a.ca/moved": (1, 1),
+        "http://a.ca/final": (2, 1),
+        "http://a.ca/deep": (3, 2),
+    }
+
+    off = run_crawl(
+        str(corpus),
+        ["http://a.ca/root"],
+        CrawlConfig(n_shards=2, max_depth=2, max_rounds=16),
+    )
+    assert set(off.order["url"].to_pylist()) == {
+        "http://a.ca/root",
+        "http://a.ca/moved",
+    }
