@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_trap_guard",  # new in r4 (deny-pattern quarantine at admission)
         "crawl_retry_backoff",  # new in r4 (transient-failure exponential backoff)
         "crawl_redirects",  # new in r4 (meta-refresh 3xx following at source depth)
+        "crawl_full_policy",  # new in r4 (delay budgets + robots + traps + redirects, one gate)
         "recrawl_priority",  # new in r4 (adaptive recrawl scheduler)
         "host_budgets",  # new in r4 (largest-remainder budget apportionment)
         "surt_index",  # new in r4 (CDX-style SURT-keyed URL index)

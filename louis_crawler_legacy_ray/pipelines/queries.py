@@ -1735,6 +1735,98 @@ GROUP BY depth, url
 )
 
 
+def q_crawl_full_policy(sf_dir: str):
+    """The flagship POLICY COMPOSITION under one exact gate: a single
+    multi-host crawl where (1) three hosts' robots publish Crawl-delay
+    directives that become per-host budget caps (4/2/1 per round),
+    (2) a fourth host's robots Disallow quarantines its /fra/ subtree,
+    (3) a trap-guard deny pattern quarantines every /de/ URL at
+    admission, and (4) meta-refresh redirect stubs hop at source
+    depth — all four mechanisms interleave in the same rounds, so the
+    schedule exercises capped ranked selection, pending min-depth
+    rediscovery, admission filtering and 0-weight hops TOGETHER. The
+    oracle is one recursive round simulation carrying all four rules."""
+    from .crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=9,
+        max_rounds=96,
+        obey_robots=True,
+        honor_crawl_delay=True,
+        robots_txt_by_host={
+            "h0.example.ca": "User-agent: *\nCrawl-delay: 15\n",
+            "h1.example.ca": "User-agent: *\nCrawl-delay: 30\n",
+            "h2.example.ca": "User-agent: *\nCrawl-delay: 60\n",
+            "h3.example.ca": "User-agent: *\nDisallow: /fra/\n",
+        },
+        deny_url_patterns=[r"/de/"],
+        follow_redirects=True,
+    )
+    res = run_crawl(redirect_corpus_dir(sf_dir), [_mh_seed(sf_dir)], cfg)
+    assert res.counts["errored"] > 0, "policy quarantines must fire"
+    return res.order
+
+
+SQL_CRAWL_FULL_POLICY = (
+    "WITH RECURSIVE "
+    + _SQL_MH_CTE.replace("WITH ", "", 1)
+    + """,
+caps(chost, cap) AS (VALUES
+  ('h0.example.ca', 4), ('h1.example.ca', 2), ('h2.example.ca', 1)),
+sim(round, url, host, depth, done) AS (
+  SELECT 0 AS round, url, host, CAST(0 AS INTEGER) AS depth, FALSE AS done
+  FROM pg WHERE doc_id = 0
+  UNION ALL
+  (
+  WITH prev AS (SELECT * FROM sim),
+  pending AS (SELECT url, host, depth FROM prev WHERE NOT done),
+  ranked AS (SELECT p.url, p.host, p.depth,
+                    (SELECT count(*) FROM pending q
+                     WHERE q.host = p.host
+                       AND (q.depth, q.url) <= (p.depth, p.url)) AS rn
+             FROM pending p),
+  sel AS (SELECT r.url, r.host, r.depth
+          FROM ranked r LEFT JOIN caps c ON c.chost = r.host
+          WHERE r.rn <= coalesce(c.cap, 1000000000)),
+  selg AS (SELECT s.url, s.depth, g.doc_id, g.c1_url, g.c2_url
+           FROM sel s JOIN pg g ON g.url = s.url),
+  contrib AS (
+    SELECT c1_url AS url,
+           CASE WHEN doc_id % 9 = 5 THEN depth ELSE depth + 1 END AS d
+    FROM selg
+    UNION ALL
+    SELECT c2_url, depth + 1 FROM selg WHERE doc_id % 9 <> 5),
+  disc AS (SELECT url, min(d) AS ddepth FROM contrib
+           WHERE url NOT LIKE '%/de/%'
+             AND NOT (url LIKE 'http://h3.example.ca/%'
+                      AND url LIKE '%/fra/%')
+           GROUP BY url),
+  kids AS (SELECT d.url, d.ddepth FROM disc d
+           WHERE d.ddepth <= 9
+             AND NOT EXISTS (SELECT 1 FROM prev p WHERE p.url = d.url)),
+  nstate AS (
+    SELECT p.url, p.host,
+           CASE WHEN p.done OR p.url IN (SELECT url FROM sel) THEN p.depth
+                ELSE least(p.depth, coalesce(d.ddepth, p.depth)) END AS depth,
+           (p.done OR p.url IN (SELECT url FROM sel)) AS done
+    FROM prev p LEFT JOIN disc d ON d.url = p.url
+    UNION ALL
+    SELECT k.url, split_part(split_part(k.url, '//', 2), '/', 1),
+           k.ddepth, FALSE
+    FROM kids k)
+  SELECT r0.r + 1, n.url, n.host, CAST(n.depth AS INTEGER), n.done
+  FROM nstate n, (SELECT max(round) AS r FROM prev) r0
+  WHERE EXISTS (SELECT 1 FROM pending) AND r0.r < 96
+  )
+)
+SELECT CAST(min(round) - 1 AS INTEGER) AS round, depth, url
+FROM sim WHERE done
+GROUP BY depth, url
+"""
+)
+
+
 def q_crawl_multihost_capped(sf_dir: str):
     """The r3 DISTRIBUTED global round cap under the exact gate: a
     multi-host crawl with round_limit=9 makes every round select the 9
@@ -5262,6 +5354,7 @@ QUERIES = {
     "crawl_trap_guard": q_crawl_trap_guard,
     "crawl_retry_backoff": q_crawl_retry_backoff,
     "crawl_redirects": q_crawl_redirects,
+    "crawl_full_policy": q_crawl_full_policy,
     "crawl_metrics_budget": q_crawl_metrics_budget,
     "crawl_multihost_capped": q_crawl_multihost_capped,
     "crawl_multihost_domains": q_crawl_multihost_domains,
@@ -5398,6 +5491,7 @@ ORACLE_SQL = {
     "crawl_trap_guard": SQL_CRAWL_TRAP_GUARD,
     "crawl_retry_backoff": SQL_CRAWL_RETRY_BACKOFF,
     "crawl_redirects": SQL_CRAWL_REDIRECTS,
+    "crawl_full_policy": SQL_CRAWL_FULL_POLICY,
     "crawl_metrics_budget": SQL_CRAWL_METRICS_BUDGET,
     "crawl_multihost_capped": SQL_CRAWL_MULTIHOST_CAPPED,
     "crawl_multihost_domains": SQL_CRAWL_MULTIHOST_DOMAINS,
