@@ -151,3 +151,62 @@ def test_crawl_job_entrypoint(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     s2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert s2["fetched"] == summary["fetched"]
+
+
+def test_crawl_job_policy_flags(tmp_path):
+    """The policy knobs ride the CLI: robots discovered from the corpus
+    (--obey-robots), Crawl-delay-derived budgets (--honor-crawl-delay),
+    trap deny patterns and redirect following — one subprocess crawl
+    where all four bind."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "policy_pages")
+    os.makedirs(d)
+    pages = pa.table(
+        {
+            "url": [
+                "http://a.ca/robots.txt",
+                "http://a.ca/root",
+                "http://a.ca/page",
+                "http://a.ca/moved",
+                "http://a.ca/final",
+                "http://a.ca/private/x",
+                "http://a.ca/cal?d=1",
+            ],
+            "html": [
+                b"User-agent: *\nDisallow: /private/\nCrawl-delay: 30\n",
+                b'<a href="/private/x">p</a><a href="/page">g</a>'
+                b'<a href="/cal?d=1">c</a><a href="/moved">m</a>',
+                b"<p>leaf</p>",
+                b'<meta http-equiv="refresh" content="0;url=http://a.ca/final">',
+                b"<p>fin</p>",
+                b"<p>secret</p>",
+                b"<p>trap</p>",
+            ],
+        }
+    )
+    pq.write_table(pages, os.path.join(d, "part0.parquet"))
+    env = dict(os.environ, RAY_ADDRESS="local")
+    r = subprocess.run(
+        [
+            sys.executable, "tools/crawl_job.py", "--pages", d,
+            "--seeds", "http://a.ca/root", "--shards", "2",
+            "--max-depth", "3", "--obey-robots", "--honor-crawl-delay",
+            "--deny-pattern", r"/cal\?", "--follow-redirects",
+        ],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    # root + page + moved + final fetched; /private/x robots-quarantined,
+    # /cal?d=1 trap-quarantined; Crawl-delay 30 -> budget 2/round makes
+    # the schedule exactly 3 rounds (1, 2, 1)
+    assert summary["fetched"] == 4
+    assert summary["errored"] == 2
+    assert summary["rounds"] == 3

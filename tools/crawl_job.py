@@ -57,6 +57,26 @@ def main(argv: list[str] | None = None) -> int:
         "--inline-threshold", type=int, default=64,
         help="rounds at or under this size run driver-inline",
     )
+    p.add_argument(
+        "--obey-robots", action="store_true",
+        help="honor robots.txt Disallow rules discovered in the corpus",
+    )
+    p.add_argument(
+        "--honor-crawl-delay", action="store_true",
+        help="derive per-host budgets from robots Crawl-delay directives",
+    )
+    p.add_argument(
+        "--deny-pattern", action="append", default=None,
+        help="trap-guard regex quarantined at admission (repeatable)",
+    )
+    p.add_argument(
+        "--max-retries", type=int, default=0,
+        help="transient-failure retries per URL (exponential backoff)",
+    )
+    p.add_argument(
+        "--follow-redirects", action="store_true",
+        help="follow meta-refresh redirects at source depth",
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -77,6 +97,15 @@ def main(argv: list[str] | None = None) -> int:
     # --resume picks up (reference SIGINT salvage path)
     install_sigterm_salvage()
 
+    robots_by_host = None
+    if args.obey_robots or args.honor_crawl_delay:
+        # discover the corpus' own robots.txt rows (politeness.py)
+        from louis_crawler_legacy_ray.state.politeness import (
+            robots_from_corpus,
+        )
+
+        robots_by_host = robots_from_corpus(args.pages)
+
     cfg = CrawlConfig(
         n_shards=args.shards,
         max_depth=args.max_depth,
@@ -88,6 +117,12 @@ def main(argv: list[str] | None = None) -> int:
         checkpoint_dir=args.checkpoint,
         task_delay_ms=args.task_delay_ms,
         inline_round_threshold=args.inline_threshold,
+        robots_txt_by_host=robots_by_host,
+        obey_robots=args.obey_robots,
+        honor_crawl_delay=args.honor_crawl_delay,
+        deny_url_patterns=args.deny_pattern,
+        max_retries=args.max_retries,
+        follow_redirects=args.follow_redirects,
     )
     t0 = time.perf_counter()
     res = run_crawl(args.pages, args.seeds, cfg, out_dir=args.out, resume=args.resume)
