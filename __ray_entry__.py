@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_traps",  # new in r4 (URL-pattern-explosion trap detection)
         "crawl_trap_guard",  # new in r4 (deny-pattern quarantine at admission)
         "crawl_retry_backoff",  # new in r4 (transient-failure exponential backoff)
+        "crawl_metrics_retry",  # new in r4 (retry telemetry vs the same sim)
         "crawl_redirects",  # new in r4 (meta-refresh 3xx following at source depth)
         "crawl_full_policy",  # new in r4 (delay budgets + robots + traps + redirects, one gate)
         "recrawl_priority",  # new in r4 (adaptive recrawl scheduler)

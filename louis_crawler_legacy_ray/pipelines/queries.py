@@ -1570,7 +1570,7 @@ def q_crawl_retry_backoff(sf_dir: str):
     return order
 
 
-SQL_CRAWL_RETRY_BACKOFF = (
+_SQL_RETRY_SIM = (
     "WITH RECURSIVE "
     + _SQL_MH_CTE.replace("WITH ", "", 1)
     + """,
@@ -1614,11 +1614,85 @@ sim(round, url, depth, att, avail, done) AS (
   WHERE EXISTS (SELECT 1 FROM prev WHERE NOT done) AND cur.r < 96
   )
 )
+"""
+)
+
+SQL_CRAWL_RETRY_BACKOFF = (
+    _SQL_RETRY_SIM
+    + """
 SELECT CAST(min(round) - 1 AS INTEGER) AS round, depth, url
 FROM sim WHERE done
 GROUP BY depth, url
 """
 )
+
+# per-round telemetry from the SAME retry simulation: state at sim
+# round r holds what engine round r is about to select (not done,
+# backoff elapsed); done-count delta to r+1 = fetched, the rest of the
+# selection failed and re-entered backoff = retried. Idle rounds
+# (only waiting backoff slots eligible later) have selected = 0 and
+# emit no row, exactly like the engine's metrics list.
+SQL_CRAWL_METRICS_RETRY = (
+    _SQL_RETRY_SIM
+    + """,
+per AS (
+  SELECT round AS r,
+         count(*) FILTER (WHERE NOT done AND avail <= round) AS selected,
+         count(*) FILTER (WHERE done) AS n_done
+  FROM sim GROUP BY round)
+SELECT CAST(p.r AS BIGINT) AS round,
+       CAST(p.selected AS BIGINT) AS selected,
+       CAST(coalesce(p2.n_done, 0) - p.n_done AS BIGINT) AS fetched,
+       CAST(p.selected - (coalesce(p2.n_done, 0) - p.n_done) AS BIGINT)
+         AS retried
+FROM per p LEFT JOIN per p2 ON p2.r = p.r + 1
+WHERE p.selected > 0
+ORDER BY round
+"""
+)
+
+
+def q_crawl_metrics_retry(sf_dir: str):
+    """The retry scheduler's per-round telemetry, hash-checked: the
+    same flaky-origin crawl as crawl_retry_backoff, but the gate is
+    the metrics stream — selected (eligible incl. due retries),
+    fetched (survived the flaky origin), and the new ``retried``
+    counter (failed this round, re-entered backoff) per round, with
+    idle all-waiting rounds emitting no row. The oracle derives all
+    three from the same recursive retry simulation's state deltas."""
+    import ray as _ray
+
+    from ..stages.fetch import FlakyClient, FlakyOriginServer
+    from .crawl import CrawlConfig, run_crawl_with_fetcher
+
+    corpus = multihost_corpus_dir(sf_dir)
+    server = _ray.remote(FlakyOriginServer).options(num_cpus=0).remote(corpus)
+    try:
+        cfg = CrawlConfig(
+            n_shards=4,
+            max_depth=6,
+            max_rounds=96,
+            max_retries=3,
+            backoff_base=2,
+        )
+        res = run_crawl_with_fetcher(
+            lambda: FlakyClient(server), [_mh_seed(sf_dir)], cfg
+        )
+        m = res.metrics
+        assert sum(r.get("retried", 0) for r in m) > 0
+        tbl = pa.table(
+            {
+                "round": pa.array([r["round"] for r in m], pa.int64()),
+                "selected": pa.array([r["selected"] for r in m], pa.int64()),
+                "fetched": pa.array([r["fetched"] for r in m], pa.int64()),
+                "retried": pa.array(
+                    [r.get("retried", 0) for r in m], pa.int64()
+                ),
+            }
+        )
+    finally:
+        _ray.kill(server)
+    return tbl
 
 
 def redirect_corpus_dir(sf_dir: str) -> str:
@@ -5353,6 +5427,7 @@ QUERIES = {
     "crawl_traps": q_crawl_traps,
     "crawl_trap_guard": q_crawl_trap_guard,
     "crawl_retry_backoff": q_crawl_retry_backoff,
+    "crawl_metrics_retry": q_crawl_metrics_retry,
     "crawl_redirects": q_crawl_redirects,
     "crawl_full_policy": q_crawl_full_policy,
     "crawl_metrics_budget": q_crawl_metrics_budget,
@@ -5490,6 +5565,7 @@ ORACLE_SQL = {
     "crawl_traps": SQL_CRAWL_TRAPS,
     "crawl_trap_guard": SQL_CRAWL_TRAP_GUARD,
     "crawl_retry_backoff": SQL_CRAWL_RETRY_BACKOFF,
+    "crawl_metrics_retry": SQL_CRAWL_METRICS_RETRY,
     "crawl_redirects": SQL_CRAWL_REDIRECTS,
     "crawl_full_policy": SQL_CRAWL_FULL_POLICY,
     "crawl_metrics_budget": SQL_CRAWL_METRICS_BUDGET,
