@@ -393,3 +393,59 @@ def test_follow_redirects_same_depth(ray_session, tmp_path):
         "http://a.ca/root",
         "http://a.ca/moved",
     }
+
+
+def test_retry_fails_survive_salvage_dump_load(ray_session):
+    """A URL back IN FLIGHT on its retry when the round is salvaged:
+    its failure count rides the checkpoint as an 'inflight' retries
+    row, the restored shard re-takes the salvage stash, and the next
+    failure keeps escalating from the restored count instead of
+    restarting the backoff."""
+    import ray as _ray
+
+    from louis_crawler_legacy_ray.state.seen import FrontierShard
+
+    s1 = FrontierShard.options(num_cpus=0).remote(0)
+    _ray.get(s1.enqueue.remote(["http://a.ca/x"], [1], ["a.ca"]))
+    # round 1: select, fetch fails -> failure #1, wait until round 3
+    _ray.get(s1.take2.remote(round_no=1))
+    st1 = _ray.get(s1.finish_round_part.options(num_returns=2).remote(
+        1, None, max_retries=3
+    ))[0]
+    assert st1["retried"] == 1 and st1["errored"] == 0
+    # round 3: due again, selected (back in flight), then SALVAGED
+    # mid-round before any fetch landed
+    assert _ray.get(s1.take2.remote(round_no=3))["count"] == 1
+    stats, _part = _ray.get(
+        s1.salvage_round_part.options(num_returns=2).remote(3, None, 1)
+    )
+    assert stats == {"fetched": 0, "deferred": 1}
+    d = _ray.get(s1.dump.remote())
+    rt = d["retries"].to_pydict()
+    assert rt["url"] == ["http://a.ca/x"]
+    assert rt["state"] == ["inflight"] and rt["fails"] == [1]
+
+    # fresh shard restored from the dump
+    s2 = FrontierShard.options(num_cpus=0).remote(0)
+    _ray.get(
+        s2.load.remote(
+            d["seen"], d["pending"], d["errored"], d["host_tokens"],
+            d["resume_sel"], d["retries"],
+        )
+    )
+    # resumed round 3 re-takes exactly the stash
+    assert _ray.get(s2.take2.remote(round_no=3))["count"] == 1
+    # it fails AGAIN: failure #2 (escalated from the restored count),
+    # so the backoff is 2**2 = 4 rounds -> due at round 7, not 5
+    st2 = _ray.get(s2.finish_round_part.options(num_returns=2).remote(
+        3, None, max_retries=3
+    ))[0]
+    assert st2["retried"] == 1
+    d2 = _ray.get(s2.dump.remote())
+    rt2 = d2["retries"].to_pydict()
+    assert rt2["state"] == ["waiting"]
+    assert rt2["fails"] == [2] and rt2["avail"] == [7]
+    assert _ray.get(s2.take2.remote(round_no=5))["count"] == 0
+    assert _ray.get(s2.take2.remote(round_no=7))["count"] == 1
+    _ray.kill(s1)
+    _ray.kill(s2)
