@@ -1652,6 +1652,83 @@ ORDER BY round
 )
 
 
+def q_crawl_capped_budget(sf_dir: str):
+    """Per-host politeness UNDER the distributed global round cap —
+    the r3 control plane's k-th-key truncation composed with r4's
+    per-host budgets: each round every host yields at most 3 URLs,
+    then the 8 globally smallest (depth, url) keys of that capped pool
+    survive the iterative threshold selection; the overflow requeues
+    shard-locally and competes again. The oracle ranks twice in the
+    same recursion (per-host rn, then global rank over the capped
+    pool) and carries the pending min-depth update for everything
+    handed back."""
+    from .crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=6,
+        max_rounds=96,
+        per_host_budget=3,
+        round_limit=8,
+    )
+    res = run_crawl(multihost_corpus_dir(sf_dir), [_mh_seed(sf_dir)], cfg)
+    sel = [m["selected"] for m in res.metrics]
+    assert max(sel) == 8, sel  # the global cap must bind
+    return res.order
+
+
+SQL_CRAWL_CAPPED_BUDGET = (
+    "WITH RECURSIVE "
+    + _SQL_MH_CTE.replace("WITH ", "", 1)
+    + """,
+edges AS (
+  SELECT url AS src, c1_url AS dst FROM pg
+  UNION ALL SELECT url, c2_url FROM pg),
+sim(round, url, host, depth, done) AS (
+  SELECT 0 AS round, url, host, CAST(0 AS INTEGER) AS depth, FALSE AS done
+  FROM pg WHERE doc_id = 0
+  UNION ALL
+  (
+  WITH prev AS (SELECT * FROM sim),
+  pending AS (SELECT url, host, depth FROM prev WHERE NOT done),
+  ranked AS (SELECT p.url, p.host, p.depth,
+                    (SELECT count(*) FROM pending q
+                     WHERE q.host = p.host
+                       AND (q.depth, q.url) <= (p.depth, p.url)) AS rn
+             FROM pending p),
+  pool AS (SELECT url, host, depth FROM ranked WHERE rn <= 3),
+  g AS (SELECT s.url, s.host, s.depth,
+               (SELECT count(*) FROM pool q
+                WHERE (q.depth, q.url) <= (s.depth, s.url)) AS rng
+        FROM pool s),
+  sel AS (SELECT url, host, depth FROM g WHERE rng <= 8),
+  disc AS (SELECT e.dst AS url, min(s.depth + 1) AS ddepth
+           FROM sel s JOIN edges e ON e.src = s.url GROUP BY e.dst),
+  kids AS (SELECT d.url, d.ddepth FROM disc d
+           WHERE d.ddepth <= 6
+             AND NOT EXISTS (SELECT 1 FROM prev p WHERE p.url = d.url)),
+  nstate AS (
+    SELECT p.url, p.host,
+           CASE WHEN p.done OR p.url IN (SELECT url FROM sel) THEN p.depth
+                ELSE least(p.depth, coalesce(d.ddepth, p.depth)) END AS depth,
+           (p.done OR p.url IN (SELECT url FROM sel)) AS done
+    FROM prev p LEFT JOIN disc d ON d.url = p.url
+    UNION ALL
+    SELECT k.url, split_part(split_part(k.url, '//', 2), '/', 1),
+           k.ddepth, FALSE
+    FROM kids k)
+  SELECT r0.r + 1, n.url, n.host, CAST(n.depth AS INTEGER), n.done
+  FROM nstate n, (SELECT max(round) AS r FROM prev) r0
+  WHERE EXISTS (SELECT 1 FROM pending) AND r0.r < 96
+  )
+)
+SELECT CAST(min(round) - 1 AS INTEGER) AS round, depth, url
+FROM sim WHERE done
+GROUP BY depth, url
+"""
+)
+
+
 def q_crawl_metrics_retry(sf_dir: str):
     """The retry scheduler's per-round telemetry, hash-checked: the
     same flaky-origin crawl as crawl_retry_backoff, but the gate is
@@ -5428,6 +5505,7 @@ QUERIES = {
     "crawl_trap_guard": q_crawl_trap_guard,
     "crawl_retry_backoff": q_crawl_retry_backoff,
     "crawl_metrics_retry": q_crawl_metrics_retry,
+    "crawl_capped_budget": q_crawl_capped_budget,
     "crawl_redirects": q_crawl_redirects,
     "crawl_full_policy": q_crawl_full_policy,
     "crawl_metrics_budget": q_crawl_metrics_budget,
@@ -5566,6 +5644,7 @@ ORACLE_SQL = {
     "crawl_trap_guard": SQL_CRAWL_TRAP_GUARD,
     "crawl_retry_backoff": SQL_CRAWL_RETRY_BACKOFF,
     "crawl_metrics_retry": SQL_CRAWL_METRICS_RETRY,
+    "crawl_capped_budget": SQL_CRAWL_CAPPED_BUDGET,
     "crawl_redirects": SQL_CRAWL_REDIRECTS,
     "crawl_full_policy": SQL_CRAWL_FULL_POLICY,
     "crawl_metrics_budget": SQL_CRAWL_METRICS_BUDGET,
