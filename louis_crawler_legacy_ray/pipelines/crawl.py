@@ -119,7 +119,10 @@ class CrawlConfig:
     priority: str = "depth_url"             # frontier order key: "depth_url" (FIFO-BFS) |
                                             # "short_url_first" ((depth, len(url), url) — shallow pages first) |
                                             # "score_desc" ((depth, -score, url) — importance-ordered crawl,
-                                            # Cho/Garcia-Molina/Page 1998; scores from priority_scores)
+                                            # Cho/Garcia-Molina/Page 1998; scores from priority_scores) |
+                                            # "backlink_desc" ((-citations, depth, url) — the same paper's
+                                            # backlink metric computed ONLINE: shards count every
+                                            # admission/rediscovery and re-rank as citations accumulate)
     priority_scores: dict | None = None     # url -> int score for priority="score_desc"
                                             # (in-degree, PageRank, OPIC...); the Frontier
                                             # splits it by shard_of so each shard holds only
@@ -260,6 +263,7 @@ class Frontier:
                             if score_slices
                             else None,
                             deny_url_patterns=cfg.deny_url_patterns,
+                            track_backlinks=cfg.priority == "backlink_desc",
                         )
                         for i, s in enumerate(entry["actors"])
                     ]
@@ -293,6 +297,7 @@ class Frontier:
                 obey_robots=cfg.obey_robots,
                 priority_scores=score_slices[i] if score_slices else None,
                 deny_url_patterns=cfg.deny_url_patterns,
+                track_backlinks=cfg.priority == "backlink_desc",
             )
             for i in range(cfg.n_shards)
         ]
@@ -542,6 +547,7 @@ def _control_from_items(
     salt: dict,
     max_depth: int,
     follow_redirects: bool = False,
+    dedup_links: bool = False,
 ) -> pa.Table:
     """Build the round's control rows from an extracted batch -- all
     Arrow/numpy kernels, no Python per-URL loop, and NO blocking RPC
@@ -553,6 +559,11 @@ def _control_from_items(
     -corpus stand-in for an HTTP 3xx Location) also becomes a 'c' row
     at the SOURCE's depth — a redirect hop costs a round but no depth,
     like Scrapy's redirect middleware re-requesting in place.
+    ``dedup_links`` collapses repeated (parent, child) edges to one
+    candidate row (priority='backlink_desc': citations are PAGE-level —
+    Cho/Garcia-Molina/Page count citing pages, so a nav link repeating
+    an in-body link must not double a citation; the links column itself
+    keeps duplicates for reference parity, requests.py:4-20).
     """
     import numpy as np
 
@@ -570,6 +581,18 @@ def _control_from_items(
     keep = pc.less_equal(nd, pa.scalar(max_depth, pa.int32()))
     dst = dst.filter(keep)
     nd = nd.filter(keep)
+    if dedup_links and len(dst):
+        # one candidate row per DISTINCT (parent page, child url): an
+        # Arrow hash group-by, not a per-row Python set. A parent has
+        # one depth, so min(d) == that depth for every surviving row.
+        pidx = pa.array(idx[keep.to_numpy(zero_copy_only=False)], pa.int64())
+        g = (
+            pa.table({"p": pidx, "u": dst, "d": nd})
+            .group_by(["p", "u"])
+            .aggregate([("d", "min")])
+        )
+        dst = g["u"].combine_chunks()
+        nd = g["d_min"].combine_chunks().cast(pa.int32())
     if follow_redirects and "redirect" in items.column_names:
         red = _cc(items["redirect"])
         rmask = red.is_valid()
@@ -747,6 +770,7 @@ def _fused_round_task(
     block_idx: int = 0,
     task_delay_ms: int = 0,
     follow_redirects: bool = False,
+    dedup_links: bool = False,
 ) -> pa.Table:
     """One round x one GROUP of pinned corpus blocks: semi-join +
     extract, then SEND the control rows straight to their owning shard
@@ -860,7 +884,7 @@ def _fused_round_task(
     if out_part is not None:
         _write_items_part(items, out_part, f"part-{block_idx:05d}")
     counts = _send_control(
-        items, shards, n_shards, salt, max_depth, follow_redirects
+        items, shards, n_shards, salt, max_depth, follow_redirects, dedup_links
     )
     ts3 = _time.time()
     return _counts_table(
@@ -903,11 +927,14 @@ def _send_control(
     salt: dict,
     max_depth: int,
     follow_redirects: bool = False,
+    dedup_links: bool = False,
 ) -> pa.Table:
     """Fire-and-forget the round's control rows from inside a data task
     to their owning shard actors; returns the per-kind sent counts for
     the driver's delivery reconciliation."""
-    ctrl = _control_from_items(items, n_shards, salt, max_depth, follow_redirects)
+    ctrl = _control_from_items(
+        items, n_shards, salt, max_depth, follow_redirects, dedup_links
+    )
     n_f = n_c = 0
     for sid in range(n_shards):
         sub = ctrl.filter(pc.equal(ctrl["shard"], sid))
@@ -1035,6 +1062,7 @@ def _fetch_round_task(
     out_part: str | None,
     chunk_idx: int,
     follow_redirects: bool = False,
+    dedup_links: bool = False,
 ) -> pa.Table:
     """One round x one URL chunk through an injected fetcher (the
     FetcherActor seam, stages/fetch.py): the factory builds/reuses the
@@ -1065,7 +1093,7 @@ def _fetch_round_task(
     if out_part is not None:
         _write_items_part(items, out_part, f"part-{chunk_idx:05d}")
     return _send_control(
-        items, shards, n_shards, salt, max_depth, follow_redirects
+        items, shards, n_shards, salt, max_depth, follow_redirects, dedup_links
     )
 
 
@@ -1112,6 +1140,7 @@ def fetcher_expand(
                         out_part,
                         chunk_idx,
                         cfg.follow_redirects,
+                        cfg.priority == "backlink_desc",
                     )
                 )
                 chunk_idx += 1
@@ -1246,6 +1275,7 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                         cfg.hot_host_salt,
                         cfg.max_depth,
                         cfg.follow_redirects,
+                        cfg.priority == "backlink_desc",
                     )
                 )
             if not ctrls:
@@ -1349,6 +1379,7 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                         g,
                         cfg.task_delay_ms,
                         cfg.follow_redirects,
+                        cfg.priority == "backlink_desc",
                     )
                 )
             _t_submit = time.perf_counter() - _tsub0
@@ -1382,6 +1413,7 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                     cfg.hot_host_salt,
                     cfg.max_depth,
                     cfg.follow_redirects,
+                    cfg.priority == "backlink_desc",
                 )
             items = extract(hit)
             if out_dir is not None:
@@ -1402,6 +1434,7 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                 cfg.hot_host_salt,
                 cfg.max_depth,
                 cfg.follow_redirects,
+                cfg.priority == "backlink_desc",
             )
 
         ctrl_batches = list(

@@ -1729,6 +1729,86 @@ GROUP BY depth, url
 )
 
 
+def q_crawl_backlink_priority(sf_dir: str):
+    """ADAPTIVE importance-ordered crawl under the exact gate: the
+    Cho/Garcia-Molina/Page 1998 backlink-count ordering metric computed
+    ONLINE — every admission or pending rediscovery bumps the URL's
+    citation count inside its owning shard, and the frontier re-ranks
+    by (-citations, depth, url) as counts accumulate (vs
+    crawl_priority_indegree's STATIC precomputed scores). Per-host
+    budget 2 throttles the drain so the adaptive re-ranking actually
+    changes the schedule. The oracle simulation carries per-URL scores
+    through the recursion: +1 per same-round parent edge for pending
+    URLs, frozen at selection."""
+    from .crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=6,
+        max_rounds=96,
+        per_host_budget=2,
+        priority="backlink_desc",
+    )
+    res = run_crawl(multihost_corpus_dir(sf_dir), [_mh_seed(sf_dir)], cfg)
+    return res.order
+
+
+SQL_CRAWL_BACKLINK_PRIORITY = (
+    "WITH RECURSIVE "
+    + _SQL_MH_CTE.replace("WITH ", "", 1)
+    + """,
+sim(round, url, host, depth, score, done) AS (
+  SELECT 0 AS round, url, host, CAST(0 AS INTEGER) AS depth,
+         CAST(1 AS BIGINT) AS score, FALSE AS done
+  FROM pg WHERE doc_id = 0
+  UNION ALL
+  (
+  WITH prev AS (SELECT * FROM sim),
+  pending AS (SELECT url, host, depth, score FROM prev WHERE NOT done),
+  ranked AS (SELECT p.url, p.host, p.depth,
+                    (SELECT count(*) FROM pending q
+                     WHERE q.host = p.host
+                       AND (-q.score, q.depth, q.url)
+                           <= (-p.score, p.depth, p.url)) AS rn
+             FROM pending p),
+  sel AS (SELECT url, host, depth FROM ranked WHERE rn <= 2),
+  selg AS (SELECT s.url, s.depth, g.c1_url, g.c2_url
+           FROM sel s JOIN pg g ON g.url = s.url),
+  contrib AS (
+    SELECT c1_url AS url, depth + 1 AS d FROM selg
+    UNION ALL SELECT c2_url, depth + 1 FROM selg),
+  disc AS (SELECT url, min(d) AS ddepth, count(*) AS nb
+           FROM contrib
+           WHERE d <= 6  -- the task drops deeper candidates BEFORE the
+                         -- shard, so they never bump a citation count
+           GROUP BY url),
+  kids AS (SELECT d.url, d.ddepth, d.nb FROM disc d
+           WHERE NOT EXISTS (SELECT 1 FROM prev p WHERE p.url = d.url)),
+  nstate AS (
+    SELECT p.url, p.host,
+           CASE WHEN p.done OR p.url IN (SELECT url FROM sel) THEN p.depth
+                ELSE least(p.depth, coalesce(d.ddepth, p.depth)) END AS depth,
+           CASE WHEN p.done OR p.url IN (SELECT url FROM sel) THEN p.score
+                ELSE p.score + coalesce(d.nb, 0) END AS score,
+           (p.done OR p.url IN (SELECT url FROM sel)) AS done
+    FROM prev p LEFT JOIN disc d ON d.url = p.url
+    UNION ALL
+    SELECT k.url, split_part(split_part(k.url, '//', 2), '/', 1),
+           k.ddepth, k.nb, FALSE
+    FROM kids k)
+  SELECT r0.r + 1, n.url, n.host, CAST(n.depth AS INTEGER),
+         CAST(n.score AS BIGINT), n.done
+  FROM nstate n, (SELECT max(round) AS r FROM prev) r0
+  WHERE EXISTS (SELECT 1 FROM pending) AND r0.r < 96
+  )
+)
+SELECT CAST(min(round) - 1 AS INTEGER) AS round, depth, url
+FROM sim WHERE done
+GROUP BY depth, url
+"""
+)
+
+
 def q_crawl_metrics_retry(sf_dir: str):
     """The retry scheduler's per-round telemetry, hash-checked: the
     same flaky-origin crawl as crawl_retry_backoff, but the gate is
@@ -5506,6 +5586,7 @@ QUERIES = {
     "crawl_retry_backoff": q_crawl_retry_backoff,
     "crawl_metrics_retry": q_crawl_metrics_retry,
     "crawl_capped_budget": q_crawl_capped_budget,
+    "crawl_backlink_priority": q_crawl_backlink_priority,
     "crawl_redirects": q_crawl_redirects,
     "crawl_full_policy": q_crawl_full_policy,
     "crawl_metrics_budget": q_crawl_metrics_budget,
@@ -5645,6 +5726,7 @@ ORACLE_SQL = {
     "crawl_retry_backoff": SQL_CRAWL_RETRY_BACKOFF,
     "crawl_metrics_retry": SQL_CRAWL_METRICS_RETRY,
     "crawl_capped_budget": SQL_CRAWL_CAPPED_BUDGET,
+    "crawl_backlink_priority": SQL_CRAWL_BACKLINK_PRIORITY,
     "crawl_redirects": SQL_CRAWL_REDIRECTS,
     "crawl_full_policy": SQL_CRAWL_FULL_POLICY,
     "crawl_metrics_budget": SQL_CRAWL_METRICS_BUDGET,

@@ -71,6 +71,11 @@ def write_checkpoint(
         # retry-free crawls keep the r3 checkpoint layout byte-for-byte)
         if d.get("retries") is not None and d["retries"].num_rows:
             pq.write_table(d["retries"], os.path.join(sdir, "retries.parquet"))
+        # live citation counts (backlink_desc adaptive priority)
+        if d.get("backlinks") is not None and d["backlinks"].num_rows:
+            pq.write_table(
+                d["backlinks"], os.path.join(sdir, "backlinks.parquet")
+            )
         # a salvaged partial round's unfetched remainder (SIGTERM
         # salvage): the resumed round re-takes exactly these rows
         if "resume_sel" in d:
@@ -173,6 +178,8 @@ def load_checkpoint(
         resume_sel = pq.read_table(rs_path) if os.path.exists(rs_path) else None
         rt_path = os.path.join(sdir, "retries.parquet")
         retries = pq.read_table(rt_path) if os.path.exists(rt_path) else None
+        bl_path = os.path.join(sdir, "backlinks.parquet")
+        backlinks = pq.read_table(bl_path) if os.path.exists(bl_path) else None
         loads.append(
             shard.load.remote(
                 tables["seen"],
@@ -181,6 +188,7 @@ def load_checkpoint(
                 host_tokens,
                 resume_sel,
                 retries,
+                backlinks,
             )
         )
     ray.get(loads)

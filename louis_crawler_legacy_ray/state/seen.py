@@ -196,10 +196,11 @@ class FrontierShard:
         obey_robots: bool = False,
         priority_scores: dict | None = None,
         deny_url_patterns: list | None = None,
+        track_backlinks: bool = False,
     ):
         self.reset(
             shard_id, mode, bloom_bits, robots_txt_by_host, obey_robots,
-            priority_scores, deny_url_patterns,
+            priority_scores, deny_url_patterns, track_backlinks,
         )
 
     def reset(
@@ -211,6 +212,7 @@ class FrontierShard:
         obey_robots: bool = False,
         priority_scores: dict | None = None,
         deny_url_patterns: list | None = None,
+        track_backlinks: bool = False,
     ) -> None:
         """Full re-initialization — lets a crawl REUSE a pooled shard
         actor from a previous crawl (actor spawn + Ray's one-time
@@ -230,6 +232,13 @@ class FrontierShard:
         # crawl_traps detector's output feeds this — Heritrix-style
         # pattern caps); compiled ONCE per shard actor, not per batch
         self.deny_rx = [_re.compile(p) for p in (deny_url_patterns or [])]
+        # online backlink counts (priority='backlink_desc' — the
+        # Cho/Garcia-Molina/Page 1998 backlink ordering metric computed
+        # ADAPTIVELY: every admission or pending rediscovery of a URL
+        # bumps its count, so the frontier re-ranks as citations
+        # accumulate). Opt-in: the bump sits in the hot enqueue loop.
+        self.track_backlinks = track_backlinks
+        self.backlinks: dict[str, int] = {}
         # 'score_desc' priority: THIS SHARD'S slice of the per-URL
         # score map (the Frontier splits the map by shard_of, so each
         # shard holds only the scores of URLs it can own — O(frontier /
@@ -327,6 +336,10 @@ class FrontierShard:
                 # frontier stays deterministic; a later smaller-depth
                 # rediscovery of a still-pending URL also promotes its
                 # priority exactly like a sequential crawler would.
+                if self.track_backlinks:
+                    # each rediscovery is one more citation (sum is
+                    # commutative, so landing order stays irrelevant)
+                    self.backlinks[url] = self.backlinks.get(url, 0) + 1
                 old = self.pending[url]
                 if depth < old[0]:
                     self.pending[url] = (depth, old[1])
@@ -342,6 +355,8 @@ class FrontierShard:
                 # promotes it (it already failed a fetch at that depth)
                 continue
             self.pending[url] = (depth, host)
+            if self.track_backlinks:
+                self.backlinks[url] = self.backlinks.get(url, 0) + 1
             if self.bloom is not None:
                 self.bloom.add(_h64(url))
             added += 1
@@ -409,6 +424,11 @@ class FrontierShard:
         truncate) and the driver's k-th-key threshold work on the
         same tuples unchanged."""
         token_bucket0 = politeness == "token_bucket" and per_host_budget is not None
+        # 'backlink_desc' ranks by the shard's LIVE citation counts;
+        # every other priority uses the static config score map
+        score_map = (
+            self.backlinks if priority == "backlink_desc" else self.priority_scores
+        )
         if self._resume_sel is not None:
             # resumed partial round: re-take EXACTLY the salvaged
             # remainder (already in_flight, tokens already spent,
@@ -418,7 +438,7 @@ class FrontierShard:
             self._tb_burst = 2 * per_host_budget if token_bucket0 else None
             self._sel = (urls, depths, hosts)
             self._sel_keys = [
-                _sel_key(priority, d, u, self.priority_scores)
+                _sel_key(priority, d, u, score_map)
                 for d, u in zip(depths, urls)
             ]
             return {"count": len(urls)}
@@ -435,12 +455,12 @@ class FrontierShard:
         items = sorted(
             _it.chain(
                 (
-                    (_sel_key(priority, depth, url, self.priority_scores), url, depth, host)
+                    (_sel_key(priority, depth, url, score_map), url, depth, host)
                     for url, (depth, host) in self.pending.items()
                     if max_depth is None or depth <= max_depth
                 ),
                 (
-                    (_sel_key(priority, d, u, self.priority_scores), u, d, h)
+                    (_sel_key(priority, d, u, score_map), u, d, h)
                     for u, (d, h, _f, _a) in due
                 ),
             ),
@@ -503,7 +523,7 @@ class FrontierShard:
         # `items` iteration order — for rank probes and the order part
         self._sel = (sel_urls, sel_depths, sel_hosts)
         self._sel_keys = [
-            _sel_key(priority, d, u, self.priority_scores)
+            _sel_key(priority, d, u, score_map)
             for d, u in zip(sel_depths, sel_urls)
         ]
         return {"count": len(sel_urls)}
@@ -917,6 +937,14 @@ class FrontierShard:
                     ),
                 }
             ),
+            # live citation counts (backlink_desc): without them a
+            # resumed adaptive crawl would re-rank from zero
+            "backlinks": pa.table(
+                {
+                    "url": pa.array(list(self.backlinks.keys()), pa.string()),
+                    "n": pa.array(list(self.backlinks.values()), pa.int64()),
+                }
+            ),
             # banked politeness carry: without it a token_bucket crawl
             # resumed from checkpoint silently resets every host's
             # unspent tokens and schedules differently from an
@@ -949,6 +977,7 @@ class FrontierShard:
         host_tokens: pa.Table | None = None,
         resume_sel: pa.Table | None = None,
         retries: pa.Table | None = None,
+        backlinks: pa.Table | None = None,
     ) -> None:
         self.seen = set(seen["url"].to_pylist())
         self.pending = {
@@ -972,6 +1001,14 @@ class FrontierShard:
             if host_tokens is not None
             else {}
         )
+        if backlinks is not None:
+            self.track_backlinks = True
+            self.backlinks = dict(
+                zip(
+                    backlinks["url"].to_pylist(),
+                    (int(n) for n in backlinks["n"].to_pylist()),
+                )
+            )
         self.retrying = {}
         self.retry_fails = {}
         if retries is not None:
@@ -1039,4 +1076,9 @@ def _sel_key(
         return (depth, len(url), url)
     if priority == "score_desc":
         return (depth, -(scores.get(url, 0) if scores else 0), url)
+    if priority == "backlink_desc":
+        # most-cited-pending-first ACROSS depths (the online
+        # backlink-count ordering; scores = the shard's live citation
+        # counts, bumped on every admission/rediscovery)
+        return (-(scores.get(url, 0) if scores else 0), depth, url)
     return (depth, url)

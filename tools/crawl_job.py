@@ -77,6 +77,13 @@ def main(argv: list[str] | None = None) -> int:
         "--follow-redirects", action="store_true",
         help="follow meta-refresh redirects at source depth",
     )
+    p.add_argument(
+        "--priority",
+        choices=["depth_url", "short_url_first", "backlink_desc"],
+        default="depth_url",
+        help="frontier order key (backlink_desc = online citation-count "
+        "ordering, Cho/Garcia-Molina/Page 1998)",
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -123,6 +130,7 @@ def main(argv: list[str] | None = None) -> int:
         deny_url_patterns=args.deny_pattern,
         max_retries=args.max_retries,
         follow_redirects=args.follow_redirects,
+        priority=args.priority,
     )
     t0 = time.perf_counter()
     res = run_crawl(args.pages, args.seeds, cfg, out_dir=args.out, resume=args.resume)
