@@ -122,7 +122,16 @@ class CrawlConfig:
                                             # Cho/Garcia-Molina/Page 1998; scores from priority_scores) |
                                             # "backlink_desc" ((-citations, depth, url) — the same paper's
                                             # backlink metric computed ONLINE: shards count every
-                                            # admission/rediscovery and re-rank as citations accumulate)
+                                            # admission/rediscovery and re-rank as citations accumulate) |
+                                            # "opic" ((-cash, depth, url) — Abiteboul/Preda/Cobena 2003
+                                            # Online Page Importance Computation, greedy drain: a fetched
+                                            # page splits its frozen cash over its distinct out-links,
+                                            # shares accumulate in the owning shard's accounts)
+    opic_cash: int = 1 << 20                # priority="opic": each seed's starting cash in
+                                            # integer micro-units (ceil/floor halves keep every
+                                            # share exact — float cash would make rank order
+                                            # depend on RPC landing order); 2^20 leaves ~14 bits
+                                            # of resolution after a depth-6 halving chain
     priority_scores: dict | None = None     # url -> int score for priority="score_desc"
                                             # (in-degree, PageRank, OPIC...); the Frontier
                                             # splits it by shard_of so each shard holds only
@@ -170,6 +179,9 @@ def config_hash(cfg: CrawlConfig, seeds: list[str]) -> str:
             "backoff_base": cfg.backoff_base,
             "follow_redirects": cfg.follow_redirects,
             "priority": cfg.priority,
+            # seed cash changes the opic schedule (share rounding);
+            # None for other priorities keeps prior hashes stable
+            "opic_cash": cfg.opic_cash if cfg.priority == "opic" else None,
             # digest, not the map itself: the score table can be large
             "priority_scores": hashlib.blake2b(
                 json.dumps(sorted(cfg.priority_scores.items())).encode(),
@@ -264,6 +276,7 @@ class Frontier:
                             else None,
                             deny_url_patterns=cfg.deny_url_patterns,
                             track_backlinks=cfg.priority == "backlink_desc",
+                            track_cash=cfg.priority == "opic",
                         )
                         for i, s in enumerate(entry["actors"])
                     ]
@@ -298,6 +311,7 @@ class Frontier:
                 priority_scores=score_slices[i] if score_slices else None,
                 deny_url_patterns=cfg.deny_url_patterns,
                 track_backlinks=cfg.priority == "backlink_desc",
+                track_cash=cfg.priority == "opic",
             )
             for i in range(cfg.n_shards)
         ]
@@ -324,20 +338,29 @@ class Frontier:
                     pass
         self._pooled = False
 
-    def enqueue_table(self, urls: list[str], depths: list[int]) -> int:
-        """Driver-side enqueue (seeds / small candidate sets)."""
+    def enqueue_table(
+        self,
+        urls: list[str],
+        depths: list[int],
+        cash: list[int] | None = None,
+    ) -> int:
+        """Driver-side enqueue (seeds / small candidate sets). ``cash``
+        funds each row's OPIC account (seed rows get cfg.opic_cash)."""
         cfg = self.cfg
-        by_shard: dict[int, tuple[list, list, list]] = {}
-        for url, depth in zip(urls, depths):
+        by_shard: dict[int, tuple[list, list, list, list]] = {}
+        for i, (url, depth) in enumerate(zip(urls, depths)):
             host = host_of(url)
             sid = shard_of(url, host, cfg.n_shards, cfg.hot_host_salt)
-            b = by_shard.setdefault(sid, ([], [], []))
+            b = by_shard.setdefault(sid, ([], [], [], []))
             b[0].append(url)
             b[1].append(depth)
             b[2].append(host)
+            b[3].append(cash[i] if cash is not None else 0)
         refs = [
-            self.shards[sid].enqueue.remote(u, d, h)
-            for sid, (u, d, h) in by_shard.items()
+            self.shards[sid].enqueue.remote(
+                u, d, h, c if cash is not None else None
+            )
+            for sid, (u, d, h, c) in by_shard.items()
         ]
         return sum(ray.get(refs))
 
@@ -564,6 +587,14 @@ def _control_from_items(
     Cho/Garcia-Molina/Page count citing pages, so a nav link repeating
     an in-body link must not double a citation; the links column itself
     keeps duplicates for reference parity, requests.py:4-20).
+
+    When ``items`` carries a ``cash`` column (priority='opic'), each
+    parent's frozen cash is split over its DISTINCT surviving out-links
+    in first-occurrence order — link j of n gets cash//n (+1 for the
+    first cash%%n links), so the shares sum EXACTLY to the parent's
+    cash in integers — and the control table gains a ``cash`` column
+    ('f' rows 0). Non-opic crawls emit no cash column at all: the
+    candidate stream stays exactly the r3/r4 shape and cost.
     """
     import numpy as np
 
@@ -581,6 +612,7 @@ def _control_from_items(
     keep = pc.less_equal(nd, pa.scalar(max_depth, pa.int32()))
     dst = dst.filter(keep)
     nd = nd.filter(keep)
+    c_cash = None
     if dedup_links and len(dst):
         # one candidate row per DISTINCT (parent page, child url): an
         # Arrow hash group-by, not a per-row Python set. A parent has
@@ -593,6 +625,33 @@ def _control_from_items(
         )
         dst = g["u"].combine_chunks()
         nd = g["d_min"].combine_chunks().cast(pa.int32())
+    elif "cash" in items.column_names and len(dst):
+        # OPIC share computation: ordered per-parent distinct (pandas
+        # drop_duplicates is stable, so link j keeps first-occurrence
+        # rank — the ceil-shares land on the EARLIEST links, a
+        # deterministic convention both the shards and the SQL oracle
+        # simulation encode), then exact integer splits.
+        import pandas as pd
+
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        pidx = idx[keep_np]
+        df = pd.DataFrame(
+            {
+                "p": pidx,
+                "u": dst.to_pandas(),
+                "d": nd.to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates(["p", "u"])
+        grp = df.groupby("p", sort=False)
+        n_links = grp["u"].transform("size").to_numpy()
+        rank = grp.cumcount().to_numpy()
+        pcash = (
+            _cc(items["cash"]).to_numpy(zero_copy_only=False)[df["p"].to_numpy()]
+        )
+        share = pcash // n_links + (rank < pcash % n_links)
+        dst = pa.array(df["u"], pa.string())
+        nd = pa.array(df["d"].to_numpy(), pa.int32())
+        c_cash = pa.array(share, pa.int64())
     if follow_redirects and "redirect" in items.column_names:
         red = _cc(items["redirect"])
         rmask = red.is_valid()
@@ -600,23 +659,35 @@ def _control_from_items(
             rdst = red.filter(rmask)
             rnd = depths.filter(rmask).cast(pa.int32())
             rkeep = pc.less_equal(rnd, pa.scalar(max_depth, pa.int32()))
+            n_red = len(dst)
             dst = pa.concat_arrays([dst, rdst.filter(rkeep)])
             nd = pa.concat_arrays([nd, rnd.filter(rkeep)])
+            if c_cash is not None:
+                # a redirect hop carries no cash share (the target is
+                # re-requested in place; its account funds at fetch)
+                c_cash = pa.concat_arrays(
+                    [c_cash, pa.array([0] * (len(dst) - n_red), pa.int64())]
+                )
 
     f_hosts, f_shards = _hosts_and_shards(urls, n_shards, salt)
     c_hosts, c_shards = _hosts_and_shards(dst, n_shards, salt)
     n_f = len(urls)
-    return pa.table(
-        {
-            "kind": pa.concat_arrays(
-                [pa.array(["f"] * n_f, pa.string()), pa.array(["c"] * len(dst), pa.string())]
-            ),
-            "url": pa.concat_arrays([urls, dst]),
-            "depth": pa.concat_arrays([depths.cast(pa.int32()), nd]),
-            "host": pa.concat_arrays([f_hosts, c_hosts]),
-            "shard": pa.concat_arrays([f_shards, c_shards]),
-        }
-    )
+    cols = {
+        "kind": pa.concat_arrays(
+            [pa.array(["f"] * n_f, pa.string()), pa.array(["c"] * len(dst), pa.string())]
+        ),
+        "url": pa.concat_arrays([urls, dst]),
+        "depth": pa.concat_arrays([depths.cast(pa.int32()), nd]),
+        "host": pa.concat_arrays([f_hosts, c_hosts]),
+        "shard": pa.concat_arrays([f_shards, c_shards]),
+    }
+    if "cash" in items.column_names:
+        if c_cash is None:
+            c_cash = pa.array(np.zeros(len(dst), dtype=np.int64))
+        cols["cash"] = pa.concat_arrays(
+            [pa.array(np.zeros(n_f, dtype=np.int64)), c_cash]
+        )
+    return pa.table(cols)
 
 
 def _dispatch_control(ctrl: pa.Table, shards) -> dict:
@@ -643,6 +714,9 @@ def _dispatch_control(ctrl: pa.Table, shards) -> dict:
                     c["url"].combine_chunks(),
                     c["depth"].combine_chunks(),
                     c["host"].combine_chunks(),
+                    c["cash"].combine_chunks()
+                    if "cash" in c.column_names
+                    else None,
                 )
             )
     admitted = sum(r for r in ray.get(refs) if isinstance(r, int))
@@ -669,6 +743,10 @@ def _write_items_part(items: pa.Table, out_part: str, stem: str) -> None:
     import pyarrow.parquet as _pq
 
     _os.makedirs(out_part, exist_ok=True)
+    if "cash" in items.column_names:
+        # OPIC plumbing rides items in-memory only; the crawl_items
+        # output schema stays identical across priorities
+        items = items.drop_columns(["cash"])
     tmp = f"{out_part}/.{stem}.tmp-{_uuid.uuid4().hex[:8]}"
     _pq.write_table(items, tmp)
     _os.replace(tmp, f"{out_part}/{stem}.parquet")
@@ -880,6 +958,12 @@ def _fused_round_task(
     items = extract_items(
         hit_urls, hit_htmls, hit_depths, now_us=now_us, allowed_domains=allowed_domains
     )
+    if "cash" in sel.column_names:
+        # OPIC: each fetched page's frozen cash rides along so the
+        # control builder can split it over the page's out-links
+        items = items.append_column(
+            "cash", sel["cash"].combine_chunks().take(pa.array(codes))
+        )
     ts2 = _time.time()
     if out_part is not None:
         _write_items_part(items, out_part, f"part-{block_idx:05d}")
@@ -951,6 +1035,7 @@ def _send_control(
                 c["url"].combine_chunks(),
                 c["depth"].combine_chunks(),
                 c["host"].combine_chunks(),
+                c["cash"].combine_chunks() if "cash" in c.column_names else None,
             )
     return pa.table(
         {
@@ -1089,6 +1174,10 @@ def _fetch_round_task(
     depths = sel["depth"]
     depths = depths.combine_chunks() if isinstance(depths, pa.ChunkedArray) else depths
     pages = pages.append_column("depth", depths.take(idx).cast(pa.int32()))
+    if "cash" in sel.column_names:
+        cash = sel["cash"]
+        cash = cash.combine_chunks() if isinstance(cash, pa.ChunkedArray) else cash
+        pages = pages.append_column("cash", cash.take(idx))
     items = extract_batch(pages, now_us=now_us, allowed_domains=allowed_domains)
     if out_part is not None:
         _write_items_part(items, out_part, f"part-{chunk_idx:05d}")
@@ -1217,9 +1306,15 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
             mask = pc.is_in(batch["url"], value_set=sel["url"])
             hit = batch.filter(mask)
             if hit.num_rows == 0:
-                return hit.append_column("depth", pa.array([], pa.int32()))
+                hit = hit.append_column("depth", pa.array([], pa.int32()))
+                if "cash" in sel.column_names:
+                    hit = hit.append_column("cash", pa.array([], pa.int64()))
+                return hit
             idx = pc.index_in(hit["url"], value_set=sel["url"])
-            return hit.append_column("depth", sel["depth"].take(idx).cast(pa.int32()))
+            hit = hit.append_column("depth", sel["depth"].take(idx).cast(pa.int32()))
+            if "cash" in sel.column_names:
+                hit = hit.append_column("cash", sel["cash"].take(idx))
+            return hit
 
         extract = functools.partial(
             extract_batch, now_us=now_us, allowed_domains=cfg.allowed_domains
@@ -1401,14 +1496,17 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
             round; no blocking RPC inside the task."""
             hit = fetch_filter(batch, ray.get(sel_ref))
             if hit.num_rows == 0:
+                empty = {
+                    "url": pa.array([], pa.string()),
+                    "depth": pa.array([], pa.int32()),
+                    "links": pa.array([], pa.list_(pa.string())),
+                }
+                if cfg.priority == "opic":
+                    # keep the batch-uniform control schema (the cash
+                    # column appears iff the crawl is opic)
+                    empty["cash"] = pa.array([], pa.int64())
                 return _control_from_items(
-                    pa.table(
-                        {
-                            "url": pa.array([], pa.string()),
-                            "depth": pa.array([], pa.int32()),
-                            "links": pa.array([], pa.list_(pa.string())),
-                        }
-                    ),
+                    pa.table(empty),
                     cfg.n_shards,
                     cfg.hot_host_salt,
                     cfg.max_depth,
@@ -1655,7 +1753,16 @@ def run_frontier(
         if start_round == 0 and not resumed_partial:
             if order_dir is not None:
                 _shutil.rmtree(order_dir, ignore_errors=True)
-            frontier.enqueue_table(seeds, [0] * len(seeds))
+            frontier.enqueue_table(
+                seeds,
+                [0] * len(seeds),
+                # OPIC: every seed starts with the full cash grant
+                # (Abiteboul et al. initialize all pages equally; the
+                # crawl only knows the seeds, so they carry it)
+                [cfg.opic_cash] * len(seeds)
+                if cfg.priority == "opic"
+                else None,
+            )
 
         order_refs: list = []
         metrics: list[dict] = []

@@ -1128,6 +1128,35 @@ def multihost_corpus_dir(sf_dir: str) -> str:
     return out
 
 
+def multihost3_corpus_dir(sf_dir: str) -> str:
+    """Multi-host corpus with FANOUT 3 (pages_from_documents
+    n_children=3 — ternary-heap links (3d+1, 3d+2, 3d+3) mod n). The
+    OPIC gate needs it: on the fanout-2 corpus every page's cash is a
+    power of two determined by its depth, so cash order degenerates to
+    citation-count order and the gate couldn't tell OPIC from
+    backlink_desc; C//3 splits break that symmetry."""
+    key = f"{sf_dir}|mh{_MH_HOSTS}k3"
+    if key in _PAGES_CACHE:
+        return _PAGES_CACHE[key]
+    tag = hashlib.blake2b(key.encode(), digest_size=6).hexdigest()
+    out = f"/tmp/louis_pages_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        tmp = f"{out}.build-{os.getpid()}"
+        docs = _docs_table(sf_dir)
+        pages = pages_from_documents(docs, n_hosts=_MH_HOSTS, n_children=3)
+        write_pages_parquet(pages, tmp, rows_per_file=4096)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    _PAGES_CACHE[key] = out
+    return out
+
+
 # the multi-host pg CTE: same page derivation, host keyed by doc_id % 7
 _SQL_MH_CTE = r"""
 WITH nn AS (SELECT count(*) AS n FROM documents),
@@ -1145,6 +1174,28 @@ pg AS (
   FROM base d, nn
   JOIN base c1 ON c1.doc_id = (2 * d.doc_id + 1) % nn.n
   JOIN base c2 ON c2.doc_id = (2 * d.doc_id + 2) % nn.n)
+"""
+
+
+# fanout-3 variant: children (3d+1, 3d+2, 3d+3) mod n
+_SQL_MH3_CTE = r"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+base AS (
+  SELECT doc_id, lang, source,
+         (CASE WHEN lang = 'fr' THEN 'fra' ELSE lang END) AS seg,
+         'http://h' || (doc_id % 7) || '.example.ca' AS origin
+  FROM documents),
+pg AS (
+  SELECT d.doc_id,
+         'h' || (d.doc_id % 7) || '.example.ca' AS host,
+         d.origin || '/' || d.seg || '/' || d.source || '/doc' || d.doc_id AS url,
+         c1.origin || '/' || c1.seg || '/' || c1.source || '/doc' || c1.doc_id AS c1_url,
+         c2.origin || '/' || c2.seg || '/' || c2.source || '/doc' || c2.doc_id AS c2_url,
+         c3.origin || '/' || c3.seg || '/' || c3.source || '/doc' || c3.doc_id AS c3_url
+  FROM base d, nn
+  JOIN base c1 ON c1.doc_id = (3 * d.doc_id + 1) % nn.n
+  JOIN base c2 ON c2.doc_id = (3 * d.doc_id + 2) % nn.n
+  JOIN base c3 ON c3.doc_id = (3 * d.doc_id + 3) % nn.n)
 """
 
 
@@ -1781,6 +1832,95 @@ sim(round, url, host, depth, score, done) AS (
            FROM contrib
            WHERE d <= 6  -- the task drops deeper candidates BEFORE the
                          -- shard, so they never bump a citation count
+           GROUP BY url),
+  kids AS (SELECT d.url, d.ddepth, d.nb FROM disc d
+           WHERE NOT EXISTS (SELECT 1 FROM prev p WHERE p.url = d.url)),
+  nstate AS (
+    SELECT p.url, p.host,
+           CASE WHEN p.done OR p.url IN (SELECT url FROM sel) THEN p.depth
+                ELSE least(p.depth, coalesce(d.ddepth, p.depth)) END AS depth,
+           CASE WHEN p.done OR p.url IN (SELECT url FROM sel) THEN p.score
+                ELSE p.score + coalesce(d.nb, 0) END AS score,
+           (p.done OR p.url IN (SELECT url FROM sel)) AS done
+    FROM prev p LEFT JOIN disc d ON d.url = p.url
+    UNION ALL
+    SELECT k.url, split_part(split_part(k.url, '//', 2), '/', 1),
+           k.ddepth, k.nb, FALSE
+    FROM kids k)
+  SELECT r0.r + 1, n.url, n.host, CAST(n.depth AS INTEGER),
+         CAST(n.score AS BIGINT), n.done
+  FROM nstate n, (SELECT max(round) AS r FROM prev) r0
+  WHERE EXISTS (SELECT 1 FROM pending) AND r0.r < 96
+  )
+)
+SELECT CAST(min(round) - 1 AS INTEGER) AS round, depth, url
+FROM sim WHERE done
+GROUP BY depth, url
+"""
+)
+
+
+def q_crawl_opic(sf_dir: str):
+    """OPIC-ordered crawl under the exact gate: Abiteboul/Preda/Cobena
+    2003 Online Page Importance Computation, greedy drain. Seeds start
+    with integer cash 2^20; a fetched page's FROZEN cash splits over
+    its distinct out-links in first-occurrence order (link j of n gets
+    cash//n, +1 for the first cash%n links — exact integer shares, no
+    float accumulation), shares sum into the owning shard's live
+    accounts, and the frontier drains (-cash, depth, url). Runs on the
+    FANOUT-3 multi-host corpus: on the fanout-2 graph every page's
+    cash is a power of two fixed by its depth, so the schedule
+    collapses onto crawl_backlink_priority's (verified by simulation)
+    — C//3 splits break that symmetry, and 411 of 500 URLs schedule
+    differently from citation counting. The oracle simulation carries
+    per-URL cash through the recursion, frozen at selection."""
+    from .crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=5,
+        max_rounds=96,
+        per_host_budget=2,
+        priority="opic",
+    )
+    res = run_crawl(multihost3_corpus_dir(sf_dir), [_mh_seed(sf_dir)], cfg)
+    return res.order
+
+
+SQL_CRAWL_OPIC = (
+    "WITH RECURSIVE "
+    + _SQL_MH3_CTE.replace("WITH ", "", 1)
+    + """,
+sim(round, url, host, depth, score, done) AS (
+  SELECT 0 AS round, url, host, CAST(0 AS INTEGER) AS depth,
+         CAST(1048576 AS BIGINT) AS score, FALSE AS done
+  FROM pg WHERE doc_id = 0
+  UNION ALL
+  (
+  WITH prev AS (SELECT * FROM sim),
+  pending AS (SELECT url, host, depth, score FROM prev WHERE NOT done),
+  ranked AS (SELECT p.url, p.host, p.depth,
+                    (SELECT count(*) FROM pending q
+                     WHERE q.host = p.host
+                       AND (-q.score, q.depth, q.url)
+                           <= (-p.score, p.depth, p.url)) AS rn
+             FROM pending p),
+  sel AS (SELECT url, host, depth FROM ranked WHERE rn <= 2),
+  selg AS (SELECT s.url, s.depth, g.c1_url, g.c2_url, g.c3_url, p.score
+           FROM sel s JOIN pg g ON g.url = s.url
+           JOIN prev p ON p.url = s.url),
+  contrib AS (
+    -- the page's frozen cash splits score//3 over (c1, c2, c3) with
+    -- the remainder's +1s landing on the EARLIEST links — the control
+    -- builder's first-occurrence-rank convention
+    SELECT c1_url AS url, depth + 1 AS d, (score + 2) // 3 AS sh
+    FROM selg
+    UNION ALL SELECT c2_url, depth + 1, (score + 1) // 3 FROM selg
+    UNION ALL SELECT c3_url, depth + 1, score // 3 FROM selg),
+  disc AS (SELECT url, min(d) AS ddepth, sum(sh) AS nb
+           FROM contrib
+           WHERE d <= 5  -- deep candidates drop BEFORE the shard, so
+                         -- their cash share vanishes with them
            GROUP BY url),
   kids AS (SELECT d.url, d.ddepth, d.nb FROM disc d
            WHERE NOT EXISTS (SELECT 1 FROM prev p WHERE p.url = d.url)),
@@ -5587,6 +5727,7 @@ QUERIES = {
     "crawl_metrics_retry": q_crawl_metrics_retry,
     "crawl_capped_budget": q_crawl_capped_budget,
     "crawl_backlink_priority": q_crawl_backlink_priority,
+    "crawl_opic": q_crawl_opic,
     "crawl_redirects": q_crawl_redirects,
     "crawl_full_policy": q_crawl_full_policy,
     "crawl_metrics_budget": q_crawl_metrics_budget,
@@ -5727,6 +5868,7 @@ ORACLE_SQL = {
     "crawl_metrics_retry": SQL_CRAWL_METRICS_RETRY,
     "crawl_capped_budget": SQL_CRAWL_CAPPED_BUDGET,
     "crawl_backlink_priority": SQL_CRAWL_BACKLINK_PRIORITY,
+    "crawl_opic": SQL_CRAWL_OPIC,
     "crawl_redirects": SQL_CRAWL_REDIRECTS,
     "crawl_full_policy": SQL_CRAWL_FULL_POLICY,
     "crawl_metrics_budget": SQL_CRAWL_METRICS_BUDGET,

@@ -76,6 +76,9 @@ def write_checkpoint(
             pq.write_table(
                 d["backlinks"], os.path.join(sdir, "backlinks.parquet")
             )
+        # live OPIC cash accounts (opic adaptive priority)
+        if d.get("cash") is not None and d["cash"].num_rows:
+            pq.write_table(d["cash"], os.path.join(sdir, "cash.parquet"))
         # a salvaged partial round's unfetched remainder (SIGTERM
         # salvage): the resumed round re-takes exactly these rows
         if "resume_sel" in d:
@@ -180,6 +183,8 @@ def load_checkpoint(
         retries = pq.read_table(rt_path) if os.path.exists(rt_path) else None
         bl_path = os.path.join(sdir, "backlinks.parquet")
         backlinks = pq.read_table(bl_path) if os.path.exists(bl_path) else None
+        ca_path = os.path.join(sdir, "cash.parquet")
+        cash = pq.read_table(ca_path) if os.path.exists(ca_path) else None
         loads.append(
             shard.load.remote(
                 tables["seen"],
@@ -189,6 +194,7 @@ def load_checkpoint(
                 resume_sel,
                 retries,
                 backlinks,
+                cash,
             )
         )
     ray.get(loads)

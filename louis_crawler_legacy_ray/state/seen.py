@@ -52,6 +52,19 @@ def host_of(url: str) -> str:
     return urlparse(url).netloc
 
 
+class _Zeros:
+    """Index-anything-get-0 stand-in for an absent cash column — keeps
+    the enqueue hot loop free of per-row None checks."""
+
+    __slots__ = ()
+
+    def __getitem__(self, i: int) -> int:
+        return 0
+
+
+_ZERO_CASH = _Zeros()
+
+
 def shard_for_host(host: str, n_shards: int) -> int:
     h = int.from_bytes(hashlib.blake2b(host.encode(), digest_size=8).digest(), "big")
     return h % n_shards
@@ -197,10 +210,11 @@ class FrontierShard:
         priority_scores: dict | None = None,
         deny_url_patterns: list | None = None,
         track_backlinks: bool = False,
+        track_cash: bool = False,
     ):
         self.reset(
             shard_id, mode, bloom_bits, robots_txt_by_host, obey_robots,
-            priority_scores, deny_url_patterns, track_backlinks,
+            priority_scores, deny_url_patterns, track_backlinks, track_cash,
         )
 
     def reset(
@@ -213,6 +227,7 @@ class FrontierShard:
         priority_scores: dict | None = None,
         deny_url_patterns: list | None = None,
         track_backlinks: bool = False,
+        track_cash: bool = False,
     ) -> None:
         """Full re-initialization — lets a crawl REUSE a pooled shard
         actor from a previous crawl (actor spawn + Ray's one-time
@@ -239,6 +254,15 @@ class FrontierShard:
         # accumulate). Opt-in: the bump sits in the hot enqueue loop.
         self.track_backlinks = track_backlinks
         self.backlinks: dict[str, int] = {}
+        # OPIC cash accounts (priority='opic' — Abiteboul/Preda/Cobena
+        # 2003 Online Page Importance Computation, greedy variant: the
+        # frontier drains highest-cash-first and a fetched page splits
+        # its frozen cash over its distinct out-links). INTEGER
+        # micro-cash (seed = CrawlConfig.opic_cash, ceil/floor splits)
+        # so accumulation is exact and commutative — float cash would
+        # make the rank order depend on RPC landing order.
+        self.track_cash = track_cash
+        self.cash: dict[str, int] = {}
         # 'score_desc' priority: THIS SHARD'S slice of the per-URL
         # score map (the Frontier splits the map by shard_of, so each
         # shard holds only the scores of URLs it can own — O(frontier /
@@ -303,14 +327,28 @@ class FrontierShard:
         return pa.table({"url": pa.array([], pa.string())})
 
     # -- ingest ------------------------------------------------------
-    def enqueue(self, urls: list[str], depths: list[int], hosts: list[str]) -> int:
+    def enqueue(
+        self,
+        urls: list[str],
+        depths: list[int],
+        hosts: list[str],
+        cash: list[int] | None = None,
+    ) -> int:
         """Admit candidate URLs to pending; returns number admitted.
         Drop rule = reference's quadruple-set check
         (goldie_playwright_parallel.py:606-617, 656-663). (A C-level
         set-difference variant was measured SLOWER than this loop — the
-        batch dict build dominates; the loop stays.)"""
+        batch dict build dominates; the loop stays.)
+
+        ``cash`` (priority='opic' only) carries each candidate row's
+        OPIC share — the slice of its parent's frozen cash the control
+        builder computed; shares sum into the URL's account while it is
+        pending and vanish once it is selected/seen/quarantined (the
+        paper's "cash of an already-read page goes to history")."""
         added = 0
-        for url, depth, host in zip(urls, depths, hosts):
+        if cash is None or not self.track_cash:
+            cash = _ZERO_CASH
+        for i, (url, depth, host) in enumerate(zip(urls, depths, hosts)):
             if self.deny_rx and any(rx.search(url) for rx in self.deny_rx):
                 # trap-pattern quarantine: same terminal handling as a
                 # robots disallow — never enqueued, never retried
@@ -340,6 +378,9 @@ class FrontierShard:
                     # each rediscovery is one more citation (sum is
                     # commutative, so landing order stays irrelevant)
                     self.backlinks[url] = self.backlinks.get(url, 0) + 1
+                if self.track_cash and cash[i]:
+                    # integer shares sum exactly; landing order moot
+                    self.cash[url] = self.cash.get(url, 0) + cash[i]
                 old = self.pending[url]
                 if depth < old[0]:
                     self.pending[url] = (depth, old[1])
@@ -357,6 +398,8 @@ class FrontierShard:
             self.pending[url] = (depth, host)
             if self.track_backlinks:
                 self.backlinks[url] = self.backlinks.get(url, 0) + 1
+            if self.track_cash and cash[i]:
+                self.cash[url] = self.cash.get(url, 0) + cash[i]
             if self.bloom is not None:
                 self.bloom.add(_h64(url))
             added += 1
@@ -424,11 +467,15 @@ class FrontierShard:
         truncate) and the driver's k-th-key threshold work on the
         same tuples unchanged."""
         token_bucket0 = politeness == "token_bucket" and per_host_budget is not None
-        # 'backlink_desc' ranks by the shard's LIVE citation counts;
-        # every other priority uses the static config score map
-        score_map = (
-            self.backlinks if priority == "backlink_desc" else self.priority_scores
-        )
+        # 'backlink_desc' ranks by the shard's LIVE citation counts,
+        # 'opic' by its LIVE cash accounts; every other priority uses
+        # the static config score map
+        if priority == "backlink_desc":
+            score_map = self.backlinks
+        elif priority == "opic":
+            score_map = self.cash
+        else:
+            score_map = self.priority_scores
         if self._resume_sel is not None:
             # resumed partial round: re-take EXACTLY the salvaged
             # remainder (already in_flight, tokens already spent,
@@ -530,13 +577,23 @@ class FrontierShard:
 
     def _sel_table(self) -> pa.Table:
         urls, depths, hosts = self._sel if self._sel is not None else ([], [], [])
-        return pa.table(
+        t = pa.table(
             {
                 "url": pa.array(urls, pa.string()),
                 "depth": pa.array(depths, pa.int32()),
                 "host": pa.array(hosts, pa.string()),
             }
         )
+        if self.track_cash:
+            # each selected URL's FROZEN cash rides to the round tasks,
+            # which split it over the page's distinct out-links (the
+            # account can't move while the URL is in_flight, so this is
+            # the selection-time value by construction)
+            t = t.append_column(
+                "cash",
+                pa.array((self.cash.get(u, 0) for u in urls), pa.int64()),
+            )
+        return t
 
     # -- round-selection probes (driver cap without driver rows) ------
     def sel_ranks(self, keys: list[tuple[int, str]]) -> list[int]:
@@ -614,6 +671,11 @@ class FrontierShard:
                     "depth": pa.array(depths, pa.int32()),
                 }
             )
+            if self.track_cash:
+                tbl = tbl.append_column(
+                    "cash",
+                    pa.array((self.cash.get(u, 0) for u in urls), pa.int64()),
+                )
             return meta, tbl
         from ..sources.pages import url_bucket
 
@@ -635,6 +697,13 @@ class FrontierShard:
                 "depth": pa.array([depths[i] for i in order], pa.int32()),
             }
         )
+        if self.track_cash:
+            tbl = tbl.append_column(
+                "cash",
+                pa.array(
+                    (self.cash.get(urls[i], 0) for i in order), pa.int64()
+                ),
+            )
         meta = {
             "count": len(urls),
             "buckets": sorted(ranges),
@@ -787,11 +856,16 @@ class FrontierShard:
             return stats, ok.schema.empty_table()
         return stats, ok
 
-    def enqueue_arrow(self, urls, depths, hosts) -> int:
+    def enqueue_arrow(self, urls, depths, hosts, cash=None) -> int:
         """Arrow-array variant of enqueue (zero-copy through plasma;
         the per-URL set work happens here, in parallel across shards)."""
         self.recv_candidates += len(urls)
-        return self.enqueue(urls.to_pylist(), depths.to_pylist(), hosts.to_pylist())
+        return self.enqueue(
+            urls.to_pylist(),
+            depths.to_pylist(),
+            hosts.to_pylist(),
+            cash.to_pylist() if cash is not None else None,
+        )
 
     def record_fetched_arrow(self, urls) -> None:
         self.recv_fetched += len(urls)
@@ -945,6 +1019,13 @@ class FrontierShard:
                     "n": pa.array(list(self.backlinks.values()), pa.int64()),
                 }
             ),
+            # live OPIC cash accounts (priority='opic'), same rationale
+            "cash": pa.table(
+                {
+                    "url": pa.array(list(self.cash.keys()), pa.string()),
+                    "n": pa.array(list(self.cash.values()), pa.int64()),
+                }
+            ),
             # banked politeness carry: without it a token_bucket crawl
             # resumed from checkpoint silently resets every host's
             # unspent tokens and schedules differently from an
@@ -978,6 +1059,7 @@ class FrontierShard:
         resume_sel: pa.Table | None = None,
         retries: pa.Table | None = None,
         backlinks: pa.Table | None = None,
+        cash: pa.Table | None = None,
     ) -> None:
         self.seen = set(seen["url"].to_pylist())
         self.pending = {
@@ -1007,6 +1089,14 @@ class FrontierShard:
                 zip(
                     backlinks["url"].to_pylist(),
                     (int(n) for n in backlinks["n"].to_pylist()),
+                )
+            )
+        if cash is not None:
+            self.track_cash = True
+            self.cash = dict(
+                zip(
+                    cash["url"].to_pylist(),
+                    (int(n) for n in cash["n"].to_pylist()),
                 )
             )
         self.retrying = {}
@@ -1076,9 +1166,10 @@ def _sel_key(
         return (depth, len(url), url)
     if priority == "score_desc":
         return (depth, -(scores.get(url, 0) if scores else 0), url)
-    if priority == "backlink_desc":
-        # most-cited-pending-first ACROSS depths (the online
-        # backlink-count ordering; scores = the shard's live citation
-        # counts, bumped on every admission/rediscovery)
+    if priority in ("backlink_desc", "opic"):
+        # most-important-pending-first ACROSS depths: scores = the
+        # shard's live citation counts (backlink_desc, bumped on every
+        # admission/rediscovery) or live OPIC cash accounts (opic,
+        # integer shares of each fetched parent's frozen cash)
         return (-(scores.get(url, 0) if scores else 0), depth, url)
     return (depth, url)

@@ -79,10 +79,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument(
         "--priority",
-        choices=["depth_url", "short_url_first", "backlink_desc"],
+        choices=["depth_url", "short_url_first", "backlink_desc", "opic"],
         default="depth_url",
         help="frontier order key (backlink_desc = online citation-count "
-        "ordering, Cho/Garcia-Molina/Page 1998)",
+        "ordering, Cho/Garcia-Molina/Page 1998; opic = online page-"
+        "importance cash drain, Abiteboul et al. 2003)",
+    )
+    p.add_argument(
+        "--opic-cash", type=int, default=1 << 20,
+        help="priority=opic: per-seed starting cash in integer units",
     )
     args = p.parse_args(argv)
 
@@ -131,6 +136,7 @@ def main(argv: list[str] | None = None) -> int:
         max_retries=args.max_retries,
         follow_redirects=args.follow_redirects,
         priority=args.priority,
+        opic_cash=args.opic_cash,
     )
     t0 = time.perf_counter()
     res = run_crawl(args.pages, args.seeds, cfg, out_dir=args.out, resume=args.resume)
