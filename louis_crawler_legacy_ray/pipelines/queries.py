@@ -2734,6 +2734,100 @@ FROM documents
 # dedup family
 # --------------------------------------------------------------------------
 
+def mirror_corpus_dir(sf_dir: str) -> str:
+    """Mirrored-host fixture (url, text): every document at its base
+    host h{doc_id%%7}; FULL mirrors m1/m4 of h1/h4; a PARTIAL mirror m2
+    carrying h2's even doc_ids (a contained mirror must still flag); an
+    aggregator x.example.ca carrying every 31st document across hosts
+    — small coincidental overlap with each base host, the negative
+    case the threshold must NOT flag."""
+    key = f"{sf_dir}|mirror"
+    if key in _PAGES_CACHE:
+        return _PAGES_CACHE[key]
+    tag = hashlib.blake2b(key.encode(), digest_size=6).hexdigest()
+    out = f"/tmp/louis_pages_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        tmp = f"{out}.build-{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        docs = _docs_table(sf_dir)
+        urls: list[str] = []
+        txts: list[str] = []
+        for d, t, lang, src in zip(
+            docs["doc_id"].to_pylist(),
+            docs["text"].to_pylist(),
+            docs["lang"].to_pylist(),
+            docs["source"].to_pylist(),
+        ):
+            seg = "fra" if lang == "fr" else lang
+            p = f"/{seg}/{src}/doc{d}"
+            urls.append(f"http://h{d % 7}.example.ca{p}")
+            txts.append(t)
+            if d % 7 in (1, 4):
+                urls.append(f"http://m{d % 7}.example.ca{p}")
+                txts.append(t)
+            if d % 7 == 2 and d % 2 == 0:
+                urls.append(f"http://m2.example.ca{p}")
+                txts.append(t)
+            if d % 31 == 0:
+                urls.append(f"http://x.example.ca{p}")
+                txts.append(t)
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "text": pa.array(txts, pa.string()),
+                }
+            ),
+            os.path.join(tmp, "part-00000.parquet"),
+        )
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    _PAGES_CACHE[key] = out
+    return out
+
+
+def q_mirror_hosts(sf_dir: str):
+    """Mirror-host detection (Bharat/Broder 1999-style): host pairs
+    ranked by shared distinct-content fingerprints, flagged is_mirror
+    when the overlap covers >= half of the smaller host's distinct
+    content (exact integer rule 2*shared >= min(n_a, n_b)). The
+    mirrored fixture plants full mirrors (m1/m4), a contained partial
+    mirror (m2) and a low-overlap aggregator host (x) that must stay
+    unflagged."""
+    ds = ray.data.read_parquet(
+        mirror_corpus_dir(sf_dir), columns=["url", "text"]
+    )
+    return dd.mirror_host_pairs(ds)
+
+
+SQL_MIRROR_HOSTS = """
+WITH m AS (
+  SELECT 'h' || (doc_id % 7) || '.example.ca' AS host, text FROM documents
+  UNION ALL
+  SELECT 'm' || (doc_id % 7) || '.example.ca', text FROM documents
+  WHERE doc_id % 7 IN (1, 4)
+  UNION ALL
+  SELECT 'm2.example.ca', text FROM documents
+  WHERE doc_id % 7 = 2 AND doc_id % 2 = 0
+  UNION ALL
+  SELECT 'x.example.ca', text FROM documents WHERE doc_id % 31 = 0),
+hf AS (SELECT DISTINCT host, md5(text) AS fp FROM m),
+tot AS (SELECT host, count(*) AS n FROM hf GROUP BY host),
+pc AS (SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+       FROM hf a JOIN hf b ON a.fp = b.fp AND a.host < b.host
+       GROUP BY a.host, b.host)
+SELECT host_a, host_b, CAST(shared AS BIGINT) AS shared,
+       (2 * shared >= least(ta.n, tb.n)) AS is_mirror
+FROM pc JOIN tot ta ON ta.host = host_a JOIN tot tb ON tb.host = host_b
+"""
+
+
 def q_exact_dedup(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     out = dd.exact_dedup_groups(docs)
@@ -5728,6 +5822,7 @@ QUERIES = {
     "crawl_capped_budget": q_crawl_capped_budget,
     "crawl_backlink_priority": q_crawl_backlink_priority,
     "crawl_opic": q_crawl_opic,
+    "mirror_hosts": q_mirror_hosts,
     "crawl_redirects": q_crawl_redirects,
     "crawl_full_policy": q_crawl_full_policy,
     "crawl_metrics_budget": q_crawl_metrics_budget,
@@ -5869,6 +5964,7 @@ ORACLE_SQL = {
     "crawl_capped_budget": SQL_CRAWL_CAPPED_BUDGET,
     "crawl_backlink_priority": SQL_CRAWL_BACKLINK_PRIORITY,
     "crawl_opic": SQL_CRAWL_OPIC,
+    "mirror_hosts": SQL_MIRROR_HOSTS,
     "crawl_redirects": SQL_CRAWL_REDIRECTS,
     "crawl_full_policy": SQL_CRAWL_FULL_POLICY,
     "crawl_metrics_budget": SQL_CRAWL_METRICS_BUDGET,

@@ -1229,3 +1229,106 @@ def dup_doc_coverage(
         ),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------- mirror-host detection
+def mirror_host_pairs(
+    ds: ray.data.Dataset,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Detect MIRRORED HOSTS by content-fingerprint overlap — the
+    Common-Crawl curation step that catches whole sites served under
+    several hostnames (cc-mirror lists, Bharat/Broder 1999 "mirrored
+    hosts on the web"). Pipeline shape:
+
+      map_batches: (host, md5-int fingerprint) with in-batch dedup
+      groupby(fp).map_groups: per-content distinct host set -> one
+          (h, h) diagonal row per host (its total counter) + one
+          (a, b) row per a<b host pair sharing this content
+      groupby(host_a, host_b).count: pair overlap + diagonal totals
+      flag pass: is_mirror = 2*shared >= min(total_a, total_b)
+
+    Scale notes: the only all-to-all moves (host, fp) rows — one per
+    distinct page content per host, never page bodies. A content
+    group's fan-out is quadratic only in its MIRROR MULTIPLICITY
+    (#hosts serving that exact content — single digits in practice,
+    cc duplicate-host clusters are small), never in corpus size. The
+    final per-host totals are broadcast once via ray.put for the flag
+    pass; the aggregate itself IS the result set (distinct co-hosting
+    pairs), already output-sized."""
+    import ray as _ray
+
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        seen: set = set()
+        hosts: list[str] = []
+        fps: list[int] = []
+        for u, t in zip(
+            batch[url_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            h = u.split("//", 1)[1].split("/", 1)[0]
+            f = int.from_bytes(
+                hashlib.md5((t or "").encode()).digest()[8:16], "little"
+            )
+            if (h, f) not in seen:
+                seen.add((h, f))
+                hosts.append(h)
+                fps.append(f)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "fp": pa.array(fps, pa.uint64()),
+            }
+        )
+
+    def per_fp(g: pd.DataFrame) -> pd.DataFrame:
+        hs = sorted(set(g["host"]))
+        a_rows: list[str] = []
+        b_rows: list[str] = []
+        for i, a in enumerate(hs):
+            a_rows.append(a)
+            b_rows.append(a)  # diagonal: one distinct content for a
+            for b in hs[i + 1 :]:
+                a_rows.append(a)
+                b_rows.append(b)
+        return pd.DataFrame({"host_a": a_rows, "host_b": b_rows})
+
+    agg = (
+        ds.map_batches(fp_batch, batch_format="pyarrow")
+        .groupby("fp")
+        .map_groups(per_fp, batch_format="pandas")
+        .groupby(["host_a", "host_b"])
+        .aggregate(Count(alias_name="shared"))
+        .materialize()  # output-sized: distinct co-hosting host pairs
+    )
+    totals = {
+        r["host_a"]: int(r["shared"])
+        for r in agg.filter(
+            lambda r: r["host_a"] == r["host_b"]
+        ).take_all()  # bounded by #hosts, not pages
+    }
+    tot_ref = _ray.put(totals)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        tot = _ray.get(tot_ref)
+        mask = pc.invert(pc.equal(batch["host_a"], batch["host_b"]))
+        off = batch.filter(mask)
+        ha = off["host_a"].to_pylist()
+        hb = off["host_b"].to_pylist()
+        sh = off["shared"].to_pylist()
+        return pa.table(
+            {
+                "host_a": pa.array(ha, pa.string()),
+                "host_b": pa.array(hb, pa.string()),
+                "shared": pa.array([int(s) for s in sh], pa.int64()),
+                "is_mirror": pa.array(
+                    [
+                        2 * int(s) >= min(tot[a], tot[b])
+                        for a, b, s in zip(ha, hb, sh)
+                    ],
+                    pa.bool_(),
+                ),
+            }
+        )
+
+    return agg.map_batches(flag, batch_format="pyarrow")

@@ -321,3 +321,39 @@ def test_quantized_topk_recall(ray_session):
         total += 1
         hits += r["vec_id"] in ex[r["query_id"]]
     assert hits / total >= 0.9
+
+
+def test_mirror_host_pairs_flags_and_threshold(ray_session):
+    """mirror_host_pairs: full mirror flagged, sub-half overlap not;
+    diagonal totals never leak into the output."""
+    import pyarrow as pa
+    import ray.data
+
+    from louis_crawler_legacy_ray.stages.dedup import mirror_host_pairs
+
+    rows = []
+    # a <-> b: full mirror (3/3 shared)
+    for i in range(3):
+        rows.append((f"http://a.ca/p{i}", f"text-{i}"))
+        rows.append((f"http://b.ca/p{i}", f"text-{i}"))
+    # c: shares 1 of its 3 pages with a (1 < 3/2 -> not a mirror)
+    rows.append(("http://c.ca/p0", "text-0"))
+    rows.append(("http://c.ca/q1", "only-c-1"))
+    rows.append(("http://c.ca/q2", "only-c-2"))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([u for u, _ in rows], pa.string()),
+                "text": pa.array([t for _, t in rows], pa.string()),
+            }
+        )
+    )
+    out = mirror_host_pairs(ds).to_pandas()
+    got = {
+        (r.host_a, r.host_b): (r.shared, r.is_mirror)
+        for r in out.itertuples()
+    }
+    assert got[("a.ca", "b.ca")] == (3, True)
+    assert got[("a.ca", "c.ca")] == (1, False)
+    assert got[("b.ca", "c.ca")] == (1, False)
+    assert all(a != b for a, b in got)  # no diagonal rows in the output
