@@ -5690,6 +5690,89 @@ ORDER BY url
 )
 
 
+def q_sitemap_priority_crawl(sf_dir: str):
+    """THREE-subsystem interaction gate: sitemaps.org ``<priority>``
+    values drive the fetch schedule. Per-host sitemaps carry
+    deterministic priorities ((doc_id*37) %% 101 scaled to 0.xx), the
+    distributed sitemap parse resolves them into the integer score map
+    (priority_scores_from_seeds), and a score_desc crawl seeded with
+    EVERY sitemap URL at depth 0 (max_depth=0: the sitemap already
+    lists the whole site — pure fetch scheduling, no expansion) drains
+    per-host top-3 by (-score, url). The oracle is closed-form: round
+    = (per-host rank by priority desc, url - 1) / 3 — no recursion,
+    the schedule IS a ranked batching."""
+    import datetime as _dt
+
+    import ray.data as _rd
+
+    from ..sources.sitemaps import priority_scores_from_seeds, sitemap_seeds
+    from .crawl import CrawlConfig, run_crawl
+
+    corpus = multihost_corpus_dir(sf_dir)
+    base = _dt.date(2024, 1, 1)
+
+    def host_rows(b: pa.Table) -> pa.Table:
+        urls = b["url"].to_pylist()
+        return pa.table(
+            {
+                "host": pa.array(
+                    [u.split("//", 1)[1].split("/", 1)[0] for u in urls],
+                    pa.string(),
+                ),
+                "url": b["url"],
+                "doc_id": pa.array(
+                    [int(u.rsplit("doc", 1)[1]) for u in urls], pa.int64()
+                ),
+            }
+        )
+
+    def build_xml(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("url")
+        parts = ['<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">']
+        for u, d in zip(g["url"], g["doc_id"]):
+            lastmod = (base + _dt.timedelta(days=int(d) % 365)).isoformat()
+            prio = ((int(d) * 37) % 101) / 100
+            parts.append(
+                f"<url><loc>{u}</loc><lastmod>{lastmod}</lastmod>"
+                f"<priority>{prio:.2f}</priority></url>"
+            )
+        parts.append("</urlset>")
+        return pd.DataFrame(
+            {"host": [g["host"].iloc[0]], "xml": ["".join(parts)]}
+        )
+
+    seeds = sitemap_seeds(
+        _rd.read_parquet(corpus, columns=["url"])
+        .map_batches(host_rows, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(build_xml, batch_format="pandas")
+    )
+    scores = priority_scores_from_seeds(seeds)
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=0,
+        max_rounds=128,
+        per_host_budget=3,
+        priority="score_desc",
+        priority_scores=scores,
+    )
+    res = run_crawl(corpus, sorted(scores), cfg)
+    return res.order
+
+
+SQL_SITEMAP_PRIORITY_CRAWL = (
+    _SQL_MH_CTE
+    + """
+SELECT CAST((row_number() OVER (
+           PARTITION BY host
+           ORDER BY ((doc_id * 37) % 101) DESC, url) - 1) // 3
+       AS INTEGER) AS round,
+       CAST(0 AS INTEGER) AS depth, url
+FROM pg
+"""
+)
+
+
 def q_host_graph(sf_dir: str):
     """Host-level webgraph rollup (the artifact Common Crawl publishes
     as its host/domain graph releases): parse every page's html with
@@ -5823,6 +5906,7 @@ QUERIES = {
     "crawl_backlink_priority": q_crawl_backlink_priority,
     "crawl_opic": q_crawl_opic,
     "mirror_hosts": q_mirror_hosts,
+    "sitemap_priority_crawl": q_sitemap_priority_crawl,
     "crawl_redirects": q_crawl_redirects,
     "crawl_full_policy": q_crawl_full_policy,
     "crawl_metrics_budget": q_crawl_metrics_budget,
@@ -5965,6 +6049,7 @@ ORACLE_SQL = {
     "crawl_backlink_priority": SQL_CRAWL_BACKLINK_PRIORITY,
     "crawl_opic": SQL_CRAWL_OPIC,
     "mirror_hosts": SQL_MIRROR_HOSTS,
+    "sitemap_priority_crawl": SQL_SITEMAP_PRIORITY_CRAWL,
     "crawl_redirects": SQL_CRAWL_REDIRECTS,
     "crawl_full_policy": SQL_CRAWL_FULL_POLICY,
     "crawl_metrics_budget": SQL_CRAWL_METRICS_BUDGET,

@@ -36,12 +36,15 @@ def _local(tag: str) -> str:
 
 def parse_sitemap(
     xml_text: str, strict: bool = False
-) -> tuple[str, list[tuple[str, str | None]]]:
+) -> tuple[str, list[tuple[str, str | None, str | None]]]:
     """Parse one sitemap document.
 
     Returns ``(kind, entries)``: kind 'urlset' with (page url, lastmod
-    or None) entries, kind 'sitemapindex' with (child sitemap url,
-    lastmod) entries, or ('invalid', []) for malformed/foreign XML."""
+    or None, priority or None) entries, kind 'sitemapindex' with
+    (child sitemap url, lastmod, None) entries, or ('invalid', []) for
+    malformed/foreign XML. ``priority`` is the raw sitemaps.org string
+    ("0.0".."1.0"); the protocol default 0.5 for an absent tag is a
+    CONSUMER choice (priority_scores_from_seeds), not the parser's."""
     try:
         root = ET.fromstring(xml_text)
     except ET.ParseError:
@@ -53,19 +56,21 @@ def parse_sitemap(
         if strict:
             raise ValueError(f"not a sitemap root: {root.tag}")
         return "invalid", []
-    entries: list[tuple[str, str | None]] = []
+    entries: list[tuple[str, str | None, str | None]] = []
     for child in root:
         if _local(child.tag) not in ("url", "sitemap"):
             continue
-        loc, lastmod = None, None
+        loc, lastmod, prio = None, None, None
         for field in child:
             name = _local(field.tag)
             if name == "loc":
                 loc = (field.text or "").strip()
             elif name == "lastmod":
                 lastmod = (field.text or "").strip() or None
+            elif name == "priority":
+                prio = (field.text or "").strip() or None
         if loc:
-            entries.append((loc, lastmod))
+            entries.append((loc, lastmod, prio))
     return kind, entries
 
 
@@ -80,20 +85,44 @@ def sitemap_seeds(
     def parse(b: pa.Table) -> pa.Table:
         urls: list[str] = []
         mods: list[str | None] = []
+        prios: list[str | None] = []
         kinds: list[str] = []
         for doc in b[xml_col].to_pylist():
             kind, entries = parse_sitemap(doc or "", strict=strict)
             tag = "sitemap" if kind == "sitemapindex" else "url"
-            for loc, lastmod in entries:
+            for loc, lastmod, prio in entries:
                 urls.append(loc)
                 mods.append(lastmod)
+                prios.append(prio)
                 kinds.append(tag)
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
                 "lastmod": pa.array(mods, pa.string()),
+                "priority": pa.array(prios, pa.string()),
                 "kind": pa.array(kinds, pa.string()),
             }
         )
 
     return sitemaps.map_batches(parse, batch_format="pyarrow")
+
+
+def priority_scores_from_seeds(
+    seeds: ray.data.Dataset, scale: int = 100, default: int = 50
+) -> dict[str, int]:
+    """Resolve sitemap ``<priority>`` strings into the INTEGER score
+    map a ``priority='score_desc'`` crawl consumes (CrawlConfig.
+    priority_scores) — round(priority * scale), protocol default 0.5
+    for absent/garbage tags. Driver-side by design: the score map is
+    crawl CONFIG (the Frontier slices it per owning shard), and a
+    sitemap is protocol-capped at 50k urls per document."""
+    out: dict[str, int] = {}
+    for r in seeds.select_columns(["url", "priority", "kind"]).take_all():
+        if r["kind"] != "url":
+            continue
+        try:
+            p = float(r["priority"])
+        except (TypeError, ValueError):
+            p = default / scale
+        out[r["url"]] = round(p * scale)
+    return out

@@ -21,10 +21,15 @@ def test_urlset_with_and_without_namespace():
     )
     assert parse_sitemap(doc) == (
         "urlset",
-        [("http://a/x", "2024-03-01"), ("http://a/y", None)],
+        [("http://a/x", "2024-03-01", None), ("http://a/y", None, None)],
     )
     bare = "<urlset><url><loc>http://a/z</loc></url></urlset>"
-    assert parse_sitemap(bare) == ("urlset", [("http://a/z", None)])
+    assert parse_sitemap(bare) == ("urlset", [("http://a/z", None, None)])
+    withp = (
+        "<urlset><url><loc>http://a/p</loc>"
+        "<priority>0.80</priority></url></urlset>"
+    )
+    assert parse_sitemap(withp) == ("urlset", [("http://a/p", None, "0.80")])
 
 
 def test_sitemapindex_kind():
@@ -34,7 +39,7 @@ def test_sitemapindex_kind():
     )
     assert parse_sitemap(doc) == (
         "sitemapindex",
-        [("http://a/s1.xml", "2024-01-02")],
+        [("http://a/s1.xml", "2024-01-02", None)],
     )
 
 
@@ -82,3 +87,35 @@ def test_sitemaps_in_robots():
     )
     assert sitemaps_in_robots(txt) == ["http://a/s1.xml", "http://a/s2.xml"]
     assert sitemaps_in_robots("") == []
+
+
+def test_priority_scores_from_seeds_defaults(ray_session):
+    """<priority> resolves to round(p*100); absent/garbage tags take
+    the sitemaps.org default 0.5 -> 50; index rows are ignored."""
+    import pyarrow as pa
+
+    from louis_crawler_legacy_ray.sources.sitemaps import (
+        priority_scores_from_seeds,
+        sitemap_seeds,
+    )
+
+    docs = [
+        {"xml": (
+            "<urlset>"
+            "<url><loc>http://a/hi</loc><priority>0.93</priority></url>"
+            "<url><loc>http://a/lo</loc><priority>0.07</priority></url>"
+            "<url><loc>http://a/none</loc></url>"
+            "<url><loc>http://a/bad</loc><priority>zzz</priority></url>"
+            "</urlset>"
+        )},
+        {"xml": "<sitemapindex><sitemap><loc>http://a/s.xml</loc>"
+                "</sitemap></sitemapindex>"},
+    ]
+    seeds = sitemap_seeds(ray.data.from_items(docs))
+    scores = priority_scores_from_seeds(seeds)
+    assert scores == {
+        "http://a/hi": 93,
+        "http://a/lo": 7,
+        "http://a/none": 50,
+        "http://a/bad": 50,
+    }
