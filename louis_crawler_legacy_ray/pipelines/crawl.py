@@ -104,6 +104,10 @@ class CrawlConfig:
     hot_host_salt: dict = field(default_factory=dict)  # host -> n_salts
     robots_txt_by_host: dict | None = None  # host -> robots.txt body
     obey_robots: bool = False               # reference default: settings.py:19
+    robots_matcher: str = "stdlib"          # "stdlib" (urllib.robotparser) |
+                                            # "rfc9309" (full REP: '*'/'$'
+                                            # wildcards, longest-match, Allow
+                                            # wins ties — functions/robots.py)
     deny_url_patterns: list | None = None   # trap-guard regexes quarantined at
                                             # admission (feed from crawl_traps'
                                             # flagged patterns)
@@ -172,6 +176,12 @@ def config_hash(cfg: CrawlConfig, seeds: list[str]) -> str:
             else None,
             "round_limit": cfg.round_limit,
             "obey_robots": cfg.obey_robots,
+            # the matcher changes which URLs robots admits (wildcard
+            # stanzas behave differently under stdlib vs RFC 9309);
+            # None while stdlib keeps pre-existing hashes stable
+            "robots_matcher": cfg.robots_matcher
+            if cfg.robots_matcher != "stdlib"
+            else None,
             "deny_url_patterns": sorted(cfg.deny_url_patterns)
             if cfg.deny_url_patterns
             else None,
@@ -277,6 +287,7 @@ class Frontier:
                             deny_url_patterns=cfg.deny_url_patterns,
                             track_backlinks=cfg.priority == "backlink_desc",
                             track_cash=cfg.priority == "opic",
+                            robots_matcher=cfg.robots_matcher,
                         )
                         for i, s in enumerate(entry["actors"])
                     ]
@@ -312,6 +323,7 @@ class Frontier:
                 deny_url_patterns=cfg.deny_url_patterns,
                 track_backlinks=cfg.priority == "backlink_desc",
                 track_cash=cfg.priority == "opic",
+                robots_matcher=cfg.robots_matcher,
             )
             for i in range(cfg.n_shards)
         ]

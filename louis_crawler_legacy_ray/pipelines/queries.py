@@ -5773,6 +5773,111 @@ FROM pg
 )
 
 
+# one wildcard-heavy robots.txt served identically by every fixture
+# host; the leading otherbot group proves RFC group selection skips
+# stanzas addressed to someone else
+ROBOTS_WILDCARD_TXT = """\
+User-agent: otherbot
+Disallow: /
+
+User-agent: louis
+Disallow: /en/
+Allow: /en/src1
+Disallow: /en/src14$
+Disallow: /en/src15/
+Allow: /*/src7/doc1
+Disallow: /*/src7/
+Disallow: /*3$
+Disallow: /*/src2/
+Allow: /zh/src2/
+Disallow: /de/src9/
+Allow: /de/src9/
+"""
+
+
+class _RobotsWildcardEval:
+    """Actor-pool stage: the RFC 9309 rule group compiles ONCE per
+    actor (sorted by precedence), then every batch is a pure
+    path-match loop."""
+
+    def __init__(self):
+        from ..functions.robots import Rfc9309Matcher
+
+        self.m = Rfc9309Matcher(ROBOTS_WILDCARD_TXT, "louis")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        return pa.table(
+            {
+                "url": batch["url"],
+                "allowed": pa.array(
+                    [
+                        self.m.allowed(
+                            "/" + u.split("//", 1)[1].split("/", 1)[1]
+                        )
+                        for u in urls
+                    ],
+                    pa.bool_(),
+                ),
+            }
+        )
+
+
+def q_robots_wildcards(sf_dir: str):
+    """RFC 9309 robots semantics under the exact gate: '*'/'$'
+    wildcards, longest-pattern-wins, Allow beats Disallow on ties,
+    group selection by product token — everything stdlib robotparser
+    (the default RobotsCache mode) gets wrong. A wildcard-heavy rule
+    set evaluates against every multihost-corpus URL; the oracle
+    re-derives each verdict in SQL (patterns translate 1:1 to LIKE,
+    precedence = hardcoded pattern octet lengths). Planted
+    interactions: an Allow re-opening a Disallowed subtree, an
+    anchored rule that matches nothing (the '$' saves deeper paths),
+    a wildcard Disallow pierced by a longer Allow, a suffix-anchor
+    Disallow ('/*3$'), and an equal-length Allow/Disallow tie the
+    Allow must win."""
+    ds = ray.data.read_parquet(
+        multihost_corpus_dir(sf_dir), columns=["url"]
+    )
+    return ds.map_batches(
+        _RobotsWildcardEval, concurrency=2, batch_format="pyarrow"
+    )
+
+
+SQL_ROBOTS_WILDCARDS = """
+WITH base AS (
+  SELECT doc_id, (CASE WHEN lang = 'fr' THEN 'fra' ELSE lang END) AS seg,
+         source
+  FROM documents),
+p AS (
+  SELECT 'http://h' || (doc_id % 7) || '.example.ca/' || seg || '/'
+             || source || '/doc' || doc_id AS url,
+         '/' || seg || '/' || source || '/doc' || doc_id AS path
+  FROM base),
+rules(directive, plen, pat) AS (VALUES
+  ('dis', 4, '/en/%'),
+  ('alw', 8, '/en/src1%'),
+  ('dis', 10, '/en/src14'),
+  ('dis', 10, '/en/src15/%'),
+  ('alw', 12, '/%/src7/doc1%'),
+  ('dis', 8, '/%/src7/%'),
+  ('dis', 4, '/%3'),
+  ('dis', 8, '/%/src2/%'),
+  ('alw', 9, '/zh/src2/%'),
+  ('dis', 9, '/de/src9/%'),
+  ('alw', 9, '/de/src9/%')),
+m AS (SELECT p.url, r.directive, r.plen
+      FROM p JOIN rules r ON p.path LIKE r.pat),
+w AS (SELECT url, max(plen) AS mp FROM m GROUP BY url),
+dec AS (SELECT w.url,
+               max(CASE WHEN m.directive = 'alw' AND m.plen = w.mp
+                        THEN 1 ELSE 0 END) AS alw
+        FROM w JOIN m ON m.url = w.url GROUP BY w.url)
+SELECT p.url, coalesce(dec.alw = 1, TRUE) AS allowed
+FROM p LEFT JOIN dec ON dec.url = p.url
+"""
+
+
 def q_host_graph(sf_dir: str):
     """Host-level webgraph rollup (the artifact Common Crawl publishes
     as its host/domain graph releases): parse every page's html with
@@ -5907,6 +6012,7 @@ QUERIES = {
     "crawl_opic": q_crawl_opic,
     "mirror_hosts": q_mirror_hosts,
     "sitemap_priority_crawl": q_sitemap_priority_crawl,
+    "robots_wildcards": q_robots_wildcards,
     "crawl_redirects": q_crawl_redirects,
     "crawl_full_policy": q_crawl_full_policy,
     "crawl_metrics_budget": q_crawl_metrics_budget,
@@ -6050,6 +6156,7 @@ ORACLE_SQL = {
     "crawl_opic": SQL_CRAWL_OPIC,
     "mirror_hosts": SQL_MIRROR_HOSTS,
     "sitemap_priority_crawl": SQL_SITEMAP_PRIORITY_CRAWL,
+    "robots_wildcards": SQL_ROBOTS_WILDCARDS,
     "crawl_redirects": SQL_CRAWL_REDIRECTS,
     "crawl_full_policy": SQL_CRAWL_FULL_POLICY,
     "crawl_metrics_budget": SQL_CRAWL_METRICS_BUDGET,

@@ -69,11 +69,21 @@ class RobotsCache:
         robots_txt_by_host: dict[str, str] | None = None,
         user_agent: str = "louis (+https://github.com/ai-cfia)",  # settings.py:39-42
         obey_robots: bool = False,
+        matcher: str = "stdlib",
     ):
         self.user_agent = user_agent
         self.obey = obey_robots
         self._raw = robots_txt_by_host or {}
         self._parsers: dict[str, RobotFileParser | None] = {}
+        # matcher="rfc9309": full REP semantics ('*'/'$' wildcards,
+        # longest-pattern precedence, Allow wins ties) via
+        # functions/robots.py — stdlib robotparser treats '*' as a
+        # literal octet, so wildcard stanzas silently misbehave there
+        self.matcher = matcher
+        self._rfc: dict[str, "object | None"] = {}
+        # RFC group selection keys on the PRODUCT TOKEN, not the full
+        # UA string ("louis (+https://...)" -> "louis")
+        self.product_token = (user_agent.split() or ["*"])[0]
 
     def _parser_for(self, host: str) -> RobotFileParser | None:
         if host not in self._parsers:
@@ -86,11 +96,27 @@ class RobotsCache:
                 self._parsers[host] = p
         return self._parsers[host]
 
+    def _rfc_for(self, host: str):
+        if host not in self._rfc:
+            raw = self._raw.get(host)
+            if raw is None:
+                self._rfc[host] = None
+            else:
+                from ..functions.robots import Rfc9309Matcher
+
+                self._rfc[host] = Rfc9309Matcher(raw, self.product_token)
+        return self._rfc[host]
+
     def allowed(self, url: str) -> bool:
         if not self.obey:
             return True
-        host = urlparse(url).netloc
-        p = self._parser_for(host)
+        parsed = urlparse(url)
+        if self.matcher == "rfc9309":
+            m = self._rfc_for(parsed.netloc)
+            if m is None:
+                return True  # no robots.txt for host -> allowed
+            return m.allowed(parsed.path or "/")
+        p = self._parser_for(parsed.netloc)
         if p is None:
             return True  # no robots.txt for host -> allowed
         return p.can_fetch(self.user_agent, url)

@@ -211,10 +211,12 @@ class FrontierShard:
         deny_url_patterns: list | None = None,
         track_backlinks: bool = False,
         track_cash: bool = False,
+        robots_matcher: str = "stdlib",
     ):
         self.reset(
             shard_id, mode, bloom_bits, robots_txt_by_host, obey_robots,
             priority_scores, deny_url_patterns, track_backlinks, track_cash,
+            robots_matcher,
         )
 
     def reset(
@@ -228,6 +230,7 @@ class FrontierShard:
         deny_url_patterns: list | None = None,
         track_backlinks: bool = False,
         track_cash: bool = False,
+        robots_matcher: str = "stdlib",
     ) -> None:
         """Full re-initialization — lets a crawl REUSE a pooled shard
         actor from a previous crawl (actor spawn + Ray's one-time
@@ -242,7 +245,9 @@ class FrontierShard:
         self.mode = mode
         # robots cache colocated with the host's queue (T5); default-off
         # to match the reference's ROBOTSTXT_OBEY = False (settings.py:19)
-        self.robots = RobotsCache(robots_txt_by_host, obey_robots=obey_robots)
+        self.robots = RobotsCache(
+            robots_txt_by_host, obey_robots=obey_robots, matcher=robots_matcher
+        )
         # trap guard: URL regexes quarantined at admission (the
         # crawl_traps detector's output feeds this — Heritrix-style
         # pattern caps); compiled ONCE per shard actor, not per batch

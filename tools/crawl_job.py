@@ -62,6 +62,11 @@ def main(argv: list[str] | None = None) -> int:
         help="honor robots.txt Disallow rules discovered in the corpus",
     )
     p.add_argument(
+        "--robots-matcher", choices=["stdlib", "rfc9309"], default="stdlib",
+        help="robots rule semantics (rfc9309 = '*'/'$' wildcards, "
+        "longest-match, Allow wins ties)",
+    )
+    p.add_argument(
         "--honor-crawl-delay", action="store_true",
         help="derive per-host budgets from robots Crawl-delay directives",
     )
@@ -131,6 +136,7 @@ def main(argv: list[str] | None = None) -> int:
         inline_round_threshold=args.inline_threshold,
         robots_txt_by_host=robots_by_host,
         obey_robots=args.obey_robots,
+        robots_matcher=args.robots_matcher,
         honor_crawl_delay=args.honor_crawl_delay,
         deny_url_patterns=args.deny_pattern,
         max_retries=args.max_retries,
