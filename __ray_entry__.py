@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mirror_hosts",  # new in r4 (mirrored-host detection by content-fp overlap)
         "sitemap_priority_crawl",  # new in r4 (sitemap <priority> -> score_desc schedule)
         "robots_wildcards",  # new in r4 (RFC 9309 wildcard/longest-match/Allow-tie matcher)
+        "crawl_robots_rfc",  # new in r4 (RFC matcher inside distributed admission + BFS)
         "crawl_redirects",  # new in r4 (meta-refresh 3xx following at source depth)
         "crawl_full_policy",  # new in r4 (delay budgets + robots + traps + redirects, one gate)
         "recrawl_priority",  # new in r4 (adaptive recrawl scheduler)

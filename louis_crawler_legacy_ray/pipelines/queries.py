@@ -5878,6 +5878,99 @@ FROM p LEFT JOIN dec ON dec.url = p.url
 """
 
 
+# milder wildcard set for the CRAWL composition gate: the matrix
+# gate's '/en/' + '/*3$' blanket rules fragment the binary-link graph
+# down to ~15 reachable URLs — these keep reachability high while
+# still exercising every RFC mechanism inside admission (wildcard
+# Disallow pierced by a longer Allow, an equal-length tie, a plain
+# subtree block)
+ROBOTS_CRAWL_TXT = """\
+User-agent: otherbot
+Disallow: /
+
+User-agent: louis
+Allow: /*/src7/doc1
+Disallow: /*/src7/
+Disallow: /*/src2/
+Allow: /zh/src2/
+Disallow: /de/src9/
+Allow: /de/src9/
+Disallow: /en/src15/
+"""
+
+
+def q_crawl_robots_rfc(sf_dir: str):
+    """The RFC 9309 matcher inside the DISTRIBUTED admission path: a
+    wildcard rule set served by every multihost fixture host, obeyed
+    with robots_matcher='rfc9309' — disallowed candidates quarantine
+    at enqueue inside the owning shard, so blocked subtrees are
+    reachable only through allowed paths. The oracle is the recursive
+    walk restricted to the LIKE-re-derived allowed set (same
+    translation as robots_wildcards, now composed with BFS
+    reachability)."""
+    from .crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=6,
+        max_rounds=16,
+        robots_txt_by_host={
+            f"h{k}.example.ca": ROBOTS_CRAWL_TXT for k in range(_MH_HOSTS)
+        },
+        obey_robots=True,
+        robots_matcher="rfc9309",
+    )
+    res = run_crawl(multihost_corpus_dir(sf_dir), [_mh_seed(sf_dir)], cfg)
+    assert res.counts["errored"] > 0, "wildcard quarantine must fire"
+    return res.order.select(["url", "depth"])
+
+
+SQL_CRAWL_ROBOTS_RFC = """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+base AS (
+  SELECT doc_id, lang, source,
+         (CASE WHEN lang = 'fr' THEN 'fra' ELSE lang END) AS seg,
+         'http://h' || (doc_id % 7) || '.example.ca' AS origin
+  FROM documents),
+pg AS (
+  SELECT d.doc_id,
+         d.origin || '/' || d.seg || '/' || d.source || '/doc' || d.doc_id AS url,
+         '/' || d.seg || '/' || d.source || '/doc' || d.doc_id AS path,
+         c1.origin || '/' || c1.seg || '/' || c1.source || '/doc' || c1.doc_id AS c1_url,
+         c2.origin || '/' || c2.seg || '/' || c2.source || '/doc' || c2.doc_id AS c2_url
+  FROM base d, nn
+  JOIN base c1 ON c1.doc_id = (2 * d.doc_id + 1) % nn.n
+  JOIN base c2 ON c2.doc_id = (2 * d.doc_id + 2) % nn.n),
+rules(directive, plen, pat) AS (VALUES
+  ('alw', 12, '/%/src7/doc1%'),
+  ('dis', 8, '/%/src7/%'),
+  ('dis', 8, '/%/src2/%'),
+  ('alw', 9, '/zh/src2/%'),
+  ('dis', 9, '/de/src9/%'),
+  ('alw', 9, '/de/src9/%'),
+  ('dis', 10, '/en/src15/%')),
+m AS (SELECT pg.url, r.directive, r.plen
+      FROM pg JOIN rules r ON pg.path LIKE r.pat),
+w AS (SELECT url, max(plen) AS mp FROM m GROUP BY url),
+dec AS (SELECT w.url,
+               max(CASE WHEN m.directive = 'alw' AND m.plen = w.mp
+                        THEN 1 ELSE 0 END) AS alw
+        FROM w JOIN m ON m.url = w.url GROUP BY w.url),
+alwd AS (SELECT pg.url FROM pg LEFT JOIN dec ON dec.url = pg.url
+         WHERE coalesce(dec.alw = 1, TRUE)),
+edges AS (
+  SELECT url AS src, c1_url AS dst FROM pg
+  UNION ALL SELECT url, c2_url FROM pg),
+walk(url, depth) AS (
+  SELECT url, 0 FROM pg WHERE doc_id = 0
+  UNION ALL
+  SELECT e.dst, wk.depth + 1
+  FROM walk wk JOIN edges e ON e.src = wk.url
+  WHERE wk.depth < 6 AND e.dst IN (SELECT url FROM alwd))
+SELECT url, CAST(min(depth) AS INTEGER) AS depth FROM walk GROUP BY url
+"""
+
+
 def q_host_graph(sf_dir: str):
     """Host-level webgraph rollup (the artifact Common Crawl publishes
     as its host/domain graph releases): parse every page's html with
@@ -6013,6 +6106,7 @@ QUERIES = {
     "mirror_hosts": q_mirror_hosts,
     "sitemap_priority_crawl": q_sitemap_priority_crawl,
     "robots_wildcards": q_robots_wildcards,
+    "crawl_robots_rfc": q_crawl_robots_rfc,
     "crawl_redirects": q_crawl_redirects,
     "crawl_full_policy": q_crawl_full_policy,
     "crawl_metrics_budget": q_crawl_metrics_budget,
@@ -6157,6 +6251,7 @@ ORACLE_SQL = {
     "mirror_hosts": SQL_MIRROR_HOSTS,
     "sitemap_priority_crawl": SQL_SITEMAP_PRIORITY_CRAWL,
     "robots_wildcards": SQL_ROBOTS_WILDCARDS,
+    "crawl_robots_rfc": SQL_CRAWL_ROBOTS_RFC,
     "crawl_redirects": SQL_CRAWL_REDIRECTS,
     "crawl_full_policy": SQL_CRAWL_FULL_POLICY,
     "crawl_metrics_budget": SQL_CRAWL_METRICS_BUDGET,
