@@ -1098,6 +1098,110 @@ FROM walk2 GROUP BY url
 )
 
 
+def q_sitemap_recrawl(sf_dir: str):
+    """Sitemap ``<changefreq>`` driving the TTL recrawl machinery —
+    the composition webmasters actually intend the tag for: a site
+    sitemap declares each page's change cadence (hourly/daily/monthly,
+    deterministic CF[doc_id%3] — a 2/3 fast fraction keeps the
+    expired subgraph supercritical, so pass 2 genuinely propagates);
+    after a full pass-1 crawl, exactly the pages declared
+    fast-changing (hourly | daily) have their TTL lapse via
+    Frontier.expire() (cuckoo seen-front — blooms can't delete), and
+    pass 2 re-reaches a page only through a path of expired pages.
+    The changefreq -> expire set resolves FROM THE PARSED SITEMAP
+    (sources/sitemaps.py), not from arithmetic; only the oracle uses
+    the doc_id%3 shortcut."""
+    import ray.data as _rd
+
+    from ..sources.sitemaps import sitemap_seeds
+    from .crawl import CrawlConfig, Frontier, pages_expand, run_frontier
+
+    corpus = pages_corpus_dir(sf_dir)
+    cf_names = ["hourly", "daily", "monthly"]
+
+    def build_xml(b: pa.Table) -> pa.Table:
+        urls = sorted(b["url"].to_pylist())
+        parts = ['<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">']
+        for u in urls:
+            d = int(u.rsplit("doc", 1)[1])
+            parts.append(
+                f"<url><loc>{u}</loc>"
+                f"<changefreq>{cf_names[d % 3]}</changefreq></url>"
+            )
+        parts.append("</urlset>")
+        return pa.table({"xml": pa.array(["".join(parts)], pa.string())})
+
+    # single-host site -> one sitemap document (protocol-capped at 50k
+    # urls; a bigger site would shard into a sitemapindex)
+    sitemap = (
+        _rd.read_parquet(corpus, columns=["url"])
+        .repartition(1)
+        .map_batches(build_xml, batch_format="pyarrow", batch_size=None)
+    )
+    fast = {
+        r["url"]
+        for r in sitemap_seeds(sitemap).take_all()
+        if r["kind"] == "url" and r["changefreq"] in ("hourly", "daily")
+    }
+
+    docs = _docs_table(sf_dir)
+    lang0, src0 = docs["lang"][0].as_py(), docs["source"][0].as_py()
+    seg0 = "fra" if lang0 == "fr" else lang0
+    seed = f"{SITE}/{seg0}/{src0}/doc0"
+    cfg = CrawlConfig(n_shards=4, max_depth=6, max_rounds=16, mode="cuckoo")
+    frontier = Frontier(cfg)
+    try:
+        expand = pages_expand(corpus, cfg, None, 0)
+        r1 = run_frontier(expand, [seed], cfg, frontier=frontier)
+        expired = [u for u in r1.order["url"].to_pylist() if u in fast]
+        n = frontier.expire(expired)
+        assert n == len(expired), (n, len(expired))
+        r2 = run_frontier(expand, [seed], cfg, frontier=frontier)
+    finally:
+        frontier.release()
+
+    def tag(res, p):
+        t = res.order
+        return t.append_column(
+            "pass", pa.array([p] * t.num_rows, pa.int32())
+        ).select(["pass", "round", "depth", "url"])
+
+    return pa.concat_tables([tag(r1, 1), tag(r2, 2)])
+
+
+SQL_SITEMAP_RECRAWL = (
+    "WITH RECURSIVE "
+    + _SQL_PAGE_CTE.replace("WITH ", "", 1)
+    + f""",
+edges AS (
+  SELECT url AS src, '{SITE}' || c1_path AS dst FROM pg
+  UNION ALL SELECT url, '{SITE}' || c2_path FROM pg),
+walk(url, depth) AS (
+  SELECT url, 0 FROM pg WHERE doc_id = 0
+  UNION ALL
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.url
+  WHERE w.depth < 6),
+walk2(url, depth) AS (
+  -- pass 2: only pages whose sitemap changefreq was hourly|daily
+  -- (CF[doc_id mod 3] with CF[0]=hourly, CF[1]=daily) were expired,
+  -- so the re-crawl propagates only through them
+  SELECT url, 0 FROM pg WHERE doc_id = 0
+  UNION ALL
+  SELECT e.dst, w.depth + 1
+  FROM walk2 w JOIN edges e ON e.src = w.url
+  JOIN pg pd ON pd.url = e.dst
+  WHERE w.depth < 6 AND pd.doc_id % 3 IN (0, 1))
+SELECT CAST(1 AS INTEGER) AS pass, CAST(min(depth) AS INTEGER) AS round,
+       CAST(min(depth) AS INTEGER) AS depth, url
+FROM walk GROUP BY url
+UNION ALL
+SELECT CAST(2 AS INTEGER), CAST(min(depth) AS INTEGER),
+       CAST(min(depth) AS INTEGER), url
+FROM walk2 GROUP BY url
+"""
+)
+
+
 _MH_HOSTS = 7  # multi-host corpus: host = h{doc_id % 7}.example.ca
 
 
@@ -6107,6 +6211,7 @@ QUERIES = {
     "sitemap_priority_crawl": q_sitemap_priority_crawl,
     "robots_wildcards": q_robots_wildcards,
     "crawl_robots_rfc": q_crawl_robots_rfc,
+    "sitemap_recrawl": q_sitemap_recrawl,
     "crawl_redirects": q_crawl_redirects,
     "crawl_full_policy": q_crawl_full_policy,
     "crawl_metrics_budget": q_crawl_metrics_budget,
@@ -6252,6 +6357,7 @@ ORACLE_SQL = {
     "sitemap_priority_crawl": SQL_SITEMAP_PRIORITY_CRAWL,
     "robots_wildcards": SQL_ROBOTS_WILDCARDS,
     "crawl_robots_rfc": SQL_CRAWL_ROBOTS_RFC,
+    "sitemap_recrawl": SQL_SITEMAP_RECRAWL,
     "crawl_redirects": SQL_CRAWL_REDIRECTS,
     "crawl_full_policy": SQL_CRAWL_FULL_POLICY,
     "crawl_metrics_budget": SQL_CRAWL_METRICS_BUDGET,

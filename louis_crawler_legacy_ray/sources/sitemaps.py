@@ -36,15 +36,18 @@ def _local(tag: str) -> str:
 
 def parse_sitemap(
     xml_text: str, strict: bool = False
-) -> tuple[str, list[tuple[str, str | None, str | None]]]:
+) -> tuple[str, list[tuple[str, str | None, str | None, str | None]]]:
     """Parse one sitemap document.
 
     Returns ``(kind, entries)``: kind 'urlset' with (page url, lastmod
-    or None, priority or None) entries, kind 'sitemapindex' with
-    (child sitemap url, lastmod, None) entries, or ('invalid', []) for
-    malformed/foreign XML. ``priority`` is the raw sitemaps.org string
-    ("0.0".."1.0"); the protocol default 0.5 for an absent tag is a
-    CONSUMER choice (priority_scores_from_seeds), not the parser's."""
+    or None, priority or None, changefreq or None) entries, kind
+    'sitemapindex' with (child sitemap url, lastmod, None, None)
+    entries, or ('invalid', []) for malformed/foreign XML.
+    ``priority`` is the raw sitemaps.org string ("0.0".."1.0") and
+    ``changefreq`` the raw token (always/hourly/.../never); defaults
+    for absent tags are a CONSUMER choice
+    (priority_scores_from_seeds / recrawl policies), not the
+    parser's."""
     try:
         root = ET.fromstring(xml_text)
     except ET.ParseError:
@@ -56,11 +59,11 @@ def parse_sitemap(
         if strict:
             raise ValueError(f"not a sitemap root: {root.tag}")
         return "invalid", []
-    entries: list[tuple[str, str | None, str | None]] = []
+    entries: list[tuple[str, str | None, str | None, str | None]] = []
     for child in root:
         if _local(child.tag) not in ("url", "sitemap"):
             continue
-        loc, lastmod, prio = None, None, None
+        loc, lastmod, prio, cf = None, None, None, None
         for field in child:
             name = _local(field.tag)
             if name == "loc":
@@ -69,8 +72,10 @@ def parse_sitemap(
                 lastmod = (field.text or "").strip() or None
             elif name == "priority":
                 prio = (field.text or "").strip() or None
+            elif name == "changefreq":
+                cf = (field.text or "").strip().lower() or None
         if loc:
-            entries.append((loc, lastmod, prio))
+            entries.append((loc, lastmod, prio, cf))
     return kind, entries
 
 
@@ -86,20 +91,23 @@ def sitemap_seeds(
         urls: list[str] = []
         mods: list[str | None] = []
         prios: list[str | None] = []
+        cfs: list[str | None] = []
         kinds: list[str] = []
         for doc in b[xml_col].to_pylist():
             kind, entries = parse_sitemap(doc or "", strict=strict)
             tag = "sitemap" if kind == "sitemapindex" else "url"
-            for loc, lastmod, prio in entries:
+            for loc, lastmod, prio, cf in entries:
                 urls.append(loc)
                 mods.append(lastmod)
                 prios.append(prio)
+                cfs.append(cf)
                 kinds.append(tag)
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
                 "lastmod": pa.array(mods, pa.string()),
                 "priority": pa.array(prios, pa.string()),
+                "changefreq": pa.array(cfs, pa.string()),
                 "kind": pa.array(kinds, pa.string()),
             }
         )

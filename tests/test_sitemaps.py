@@ -21,15 +21,23 @@ def test_urlset_with_and_without_namespace():
     )
     assert parse_sitemap(doc) == (
         "urlset",
-        [("http://a/x", "2024-03-01", None), ("http://a/y", None, None)],
+        [
+            ("http://a/x", "2024-03-01", None, None),
+            ("http://a/y", None, None, None),
+        ],
     )
     bare = "<urlset><url><loc>http://a/z</loc></url></urlset>"
-    assert parse_sitemap(bare) == ("urlset", [("http://a/z", None, None)])
-    withp = (
-        "<urlset><url><loc>http://a/p</loc>"
-        "<priority>0.80</priority></url></urlset>"
+    assert parse_sitemap(bare) == (
+        "urlset", [("http://a/z", None, None, None)]
     )
-    assert parse_sitemap(withp) == ("urlset", [("http://a/p", None, "0.80")])
+    withp = (
+        "<urlset><url><loc>http://a/p</loc><priority>0.80</priority>"
+        "<changefreq>Daily</changefreq></url></urlset>"
+    )
+    # changefreq tokens normalize to lowercase; priority stays raw
+    assert parse_sitemap(withp) == (
+        "urlset", [("http://a/p", None, "0.80", "daily")]
+    )
 
 
 def test_sitemapindex_kind():
@@ -39,7 +47,7 @@ def test_sitemapindex_kind():
     )
     assert parse_sitemap(doc) == (
         "sitemapindex",
-        [("http://a/s1.xml", "2024-01-02", None)],
+        [("http://a/s1.xml", "2024-01-02", None, None)],
     )
 
 
