@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_wildcards",  # new in r4 (RFC 9309 wildcard/longest-match/Allow-tie matcher)
         "crawl_robots_rfc",  # new in r4 (RFC matcher inside distributed admission + BFS)
         "sitemap_recrawl",  # new in r4 (sitemap <changefreq> -> TTL expire -> pass-2)
+        "url_normalize",  # new in r4 (RFC 3986 canonicalization known-answer gate)
         "crawl_redirects",  # new in r4 (meta-refresh 3xx following at source depth)
         "crawl_full_policy",  # new in r4 (delay budgets + robots + traps + redirects, one gate)
         "recrawl_priority",  # new in r4 (adaptive recrawl scheduler)

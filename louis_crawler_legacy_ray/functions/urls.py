@@ -159,3 +159,60 @@ def surt(url: str) -> str:
     if host.startswith("www."):
         host = host[4:]
     return ",".join(reversed(host.split("."))) + ")/" + (rest if sep else "")
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 over an absolute path — stack algorithm."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out:
+                out.pop()
+            continue
+        out.append(seg)
+    # a trailing '.'/'..' still denotes a directory: keep the slash
+    if path.endswith(("/.", "/..")) and (not out or out[-1] != ""):
+        out.append("")
+    p = "/".join(out)
+    return p if p.startswith("/") else "/" + p
+
+
+def canonicalize_url(url: str) -> str:
+    """Full URL canonicalization (w3lib.canonicalize_url semantics,
+    RFC 3986 §6 normalizations — the dedup key Scrapy's request
+    fingerprinting builds on, one level stronger than the reference's
+    fix_vhost+strip-query):
+
+    - scheme and host lowercased; default ports (http:80, https:443)
+      stripped; empty path becomes '/'
+    - dot-segments removed (§5.2.4)
+    - percent-encoding normalized: octets decoded then re-encoded with
+      a canonical safe set, so ``%64oc`` and ``doc`` collapse and hex
+      digits come out uppercase
+    - query pairs parsed and SORTED by (key, value) — parameter order
+      never distinguishes documents
+    - fragment dropped (never sent to the server)
+    """
+    from urllib.parse import (
+        parse_qsl,
+        quote,
+        unquote,
+        urlencode,
+        urlsplit,
+        urlunsplit,
+    )
+
+    s = urlsplit(url or "")
+    scheme = s.scheme.lower()
+    host = (s.hostname or "").lower()
+    port = s.port
+    if port is not None and (scheme, port) not in (
+        ("http", 80), ("https", 443)
+    ):
+        host = f"{host}:{port}"
+    path = quote(unquote(s.path), safe="/~:@!$&'()*+,;=-._")
+    path = _remove_dot_segments(path) if path else "/"
+    query = urlencode(sorted(parse_qsl(s.query, keep_blank_values=True)))
+    return urlunsplit((scheme, host, path, query, ""))

@@ -6075,6 +6075,80 @@ SELECT url, CAST(min(depth) AS INTEGER) AS depth FROM walk GROUP BY url
 """
 
 
+def q_url_normalize(sf_dir: str):
+    """Full URL canonicalization under the exact gate
+    (functions/urls.py canonicalize_url — w3lib/RFC 3986 semantics,
+    the dedup key layer ABOVE the reference's fix_vhost): six noise
+    transforms applied deterministically to every corpus URL
+    (uppercased scheme+host with a default :80 port, /./ and /zz/../
+    dot-segments, a %64 percent-encoded unreserved octet, a fragment,
+    unsorted query params) must all collapse back to the canonical
+    form — which the oracle constructs directly from the document
+    arithmetic, so a normalizer that under- or over-rewrites
+    hash-mismatches."""
+    ds = ray.data.read_parquet(
+        multihost_corpus_dir(sf_dir), columns=["url"]
+    )
+
+    def noisify(batch: pa.Table) -> pa.Table:
+        from ..functions.urls import canonicalize_url
+
+        noisy_out: list[str] = []
+        canon_out: list[str] = []
+        for u in batch["url"].to_pylist():
+            base, _, tail = u.partition(".example.ca")
+            base += ".example.ca"
+            path = tail
+            d = int(u.rsplit("doc", 1)[1])
+            case = d % 6
+            if case == 0:
+                noisy = base.upper() + ":80" + path
+            elif case == 1:
+                noisy = base + "/." + path
+            elif case == 2:
+                noisy = base + "/zz/.." + path
+            elif case == 3:
+                noisy = base + path.replace("/doc", "/%64oc")
+            elif case == 4:
+                noisy = u + f"#sec{d}"
+            else:
+                noisy = u + "?b=2&a=1"
+            noisy_out.append(noisy)
+            canon_out.append(canonicalize_url(noisy))
+        return pa.table(
+            {
+                "noisy_url": pa.array(noisy_out, pa.string()),
+                "url": pa.array(canon_out, pa.string()),
+            }
+        )
+
+    return ds.map_batches(noisify, batch_format="pyarrow")
+
+
+SQL_URL_NORMALIZE = """
+WITH base AS (
+  SELECT doc_id, (CASE WHEN lang = 'fr' THEN 'fra' ELSE lang END) AS seg,
+         source
+  FROM documents),
+p AS (
+  SELECT doc_id,
+         'http://h' || (doc_id % 7) || '.example.ca' AS origin,
+         '/' || seg || '/' || source || '/doc' || doc_id AS path
+  FROM base)
+SELECT CASE doc_id % 6
+         WHEN 0 THEN 'HTTP://H' || (doc_id % 7) || '.EXAMPLE.CA:80' || path
+         WHEN 1 THEN origin || '/.' || path
+         WHEN 2 THEN origin || '/zz/..' || path
+         WHEN 3 THEN origin || replace(path, '/doc', '/%64oc')
+         WHEN 4 THEN origin || path || '#sec' || doc_id
+         ELSE origin || path || '?b=2&a=1'
+       END AS noisy_url,
+       origin || path
+         || (CASE WHEN doc_id % 6 = 5 THEN '?a=1&b=2' ELSE '' END) AS url
+FROM p
+"""
+
+
 def q_host_graph(sf_dir: str):
     """Host-level webgraph rollup (the artifact Common Crawl publishes
     as its host/domain graph releases): parse every page's html with
@@ -6212,6 +6286,7 @@ QUERIES = {
     "robots_wildcards": q_robots_wildcards,
     "crawl_robots_rfc": q_crawl_robots_rfc,
     "sitemap_recrawl": q_sitemap_recrawl,
+    "url_normalize": q_url_normalize,
     "crawl_redirects": q_crawl_redirects,
     "crawl_full_policy": q_crawl_full_policy,
     "crawl_metrics_budget": q_crawl_metrics_budget,
@@ -6358,6 +6433,7 @@ ORACLE_SQL = {
     "robots_wildcards": SQL_ROBOTS_WILDCARDS,
     "crawl_robots_rfc": SQL_CRAWL_ROBOTS_RFC,
     "sitemap_recrawl": SQL_SITEMAP_RECRAWL,
+    "url_normalize": SQL_URL_NORMALIZE,
     "crawl_redirects": SQL_CRAWL_REDIRECTS,
     "crawl_full_policy": SQL_CRAWL_FULL_POLICY,
     "crawl_metrics_budget": SQL_CRAWL_METRICS_BUDGET,

@@ -69,3 +69,21 @@ def test_robots_cache_matcher_modes():
     # the mode switch exists precisely because these disagree
     std = RobotsCache(by_host, obey_robots=True)
     assert std.allowed("http://a.ca/files/report.pdf")
+
+
+def test_canonicalize_url_kernel():
+    """functions/urls.canonicalize_url — the RFC 3986 §6 edge cases
+    the oracle fixture can't plant (non-default port kept, trailing
+    dot-segment keeps the directory slash, unreserved %XX decodes,
+    blank query values survive the sort)."""
+    from louis_crawler_legacy_ray.functions.urls import canonicalize_url as c
+
+    assert c("HTTP://A.CA:80/x") == "http://a.ca/x"
+    assert c("https://a.ca:443/x") == "https://a.ca/x"
+    assert c("http://a.ca:8080/x") == "http://a.ca:8080/x"  # kept
+    assert c("http://a.ca") == "http://a.ca/"
+    assert c("http://a.ca/a/b/..") == "http://a.ca/a/"
+    assert c("http://a.ca/a/./") == "http://a.ca/a/"
+    assert c("http://a.ca/%64oc/%7Euser") == "http://a.ca/doc/~user"
+    assert c("http://a.ca/p?b=2&a=1&a=") == "http://a.ca/p?a=&a=1&b=2"
+    assert c("http://a.ca/p#frag") == "http://a.ca/p"
