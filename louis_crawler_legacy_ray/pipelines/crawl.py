@@ -95,6 +95,12 @@ class CrawlConfig:
                                             # Crawl-delay directives (budget =
                                             # round_seconds // delay, PolitenessPolicy
                                             # round_seconds=60); explicit host_budgets win
+    ip_groups: dict | None = None           # host -> group key: vhosts that resolve to ONE
+                                            # server share ONE politeness budget (Heritrix
+                                            # ip-based queues). Routing keys on the GROUP so
+                                            # a group's queues colocate in one shard; take()
+                                            # counts budget per group. Hosts absent from the
+                                            # map keep per-host budgets/routing.
     round_limit: int | None = None          # overall per-round URL cap
     max_rounds: int = 64
     allowed_domains: list[str] | None = None
@@ -192,6 +198,10 @@ def config_hash(cfg: CrawlConfig, seeds: list[str]) -> str:
             # seed cash changes the opic schedule (share rounding);
             # None for other priorities keeps prior hashes stable
             "opic_cash": cfg.opic_cash if cfg.priority == "opic" else None,
+            # group co-binding changes routing AND the budget schedule
+            "ip_groups": sorted(cfg.ip_groups.items())
+            if cfg.ip_groups
+            else None,
             # digest, not the map itself: the score table can be large
             "priority_scores": hashlib.blake2b(
                 json.dumps(sorted(cfg.priority_scores.items())).encode(),
@@ -205,23 +215,36 @@ def config_hash(cfg: CrawlConfig, seeds: list[str]) -> str:
     return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
 
 
-def shard_of(url: str, host: str, n_shards: int, hot_host_salt: dict) -> int:
+def shard_of(
+    url: str,
+    host: str,
+    n_shards: int,
+    hot_host_salt: dict,
+    ip_groups: dict | None = None,
+) -> int:
     n_salt = hot_host_salt.get(host)
     if n_salt:
         # hot-host salting: spread one host's URLs over n_salt shards
         # (politeness budget becomes per (host, salt) sub-queue)
         salt = shard_for_host(url, n_salt)
         return shard_for_host(f"{host}#{salt}", n_shards)
+    if ip_groups:
+        # grouped vhosts route by GROUP so the shared budget is
+        # enforceable inside one shard (never salt a grouped host —
+        # the two knobs pull routing in opposite directions)
+        host = ip_groups.get(host, host)
     return shard_for_host(host, n_shards)
 
 
-def _group_by_shard(urls: list[str], n_shards: int, hot_host_salt: dict):
+def _group_by_shard(
+    urls: list[str], n_shards: int, hot_host_salt: dict, ip_groups: dict | None = None
+):
     """shard_id -> (urls, hosts). Per-URL Python, so callers run it in
     parallel map tasks, not on the driver."""
     by_shard: dict[int, tuple[list, list]] = {}
     for url in urls:
         host = host_of(url)
-        sid = shard_of(url, host, n_shards, hot_host_salt)
+        sid = shard_of(url, host, n_shards, hot_host_salt, ip_groups)
         b = by_shard.setdefault(sid, ([], []))
         b[0].append(url)
         b[1].append(host)
@@ -260,7 +283,9 @@ class Frontier:
         if cfg.priority_scores:
             score_slices = [dict() for _ in range(cfg.n_shards)]
             for url, sc in cfg.priority_scores.items():
-                s = shard_of(url, host_of(url), cfg.n_shards, cfg.hot_host_salt)
+                s = shard_of(
+                    url, host_of(url), cfg.n_shards, cfg.hot_host_salt, cfg.ip_groups
+                )
                 score_slices[s][url] = sc
         self._score_slices = score_slices
         for other_n, entry in list(Frontier._POOL.items()):
@@ -288,6 +313,7 @@ class Frontier:
                             track_backlinks=cfg.priority == "backlink_desc",
                             track_cash=cfg.priority == "opic",
                             robots_matcher=cfg.robots_matcher,
+                            ip_groups=cfg.ip_groups,
                         )
                         for i, s in enumerate(entry["actors"])
                     ]
@@ -324,6 +350,7 @@ class Frontier:
                 track_backlinks=cfg.priority == "backlink_desc",
                 track_cash=cfg.priority == "opic",
                 robots_matcher=cfg.robots_matcher,
+                ip_groups=cfg.ip_groups,
             )
             for i in range(cfg.n_shards)
         ]
@@ -362,7 +389,9 @@ class Frontier:
         by_shard: dict[int, tuple[list, list, list, list]] = {}
         for i, (url, depth) in enumerate(zip(urls, depths)):
             host = host_of(url)
-            sid = shard_of(url, host, cfg.n_shards, cfg.hot_host_salt)
+            sid = shard_of(
+                url, host, cfg.n_shards, cfg.hot_host_salt, cfg.ip_groups
+            )
             b = by_shard.setdefault(sid, ([], [], [], []))
             b[0].append(url)
             b[1].append(depth)
@@ -438,7 +467,9 @@ class Frontier:
         )
 
     def record_fetched(self, urls: list[str]) -> None:
-        by_shard = _group_by_shard(urls, self.cfg.n_shards, self.cfg.hot_host_salt)
+        by_shard = _group_by_shard(
+            urls, self.cfg.n_shards, self.cfg.hot_host_salt, self.cfg.ip_groups
+        )
         ray.get(
             [self.shards[sid].record_fetched.remote(u) for sid, (u, _) in by_shard.items()]
         )
@@ -453,7 +484,9 @@ class Frontier:
         routed) so a later enqueue re-admits them. Requires the
         deletable cuckoo seen-front under mode='cuckoo' (a bloom
         front cannot forget; state/seen.py expire)."""
-        by_shard = _group_by_shard(urls, self.cfg.n_shards, self.cfg.hot_host_salt)
+        by_shard = _group_by_shard(
+            urls, self.cfg.n_shards, self.cfg.hot_host_salt, self.cfg.ip_groups
+        )
         return sum(
             ray.get(
                 [self.shards[sid].expire.remote(u) for sid, (u, _) in by_shard.items()]
@@ -549,7 +582,9 @@ def _global_threshold(shards, limit: int, total: int) -> tuple[tuple[int, str], 
 _HOST_PATTERN = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<host>[^/?#]+)"
 
 
-def _hosts_and_shards(urls: pa.Array, n_shards: int, salt: dict):
+def _hosts_and_shards(
+    urls: pa.Array, n_shards: int, salt: dict, groups: dict | None = None
+):
     """Vectorized host + shard columns for a URL array: regex-extract
     the netloc with an Arrow kernel, then hash only the UNIQUE hosts in
     Python (dozens, not millions) and scatter back via index_in."""
@@ -565,12 +600,18 @@ def _hosts_and_shards(urls: pa.Array, n_shards: int, salt: dict):
             hl = hosts.to_pylist()
             ul = urls.to_pylist()
             sids = pa.array(
-                [shard_of(u, h, n_shards, salt) for u, h in zip(ul, hl)],
+                [shard_of(u, h, n_shards, salt, groups) for u, h in zip(ul, hl)],
                 pa.int32(),
             )
             return hosts, sids
+    # grouped vhosts route by GROUP key (still host-level, so the
+    # unique-host fast path holds — dozens of hashes, not millions)
     shard_per_uniq = pa.array(
-        [shard_for_host(h.as_py(), n_shards) for h in uniq], pa.int32()
+        [
+            shard_for_host(groups.get(h.as_py(), h.as_py()) if groups else h.as_py(), n_shards)
+            for h in uniq
+        ],
+        pa.int32(),
     )
     idx = pc.index_in(hosts, value_set=uniq)
     return hosts, shard_per_uniq.take(idx)
@@ -580,6 +621,7 @@ def _control_from_items(
     items: pa.Table,
     n_shards: int,
     salt: dict,
+    groups: dict | None,
     max_depth: int,
     follow_redirects: bool = False,
     dedup_links: bool = False,
@@ -681,8 +723,8 @@ def _control_from_items(
                     [c_cash, pa.array([0] * (len(dst) - n_red), pa.int64())]
                 )
 
-    f_hosts, f_shards = _hosts_and_shards(urls, n_shards, salt)
-    c_hosts, c_shards = _hosts_and_shards(dst, n_shards, salt)
+    f_hosts, f_shards = _hosts_and_shards(urls, n_shards, salt, groups)
+    c_hosts, c_shards = _hosts_and_shards(dst, n_shards, salt, groups)
     n_f = len(urls)
     cols = {
         "kind": pa.concat_arrays(
@@ -855,6 +897,7 @@ def _fused_round_task(
     allowed_domains,
     n_shards: int,
     salt: dict,
+    groups: dict | None,
     max_depth: int,
     out_part: str | None,
     block_idx: int = 0,
@@ -980,7 +1023,7 @@ def _fused_round_task(
     if out_part is not None:
         _write_items_part(items, out_part, f"part-{block_idx:05d}")
     counts = _send_control(
-        items, shards, n_shards, salt, max_depth, follow_redirects, dedup_links
+        items, shards, n_shards, salt, groups, max_depth, follow_redirects, dedup_links
     )
     ts3 = _time.time()
     return _counts_table(
@@ -1021,6 +1064,7 @@ def _send_control(
     shards,
     n_shards: int,
     salt: dict,
+    groups: dict | None,
     max_depth: int,
     follow_redirects: bool = False,
     dedup_links: bool = False,
@@ -1029,7 +1073,7 @@ def _send_control(
     to their owning shard actors; returns the per-kind sent counts for
     the driver's delivery reconciliation."""
     ctrl = _control_from_items(
-        items, n_shards, salt, max_depth, follow_redirects, dedup_links
+        items, n_shards, salt, groups, max_depth, follow_redirects, dedup_links
     )
     n_f = n_c = 0
     for sid in range(n_shards):
@@ -1155,6 +1199,7 @@ def _fetch_round_task(
     allowed_domains,
     n_shards: int,
     salt: dict,
+    groups: dict | None,
     max_depth: int,
     out_part: str | None,
     chunk_idx: int,
@@ -1194,7 +1239,7 @@ def _fetch_round_task(
     if out_part is not None:
         _write_items_part(items, out_part, f"part-{chunk_idx:05d}")
     return _send_control(
-        items, shards, n_shards, salt, max_depth, follow_redirects, dedup_links
+        items, shards, n_shards, salt, groups, max_depth, follow_redirects, dedup_links
     )
 
 
@@ -1237,6 +1282,7 @@ def fetcher_expand(
                         cfg.allowed_domains,
                         cfg.n_shards,
                         cfg.hot_host_salt,
+                        cfg.ip_groups,
                         cfg.max_depth,
                         out_part,
                         chunk_idx,
@@ -1380,6 +1426,7 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                         extract(hit),
                         cfg.n_shards,
                         cfg.hot_host_salt,
+                        cfg.ip_groups,
                         cfg.max_depth,
                         cfg.follow_redirects,
                         cfg.priority == "backlink_desc",
@@ -1481,6 +1528,7 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                         cfg.allowed_domains,
                         cfg.n_shards,
                         cfg.hot_host_salt,
+                        cfg.ip_groups,
                         cfg.max_depth,
                         out_part,
                         g,
@@ -1521,6 +1569,7 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                     pa.table(empty),
                     cfg.n_shards,
                     cfg.hot_host_salt,
+                    cfg.ip_groups,
                     cfg.max_depth,
                     cfg.follow_redirects,
                     cfg.priority == "backlink_desc",
@@ -1542,6 +1591,7 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                 items,
                 cfg.n_shards,
                 cfg.hot_host_salt,
+                cfg.ip_groups,
                 cfg.max_depth,
                 cfg.follow_redirects,
                 cfg.priority == "backlink_desc",
@@ -1711,6 +1761,15 @@ def run_frontier(
             "'budget' politeness; the token bucket keeps one global "
             "refill rate"
         )
+    if cfg.ip_groups and cfg.hot_host_salt:
+        overlap = set(cfg.ip_groups) & set(cfg.hot_host_salt)
+        if overlap:
+            # the two knobs pull routing in opposite directions: salting
+            # SPREADS one host over shards, grouping CONCENTRATES many
+            # hosts into one shard so the shared budget is local
+            raise ValueError(
+                f"hosts cannot be both ip-grouped and salted: {sorted(overlap)}"
+            )
     owns_frontier = frontier is None
     if owns_frontier:
         frontier = Frontier(cfg)

@@ -1884,6 +1884,118 @@ GROUP BY depth, url
 )
 
 
+_IP_GROUPS = {
+    # vhosts bound to one origin server (Heritrix ip-based queues):
+    # 3 hosts share srv-a's budget, 2 share srv-b's; h5/h6 stay
+    # per-host. Grouped hosts also ROUTE by group (one shard owns a
+    # server's whole queue), exercised because n_shards=4 < 7 hosts.
+    "h0.example.ca": "srv-a",
+    "h2.example.ca": "srv-a",
+    "h4.example.ca": "srv-a",
+    "h1.example.ca": "srv-b",
+    "h3.example.ca": "srv-b",
+}
+
+
+def q_crawl_ip_groups(sf_dir: str):
+    """Shared politeness budgets for vhosts on ONE origin server
+    (Heritrix's ip-based frontier queues; reference's per-host
+    courtesy generalized): CrawlConfig.ip_groups binds h0/h2/h4 to
+    server group srv-a and h1/h3 to srv-b, so each GROUP — not each
+    host — gets the token bucket's refill-2/burst-4/banked-carry
+    allowance, and the three srv-a vhosts compete in one (depth, url)
+    queue. Routing keys grouped hosts by the group, so the shared
+    bucket is enforced inside a single owning shard with no
+    cross-shard coordination. The oracle re-runs the token-sentinel
+    round simulation with budget keys = coalesce(group, host)."""
+    from .crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=6,
+        max_rounds=96,
+        per_host_budget=2,
+        politeness="token_bucket",
+        ip_groups=dict(_IP_GROUPS),
+    )
+    res = run_crawl(multihost_corpus_dir(sf_dir), [_mh_seed(sf_dir)], cfg)
+    return res.order
+
+
+SQL_CRAWL_IP_GROUPS = (
+    "WITH RECURSIVE "
+    + _SQL_MH_CTE.replace("WITH ", "", 1)
+    + """,
+edges AS (
+  SELECT url AS src, c1_url AS dst FROM pg
+  UNION ALL SELECT url, c2_url FROM pg),
+gmap(host, grp) AS (VALUES
+  ('h0.example.ca', 'srv-a'), ('h2.example.ca', 'srv-a'),
+  ('h4.example.ca', 'srv-a'), ('h1.example.ca', 'srv-b'),
+  ('h3.example.ca', 'srv-b')),
+bkeys AS (SELECT DISTINCT coalesce(g.grp, h.host) AS k
+          FROM (SELECT DISTINCT host FROM pg) h
+          LEFT JOIN gmap g ON g.host = h.host),
+sim(round, url, host, depth, done) AS (
+  SELECT * FROM (
+    SELECT 0 AS round, url, host, CAST(0 AS INTEGER) AS depth, FALSE AS done
+    FROM pg WHERE doc_id = 0
+    UNION ALL
+    SELECT 0, '', k, CAST(0 AS INTEGER), TRUE FROM bkeys)
+  UNION ALL
+  (
+  WITH prev AS (SELECT * FROM sim),
+  caps AS (SELECT p.host AS k, least(4, p.depth + 2) AS cap
+           FROM prev p WHERE p.url = ''),
+  pending AS (SELECT p.url, p.host, p.depth, coalesce(g.grp, p.host) AS k
+              FROM prev p LEFT JOIN gmap g ON g.host = p.host
+              WHERE NOT p.done AND p.url <> ''),
+  ranked AS (SELECT p.url, p.host, p.depth, p.k,
+                    (SELECT count(*) FROM pending q
+                     WHERE q.k = p.k
+                       AND (q.depth, q.url) <= (p.depth, p.url)) AS rn
+             FROM pending p),
+  sel AS (SELECT r.url, r.host, r.depth, r.k
+          FROM ranked r JOIN caps c ON c.k = r.k
+          WHERE r.rn <= c.cap),
+  used AS (SELECT k, count(*) AS u FROM sel GROUP BY k),
+  pend_keys AS (SELECT DISTINCT k FROM pending),
+  disc AS (SELECT e.dst AS url, min(s.depth + 1) AS ddepth
+           FROM sel s JOIN edges e ON e.src = s.url GROUP BY e.dst),
+  kids AS (SELECT d.url, d.ddepth AS depth FROM disc d
+           WHERE d.ddepth <= 6
+             AND NOT EXISTS (SELECT 1 FROM prev p WHERE p.url = d.url)),
+  nstate AS (
+    SELECT p.url, p.host,
+           CASE WHEN p.done OR p.url IN (SELECT url FROM sel) THEN p.depth
+                ELSE least(p.depth, coalesce(d.ddepth, p.depth)) END AS depth,
+           (p.done OR p.url IN (SELECT url FROM sel)) AS done
+    FROM prev p LEFT JOIN disc d ON d.url = p.url
+    WHERE p.url <> ''
+    UNION ALL
+    SELECT k.url, split_part(split_part(k.url, '//', 2), '/', 1),
+           k.depth, FALSE
+    FROM kids k
+    UNION ALL
+    SELECT '', p.host,
+           CASE WHEN p.host IN (SELECT k FROM pend_keys)
+                THEN (SELECT c.cap FROM caps c WHERE c.k = p.host)
+                     - coalesce((SELECT u.u FROM used u WHERE u.k = p.host), 0)
+                ELSE p.depth END,
+           TRUE
+    FROM prev p WHERE p.url = '')
+  SELECT r0.round + 1, n.url, n.host, CAST(n.depth AS INTEGER), n.done
+  FROM nstate n, (SELECT max(round) AS round FROM prev) r0
+  WHERE EXISTS (SELECT 1 FROM pending) AND r0.round < 96
+  )
+)
+SELECT CAST(min(round) - 1 AS INTEGER) AS round, depth, url
+FROM sim WHERE done AND url <> ''
+GROUP BY depth, url
+"""
+)
+
+
 def q_crawl_backlink_priority(sf_dir: str):
     """ADAPTIVE importance-ordered crawl under the exact gate: the
     Cho/Garcia-Molina/Page 1998 backlink-count ordering metric computed
@@ -6279,6 +6391,7 @@ QUERIES = {
     "crawl_retry_backoff": q_crawl_retry_backoff,
     "crawl_metrics_retry": q_crawl_metrics_retry,
     "crawl_capped_budget": q_crawl_capped_budget,
+    "crawl_ip_groups": q_crawl_ip_groups,
     "crawl_backlink_priority": q_crawl_backlink_priority,
     "crawl_opic": q_crawl_opic,
     "mirror_hosts": q_mirror_hosts,
@@ -6426,6 +6539,7 @@ ORACLE_SQL = {
     "crawl_retry_backoff": SQL_CRAWL_RETRY_BACKOFF,
     "crawl_metrics_retry": SQL_CRAWL_METRICS_RETRY,
     "crawl_capped_budget": SQL_CRAWL_CAPPED_BUDGET,
+    "crawl_ip_groups": SQL_CRAWL_IP_GROUPS,
     "crawl_backlink_priority": SQL_CRAWL_BACKLINK_PRIORITY,
     "crawl_opic": SQL_CRAWL_OPIC,
     "mirror_hosts": SQL_MIRROR_HOSTS,

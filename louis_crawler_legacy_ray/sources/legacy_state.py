@@ -119,6 +119,7 @@ def import_legacy_state(
     cfg = frontier.cfg
     n = cfg.n_shards
     salt = cfg.hot_host_salt or {}
+    grp = cfg.ip_groups
 
     best_depth: dict[str, int] = {}
     for url, depth in pending:
@@ -133,12 +134,12 @@ def import_legacy_state(
         for _ in range(n)
     ]
     for u in seen:
-        per_shard[shard_of(u, host_of(u), n, salt)]["seen"].append(u)
+        per_shard[shard_of(u, host_of(u), n, salt, grp)]["seen"].append(u)
     for u in errored:
-        per_shard[shard_of(u, host_of(u), n, salt)]["err"].append(u)
+        per_shard[shard_of(u, host_of(u), n, salt, grp)]["err"].append(u)
     for u, d in best_depth.items():
         h = host_of(u)
-        s = per_shard[shard_of(u, h, n, salt)]
+        s = per_shard[shard_of(u, h, n, salt, grp)]
         s["p_url"].append(u)
         s["p_depth"].append(d)
         s["p_host"].append(h)

@@ -212,11 +212,12 @@ class FrontierShard:
         track_backlinks: bool = False,
         track_cash: bool = False,
         robots_matcher: str = "stdlib",
+        ip_groups: dict | None = None,
     ):
         self.reset(
             shard_id, mode, bloom_bits, robots_txt_by_host, obey_robots,
             priority_scores, deny_url_patterns, track_backlinks, track_cash,
-            robots_matcher,
+            robots_matcher, ip_groups,
         )
 
     def reset(
@@ -231,6 +232,7 @@ class FrontierShard:
         track_backlinks: bool = False,
         track_cash: bool = False,
         robots_matcher: str = "stdlib",
+        ip_groups: dict | None = None,
     ) -> None:
         """Full re-initialization — lets a crawl REUSE a pooled shard
         actor from a previous crawl (actor spawn + Ray's one-time
@@ -298,9 +300,16 @@ class FrontierShard:
             self.bloom = _Cuckoo(max(1 << 10, bloom_bits >> 6))
         else:
             self.bloom = None
-        # politeness token-bucket state: host -> unspent tokens carried
-        # between rounds (north_rule: "per-host politeness token-bucket";
-        # colocated with the host's queue because shards key by host)
+        # vhost->group co-binding (Heritrix ip-based queues): hosts
+        # mapped to one group key SHARE a politeness budget / token
+        # bucket. Routing (pipelines.crawl.shard_of) keys grouped hosts
+        # by the GROUP, so a group's whole queue state lives in this
+        # shard and the shared cap is enforceable locally.
+        self.ip_groups: dict[str, str] = ip_groups or {}
+        # politeness token-bucket state: budget-key -> unspent tokens
+        # carried between rounds (north_rule: "per-host politeness
+        # token-bucket"; colocated with the host's queue because shards
+        # key by host). Budget key = host, or its ip_groups group.
         self.host_tokens: dict[str, int] = {}
         # burst cap of the LAST token_bucket take (None = flat budget):
         # requeue() needs it to refund tokens for URLs the driver's
@@ -411,6 +420,15 @@ class FrontierShard:
         return added
 
     # -- scheduling --------------------------------------------------
+    def _bkey(self, host: str) -> str:
+        """Politeness BUDGET key for a host: itself, unless ip_groups
+        binds it to a server group (vhosts sharing one origin server
+        share one budget / token bucket — Heritrix's ip-based frontier
+        queues). Pure and config-stable, so checkpointed host_tokens
+        keys stay valid across resume (config_hash covers ip_groups)."""
+        g = self.ip_groups
+        return g.get(host, host) if g else host
+
     def take(
         self,
         max_depth: int | None = None,
@@ -537,23 +555,28 @@ class FrontierShard:
             if limit is not None and len(sel_urls) >= limit:
                 break
             if per_host_budget is not None or overrides:
-                c = host_counts.get(host, 0)
+                # budget key: the host, or its ip_groups group — vhosts
+                # bound to one server spend from ONE shared allowance
+                # (host_budgets overrides for grouped hosts are keyed
+                # by the GROUP key)
+                bk = self._bkey(host)
+                c = host_counts.get(bk, 0)
                 if token_bucket:
-                    cap = caps.get(host)
+                    cap = caps.get(bk)
                     if cap is None:
                         cap = min(
-                            burst, self.host_tokens.get(host, 0) + per_host_budget
+                            burst, self.host_tokens.get(bk, 0) + per_host_budget
                         )
-                        caps[host] = cap
+                        caps[bk] = cap
                 else:
                     cap = (
-                        overrides.get(host, per_host_budget)
+                        overrides.get(bk, per_host_budget)
                         if overrides
                         else per_host_budget
                     )
                 if cap is not None and c >= cap:
                     continue
-                host_counts[host] = c + 1
+                host_counts[bk] = c + 1
             sel_urls.append(url)
             sel_depths.append(depth)
             sel_hosts.append(host)
@@ -652,8 +675,9 @@ class FrontierShard:
             self.in_flight.discard(url)
             self.pending[url] = (depth, host)
             if self._tb_burst is not None:
-                self.host_tokens[host] = min(
-                    self._tb_burst, self.host_tokens.get(host, 0) + 1
+                bk = self._bkey(host)
+                self.host_tokens[bk] = min(
+                    self._tb_burst, self.host_tokens.get(bk, 0) + 1
                 )
         self._sel = (urls[:cut], depths[:cut], hosts[:cut])
         self._sel_keys = self._sel_keys[:cut]
@@ -898,8 +922,9 @@ class FrontierShard:
                 self.pending[url] = (depth, host)
                 n += 1
                 if self._tb_burst is not None:
-                    self.host_tokens[host] = min(
-                        self._tb_burst, self.host_tokens.get(host, 0) + 1
+                    bk = self._bkey(host)
+                    self.host_tokens[bk] = min(
+                        self._tb_burst, self.host_tokens.get(bk, 0) + 1
                     )
         return n
 

@@ -74,8 +74,8 @@ def test_control_dedup_links_collapses_page_level_edges():
             ),
         }
     )
-    raw = _control_from_items(items, 1, {}, 6)
-    dd = _control_from_items(items, 1, {}, 6, dedup_links=True)
+    raw = _control_from_items(items, 1, {}, None, 6)
+    dd = _control_from_items(items, 1, {}, None, 6, dedup_links=True)
 
     def cands(ctrl):
         c = ctrl.filter(pa.compute.equal(ctrl["kind"], "c"))
