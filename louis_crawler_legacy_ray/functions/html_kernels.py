@@ -175,6 +175,7 @@ def extract_page(
         "children": extract_children(hrefs, url, allowed_domains),
         "links": extract_links(hrefs, url, allowed_domains),
         "redirect": meta_refresh_target(url, html, allowed_domains),
+        "meta_robots": meta_robots(html),
     }
 
 
@@ -203,6 +204,42 @@ def meta_refresh_target(
         return None
     links = extract_links([m.group(1).strip()], url, allowed_domains)
     return links[0] if links else None
+
+
+_META_ROBOTS_RX = None
+
+
+def meta_robots(html: str) -> str:
+    """The page-level robots directives from ``<meta name="robots"
+    content="...">`` (the Robots Exclusion Protocol's HTML companion:
+    robots.txt governs FETCHING, the meta tag governs what a crawler
+    does with a page it already fetched). Returns the canonical subset
+    string — '' / 'noindex' / 'nofollow' / 'noindex,nofollow' —
+    case-insensitively; the ``none`` token means both, matching the
+    de-facto Googlebot/Scrapy reading. Attribute order ``name`` first
+    or ``content`` first both match (regex scan like meta_refresh —
+    one cheap pass, no extra DOM walk)."""
+    import re as _re
+
+    global _META_ROBOTS_RX
+    if _META_ROBOTS_RX is None:
+        _META_ROBOTS_RX = _re.compile(
+            r"<meta\s+(?:name=[\"']robots[\"']\s+content=[\"']([^\"'>]*)[\"']"
+            r"|content=[\"']([^\"'>]*)[\"']\s+name=[\"']robots[\"'])",
+            _re.IGNORECASE,
+        )
+    m = _META_ROBOTS_RX.search(html or "")
+    if not m:
+        return ""
+    toks = {
+        t.strip().lower()
+        for t in (m.group(1) or m.group(2) or "").split(",")
+    }
+    noindex = "noindex" in toks or "none" in toks
+    nofollow = "nofollow" in toks or "none" in toks
+    return ",".join(
+        d for d, on in (("noindex", noindex), ("nofollow", nofollow)) if on
+    )
 
 
 def extract_anchors(url: str, html: str) -> list[tuple[str, str]]:

@@ -126,6 +126,12 @@ class CrawlConfig:
                                             # corpus 3xx stand-in) enqueue at the
                                             # SOURCE's depth (a redirect hop
                                             # costs a round, not depth)
+    obey_meta_robots: bool = False          # honor page-level <meta name=robots>:
+                                            # a 'nofollow' page's out-links never
+                                            # enter the frontier; 'noindex' rides
+                                            # the items output for export filters
+                                            # (fetching itself is governed by
+                                            # robots.txt, not the meta tag)
     priority: str = "depth_url"             # frontier order key: "depth_url" (FIFO-BFS) |
                                             # "short_url_first" ((depth, len(url), url) — shallow pages first) |
                                             # "score_desc" ((depth, -score, url) — importance-ordered crawl,
@@ -194,6 +200,7 @@ def config_hash(cfg: CrawlConfig, seeds: list[str]) -> str:
             "max_retries": cfg.max_retries,
             "backoff_base": cfg.backoff_base,
             "follow_redirects": cfg.follow_redirects,
+            "obey_meta_robots": cfg.obey_meta_robots,
             "priority": cfg.priority,
             # seed cash changes the opic schedule (share rounding);
             # None for other priorities keeps prior hashes stable
@@ -625,6 +632,7 @@ def _control_from_items(
     max_depth: int,
     follow_redirects: bool = False,
     dedup_links: bool = False,
+    obey_meta_robots: bool = False,
 ) -> pa.Table:
     """Build the round's control rows from an extracted batch -- all
     Arrow/numpy kernels, no Python per-URL loop, and NO blocking RPC
@@ -664,6 +672,18 @@ def _control_from_items(
     dst = links.flatten()
     nd = pc.add(depths.take(pa.array(idx, pa.int64())).cast(pa.int32()), pa.scalar(1, pa.int32())).cast(pa.int32())
     keep = pc.less_equal(nd, pa.scalar(max_depth, pa.int32()))
+    if obey_meta_robots and "meta_robots" in items.column_names:
+        # page-level <meta name=robots nofollow>: the parent's out-links
+        # never become frontier candidates — drop its rows from the
+        # flattened candidate fan-out (same mask the depth bound uses,
+        # so every downstream consumer — dedup, OPIC shares — agrees).
+        # The redirect column is NOT suppressed: a refresh stub is a
+        # 3xx stand-in, not an endorsement-bearing link; noindex is an
+        # items/export concern and doesn't touch the frontier.
+        nf = pc.match_substring(
+            _cc(items["meta_robots"]).fill_null(""), "nofollow"
+        ).to_numpy(zero_copy_only=False)
+        keep = pc.and_(keep, pa.array(~np.repeat(nf, counts)))
     dst = dst.filter(keep)
     nd = nd.filter(keep)
     c_cash = None
@@ -904,6 +924,7 @@ def _fused_round_task(
     task_delay_ms: int = 0,
     follow_redirects: bool = False,
     dedup_links: bool = False,
+    obey_meta_robots: bool = False,
 ) -> pa.Table:
     """One round x one GROUP of pinned corpus blocks: semi-join +
     extract, then SEND the control rows straight to their owning shard
@@ -1023,7 +1044,8 @@ def _fused_round_task(
     if out_part is not None:
         _write_items_part(items, out_part, f"part-{block_idx:05d}")
     counts = _send_control(
-        items, shards, n_shards, salt, groups, max_depth, follow_redirects, dedup_links
+        items, shards, n_shards, salt, groups, max_depth, follow_redirects, dedup_links,
+        obey_meta_robots
     )
     ts3 = _time.time()
     return _counts_table(
@@ -1068,12 +1090,14 @@ def _send_control(
     max_depth: int,
     follow_redirects: bool = False,
     dedup_links: bool = False,
+    obey_meta_robots: bool = False,
 ) -> pa.Table:
     """Fire-and-forget the round's control rows from inside a data task
     to their owning shard actors; returns the per-kind sent counts for
     the driver's delivery reconciliation."""
     ctrl = _control_from_items(
-        items, n_shards, salt, groups, max_depth, follow_redirects, dedup_links
+        items, n_shards, salt, groups, max_depth, follow_redirects, dedup_links,
+        obey_meta_robots
     )
     n_f = n_c = 0
     for sid in range(n_shards):
@@ -1205,6 +1229,7 @@ def _fetch_round_task(
     chunk_idx: int,
     follow_redirects: bool = False,
     dedup_links: bool = False,
+    obey_meta_robots: bool = False,
 ) -> pa.Table:
     """One round x one URL chunk through an injected fetcher (the
     FetcherActor seam, stages/fetch.py): the factory builds/reuses the
@@ -1239,7 +1264,8 @@ def _fetch_round_task(
     if out_part is not None:
         _write_items_part(items, out_part, f"part-{chunk_idx:05d}")
     return _send_control(
-        items, shards, n_shards, salt, groups, max_depth, follow_redirects, dedup_links
+        items, shards, n_shards, salt, groups, max_depth, follow_redirects, dedup_links,
+        obey_meta_robots
     )
 
 
@@ -1288,6 +1314,7 @@ def fetcher_expand(
                         chunk_idx,
                         cfg.follow_redirects,
                         cfg.priority == "backlink_desc",
+                        cfg.obey_meta_robots,
                     )
                 )
                 chunk_idx += 1
@@ -1430,6 +1457,7 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                         cfg.max_depth,
                         cfg.follow_redirects,
                         cfg.priority == "backlink_desc",
+                        cfg.obey_meta_robots,
                     )
                 )
             if not ctrls:
@@ -1535,6 +1563,7 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                         cfg.task_delay_ms,
                         cfg.follow_redirects,
                         cfg.priority == "backlink_desc",
+                        cfg.obey_meta_robots,
                     )
                 )
             _t_submit = time.perf_counter() - _tsub0
@@ -1573,6 +1602,7 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                     cfg.max_depth,
                     cfg.follow_redirects,
                     cfg.priority == "backlink_desc",
+                    cfg.obey_meta_robots,
                 )
             items = extract(hit)
             if out_dir is not None:
@@ -1595,6 +1625,7 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                 cfg.max_depth,
                 cfg.follow_redirects,
                 cfg.priority == "backlink_desc",
+                cfg.obey_meta_robots,
             )
 
         ctrl_batches = list(

@@ -2264,6 +2264,116 @@ def redirect_corpus_dir(sf_dir: str) -> str:
     return out
 
 
+def meta_robots_corpus_dir(sf_dir: str) -> str:
+    """Multi-host corpus variant carrying page-level robots directives
+    (the Robots Exclusion Protocol's HTML companion): doc_id % 9 == 4
+    pages declare ``nofollow`` (their links stay IN the html — only an
+    obeying crawler ignores them), doc_id % 5 == 2 pages declare
+    ``noindex``, pages matching both carry both tokens. Cached like
+    the other derived corpora."""
+    key = f"{sf_dir}|mh{_MH_HOSTS}|metarobots"
+    if key in _PAGES_CACHE:
+        return _PAGES_CACHE[key]
+    tag = hashlib.blake2b(key.encode(), digest_size=6).hexdigest()
+    out = f"/tmp/louis_pages_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        tmp = f"{out}.build-{os.getpid()}"
+        docs = _docs_table(sf_dir)
+        pages = pages_from_documents(docs, n_hosts=_MH_HOSTS)
+        rx = re.compile(r"doc(\d+)$")
+        urls = pages["url"].to_pylist()
+        htmls = pages["html"].to_pylist()
+        for i, u in enumerate(urls):
+            doc = int(rx.search(u).group(1))
+            toks = []
+            if doc % 5 == 2:
+                toks.append("noindex")
+            if doc % 9 == 4:
+                toks.append("nofollow")
+            if toks:
+                tag_html = f'<meta name="robots" content="{", ".join(toks)}">'
+                htmls[i] = (
+                    htmls[i].decode().replace("<head>", "<head>" + tag_html, 1)
+                ).encode()
+        pages = pages.set_column(
+            pages.schema.get_field_index("html"),
+            "html",
+            pa.array(htmls, pa.binary()),
+        )
+        write_pages_parquet(pages, tmp, rows_per_file=4096)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    _PAGES_CACHE[key] = out
+    return out
+
+
+def q_crawl_meta_robots(sf_dir: str):
+    """Page-level robots directives under the exact gate
+    (obey_meta_robots — <meta name=robots>, the de-facto
+    Googlebot/Scrapy semantics): ``nofollow`` pages are fetched but
+    contribute NO frontier candidates, so their subtrees are reachable
+    only through other paths (BFS depths shift; some pages drop out of
+    reach entirely); ``noindex`` pages crawl normally but are flagged
+    for export exclusion in the items output. The result joins the
+    fetch order with the per-page indexed flag read back from the
+    crawl_items parquet — gating the directive parse, the vectorized
+    candidate suppression AND the items-side plumbing in one pass.
+    Oracle = min-depth walk over edges from non-nofollow parents only,
+    indexed = NOT noindex."""
+    import tempfile
+
+    import ray as _ray
+
+    from .crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        n_shards=4, max_depth=6, max_rounds=16, obey_meta_robots=True
+    )
+    out_dir = tempfile.mkdtemp(prefix="louis_metarobots_")
+    res = run_crawl(
+        meta_robots_corpus_dir(sf_dir), [_mh_seed(sf_dir)], cfg, out_dir=out_dir
+    )
+    flags = pa.concat_tables(
+        _ray.get(
+            _ray.data.read_parquet(
+                f"{out_dir}/crawl_items", columns=["url", "meta_robots"]
+            ).to_arrow_refs()
+        )
+    ).combine_chunks()
+    indexed = pc.invert(
+        pc.match_substring(flags["meta_robots"].fill_null(""), "noindex")
+    )
+    flag_tbl = pa.table({"url": flags["url"], "indexed": indexed})
+    order = res.order.select(["url", "depth"])
+    return order.join(flag_tbl, keys="url", join_type="inner").sort_by("url")
+
+
+SQL_CRAWL_META_ROBOTS = (
+    "WITH RECURSIVE "
+    + _SQL_MH_CTE.replace("WITH ", "", 1)
+    + """,
+edges AS (
+  SELECT url AS src, c1_url AS dst FROM pg WHERE doc_id % 9 <> 4
+  UNION ALL SELECT url, c2_url FROM pg WHERE doc_id % 9 <> 4),
+walk(url, depth) AS (
+  SELECT url, 0 FROM pg WHERE doc_id = 0
+  UNION ALL
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.url
+  WHERE w.depth < 6)
+SELECT w.url, CAST(min(w.depth) AS INTEGER) AS depth,
+       (g.doc_id % 5 <> 2) AS indexed
+FROM walk w JOIN pg g ON g.url = w.url
+GROUP BY w.url, g.doc_id
+"""
+)
+
+
 def q_crawl_redirects(sf_dir: str):
     """Redirect following under the exact gate: doc_id % 9 == 5 pages
     serve a meta-refresh (the HTTP-3xx stand-in a stored corpus can
@@ -6392,6 +6502,7 @@ QUERIES = {
     "crawl_metrics_retry": q_crawl_metrics_retry,
     "crawl_capped_budget": q_crawl_capped_budget,
     "crawl_ip_groups": q_crawl_ip_groups,
+    "crawl_meta_robots": q_crawl_meta_robots,
     "crawl_backlink_priority": q_crawl_backlink_priority,
     "crawl_opic": q_crawl_opic,
     "mirror_hosts": q_mirror_hosts,
@@ -6540,6 +6651,7 @@ ORACLE_SQL = {
     "crawl_metrics_retry": SQL_CRAWL_METRICS_RETRY,
     "crawl_capped_budget": SQL_CRAWL_CAPPED_BUDGET,
     "crawl_ip_groups": SQL_CRAWL_IP_GROUPS,
+    "crawl_meta_robots": SQL_CRAWL_META_ROBOTS,
     "crawl_backlink_priority": SQL_CRAWL_BACKLINK_PRIORITY,
     "crawl_opic": SQL_CRAWL_OPIC,
     "mirror_hosts": SQL_MIRROR_HOSTS,

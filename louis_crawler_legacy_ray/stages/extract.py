@@ -31,6 +31,7 @@ CRAWL_ITEMS_SCHEMA = pa.schema(
         ("children", pa.list_(pa.string())),
         ("links", pa.list_(pa.string())),
         ("redirect", pa.string()),
+        ("meta_robots", pa.string()),
     ]
 )
 
@@ -88,6 +89,7 @@ def extract_items(
         "children": [],
         "links": [],
         "redirect": [],
+        "meta_robots": [],
     }
     for url, html, depth in zip(urls, htmls, depths):
         if isinstance(html, bytes):
@@ -103,6 +105,7 @@ def extract_items(
         out["children"].append(rec["children"])
         out["links"].append(rec["links"])
         out["redirect"].append(rec.get("redirect"))
+        out["meta_robots"].append(rec.get("meta_robots", ""))
     return pa.table(
         {
             "url": pa.array(out["url"], pa.string()),
@@ -115,6 +118,7 @@ def extract_items(
             "children": pa.array(out["children"], pa.list_(pa.string())),
             "links": pa.array(out["links"], pa.list_(pa.string())),
             "redirect": pa.array(out["redirect"], pa.string()),
+            "meta_robots": pa.array(out["meta_robots"], pa.string()),
         }
     )
 

@@ -83,6 +83,17 @@ def main(argv: list[str] | None = None) -> int:
         help="follow meta-refresh redirects at source depth",
     )
     p.add_argument(
+        "--obey-meta-robots", action="store_true",
+        help="honor page-level <meta name=robots>: nofollow pages "
+        "contribute no frontier candidates; noindex rides the items "
+        "output for export filters",
+    )
+    p.add_argument(
+        "--ip-group", action="append", default=None, metavar="HOST=GROUP",
+        help="bind a vhost to a server group sharing ONE politeness "
+        "budget/token-bucket (repeatable; Heritrix ip-based queues)",
+    )
+    p.add_argument(
         "--priority",
         choices=["depth_url", "short_url_first", "backlink_desc", "opic"],
         default="depth_url",
@@ -141,6 +152,10 @@ def main(argv: list[str] | None = None) -> int:
         deny_url_patterns=args.deny_pattern,
         max_retries=args.max_retries,
         follow_redirects=args.follow_redirects,
+        obey_meta_robots=args.obey_meta_robots,
+        ip_groups=dict(kv.split("=", 1) for kv in args.ip_group)
+        if args.ip_group
+        else None,
         priority=args.priority,
         opic_cash=args.opic_cash,
     )
