@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     first = [  # oracled but never driver-gated through round 3
         "crawl_ip_groups",  # new in r4 (vhost->server group shared budgets)
         "crawl_meta_robots",  # new in r4 (page-level noindex/nofollow directives)
+        "canonical_consolidate",  # new in r4 (rel=canonical duplicate grouping)
         "crawl_delay_budget",  # new in r4 (robots Crawl-delay politeness)
         "crawl_traps",  # new in r4 (URL-pattern-explosion trap detection)
         "crawl_trap_guard",  # new in r4 (deny-pattern quarantine at admission)

@@ -176,6 +176,7 @@ def extract_page(
         "links": extract_links(hrefs, url, allowed_domains),
         "redirect": meta_refresh_target(url, html, allowed_domains),
         "meta_robots": meta_robots(html),
+        "canonical": canonical_target(url, html, allowed_domains),
     }
 
 
@@ -203,6 +204,36 @@ def meta_refresh_target(
     if not m:
         return None
     links = extract_links([m.group(1).strip()], url, allowed_domains)
+    return links[0] if links else None
+
+
+_CANONICAL_RX = None
+
+
+def canonical_target(
+    url: str, html: str, allowed_domains: list[str] | None = None
+) -> str | None:
+    """The page's ``<link rel="canonical" href="...">`` target — the
+    indexing-side duplicate-consolidation hint (it does NOT steer the
+    frontier; crawling is governed by robots, canonical by the
+    indexer). Absolutized + canonicalized EXACTLY like a frontier link
+    candidate so group keys agree with crawled URLs; None when absent
+    or filtered. Either attribute order matches."""
+    import re as _re
+
+    global _CANONICAL_RX
+    if _CANONICAL_RX is None:
+        _CANONICAL_RX = _re.compile(
+            r"<link\s+(?:rel=[\"']canonical[\"']\s+href=[\"']([^\"'>]+)[\"']"
+            r"|href=[\"']([^\"'>]+)[\"']\s+rel=[\"']canonical[\"'])",
+            _re.IGNORECASE,
+        )
+    m = _CANONICAL_RX.search(html or "")
+    if not m:
+        return None
+    links = extract_links(
+        [(m.group(1) or m.group(2)).strip()], url, allowed_domains
+    )
     return links[0] if links else None
 
 

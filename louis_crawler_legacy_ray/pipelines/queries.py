@@ -2313,6 +2313,111 @@ def meta_robots_corpus_dir(sf_dir: str) -> str:
     return out
 
 
+def canonical_corpus_dir(sf_dir: str) -> str:
+    """Single-host corpus variant where doc_id % 6 in (1, 2) pages
+    declare ``<link rel="canonical" href="...">`` pointing at the
+    group's base page doc_id - (doc_id %% 6) — the SEO-standard
+    duplicate-consolidation hint (print/mobile/tracking variants of
+    one canonical page). Cached like the other derived corpora."""
+    key = f"{sf_dir}|canon6"
+    if key in _PAGES_CACHE:
+        return _PAGES_CACHE[key]
+    tag = hashlib.blake2b(key.encode(), digest_size=6).hexdigest()
+    out = f"/tmp/louis_pages_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        tmp = f"{out}.build-{os.getpid()}"
+        docs = _docs_table(sf_dir)
+        pages = pages_from_documents(docs)
+        langs = docs["lang"].to_pylist()
+        sources = docs["source"].to_pylist()
+
+        def url_of(doc: int) -> str:
+            seg = "fra" if langs[doc] == "fr" else langs[doc]
+            return f"http://inspection.canada.ca/{seg}/{sources[doc]}/doc{doc}"
+
+        rx = re.compile(r"doc(\d+)$")
+        urls = pages["url"].to_pylist()
+        htmls = pages["html"].to_pylist()
+        for i, u in enumerate(urls):
+            doc = int(rx.search(u).group(1))
+            if doc % 6 in (1, 2):
+                link = (
+                    f'<link rel="canonical" href="{url_of(doc - doc % 6)}">'
+                )
+                htmls[i] = (
+                    htmls[i].decode().replace("<head>", "<head>" + link, 1)
+                ).encode()
+        pages = pages.set_column(
+            pages.schema.get_field_index("html"),
+            "html",
+            pa.array(htmls, pa.binary()),
+        )
+        write_pages_parquet(pages, tmp, rows_per_file=4096)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    _PAGES_CACHE[key] = out
+    return out
+
+
+def q_canonical_consolidate(sf_dir: str):
+    """rel=canonical duplicate consolidation (the indexing-side
+    companion to the crawl: canonical is a hint for what to KEEP, not
+    what to fetch): extract surfaces each page's ``<link
+    rel=canonical>`` target absolutized like a frontier link, pages
+    group under coalesce(canonical, url), and each group reports its
+    member count and representative (lexicographic min — deterministic
+    on both sides). Streams extract -> key -> ONE string-key groupby;
+    no driver materialization."""
+    import functools
+
+    pages = ray.data.read_parquet(
+        canonical_corpus_dir(sf_dir), columns=["url", "html"]
+    )
+    items = pages.map_batches(
+        functools.partial(extract_batch, now_us=0),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+
+    def key(b: pa.Table) -> pa.Table:
+        canon = b["canonical"].combine_chunks()
+        url = b["url"].combine_chunks()
+        return pa.table(
+            {
+                "canonical_url": pc.if_else(canon.is_valid(), canon, url),
+                "url": url,
+            }
+        )
+
+    agg = (
+        items.map_batches(key, batch_format="pyarrow")
+        .groupby("canonical_url")
+        .aggregate(Count(alias_name="n_pages"), Min("url", alias_name="rep_url"))
+    )
+    return agg
+
+
+SQL_CANONICAL_CONSOLIDATE = (
+    _SQL_PAGE_CTE
+    + """,
+canon AS (
+  SELECT d.url,
+         CASE WHEN d.doc_id % 6 IN (1, 2) THEN t.url ELSE d.url END
+           AS canonical_url
+  FROM pg d LEFT JOIN pg t ON t.doc_id = d.doc_id - (d.doc_id % 6))
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_pages,
+       min(url) AS rep_url
+FROM canon GROUP BY canonical_url
+"""
+)
+
+
 def q_crawl_meta_robots(sf_dir: str):
     """Page-level robots directives under the exact gate
     (obey_meta_robots — <meta name=robots>, the de-facto
@@ -6503,6 +6608,7 @@ QUERIES = {
     "crawl_capped_budget": q_crawl_capped_budget,
     "crawl_ip_groups": q_crawl_ip_groups,
     "crawl_meta_robots": q_crawl_meta_robots,
+    "canonical_consolidate": q_canonical_consolidate,
     "crawl_backlink_priority": q_crawl_backlink_priority,
     "crawl_opic": q_crawl_opic,
     "mirror_hosts": q_mirror_hosts,
@@ -6652,6 +6758,7 @@ ORACLE_SQL = {
     "crawl_capped_budget": SQL_CRAWL_CAPPED_BUDGET,
     "crawl_ip_groups": SQL_CRAWL_IP_GROUPS,
     "crawl_meta_robots": SQL_CRAWL_META_ROBOTS,
+    "canonical_consolidate": SQL_CANONICAL_CONSOLIDATE,
     "crawl_backlink_priority": SQL_CRAWL_BACKLINK_PRIORITY,
     "crawl_opic": SQL_CRAWL_OPIC,
     "mirror_hosts": SQL_MIRROR_HOSTS,

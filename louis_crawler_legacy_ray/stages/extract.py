@@ -32,6 +32,7 @@ CRAWL_ITEMS_SCHEMA = pa.schema(
         ("links", pa.list_(pa.string())),
         ("redirect", pa.string()),
         ("meta_robots", pa.string()),
+        ("canonical", pa.string()),
     ]
 )
 
@@ -90,6 +91,7 @@ def extract_items(
         "links": [],
         "redirect": [],
         "meta_robots": [],
+        "canonical": [],
     }
     for url, html, depth in zip(urls, htmls, depths):
         if isinstance(html, bytes):
@@ -106,6 +108,7 @@ def extract_items(
         out["links"].append(rec["links"])
         out["redirect"].append(rec.get("redirect"))
         out["meta_robots"].append(rec.get("meta_robots", ""))
+        out["canonical"].append(rec.get("canonical"))
     return pa.table(
         {
             "url": pa.array(out["url"], pa.string()),
@@ -119,6 +122,7 @@ def extract_items(
             "links": pa.array(out["links"], pa.list_(pa.string())),
             "redirect": pa.array(out["redirect"], pa.string()),
             "meta_robots": pa.array(out["meta_robots"], pa.string()),
+            "canonical": pa.array(out["canonical"], pa.string()),
         }
     )
 
