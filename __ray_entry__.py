@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from louis_crawler_legacy_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
     first = [  # oracled but never driver-gated through round 3
+        "crawl_relevance_priority",  # new in r4 (focused crawl: content scores steer the frontier)
         "crawl_ip_groups",  # new in r4 (vhost->server group shared budgets)
         "crawl_meta_robots",  # new in r4 (page-level noindex/nofollow directives)
         "canonical_consolidate",  # new in r4 (rel=canonical duplicate grouping)

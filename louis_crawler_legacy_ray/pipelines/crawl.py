@@ -142,12 +142,24 @@ class CrawlConfig:
                                             # "opic" ((-cash, depth, url) — Abiteboul/Preda/Cobena 2003
                                             # Online Page Importance Computation, greedy drain: a fetched
                                             # page splits its frozen cash over its distinct out-links,
-                                            # shares accumulate in the owning shard's accounts)
+                                            # shares accumulate in the owning shard's accounts) |
+                                            # "relevance_desc" ((-score, depth, url) — focused crawl,
+                                            # shark-search-lite (Hersovici et al. 1998 / Chakrabarti's
+                                            # focused crawling): a candidate ranks by the BEST
+                                            # relevance_keyword occurrence count among its fetched
+                                            # parents' extracted content; scores max-combine in the
+                                            # owning shard as parents land)
     opic_cash: int = 1 << 20                # priority="opic": each seed's starting cash in
                                             # integer micro-units (ceil/floor halves keep every
                                             # share exact — float cash would make rank order
                                             # depend on RPC landing order); 2^20 leaves ~14 bits
                                             # of resolution after a depth-6 halving chain
+    relevance_keyword: str | None = None    # priority="relevance_desc": the focused-crawl
+                                            # topic term; a fetched page's score = substring
+                                            # occurrences in its cleaned html_content, and each
+                                            # of its out-links inherits that score (max over
+                                            # parents). Pure content function — nothing rides
+                                            # selections, nothing to freeze.
     priority_scores: dict | None = None     # url -> int score for priority="score_desc"
                                             # (in-degree, PageRank, OPIC...); the Frontier
                                             # splits it by shard_of so each shard holds only
@@ -205,6 +217,11 @@ def config_hash(cfg: CrawlConfig, seeds: list[str]) -> str:
             # seed cash changes the opic schedule (share rounding);
             # None for other priorities keeps prior hashes stable
             "opic_cash": cfg.opic_cash if cfg.priority == "opic" else None,
+            # the topic term changes the whole schedule (scores steer
+            # every selection); None otherwise keeps prior hashes stable
+            "relevance_keyword": cfg.relevance_keyword
+            if cfg.priority == "relevance_desc"
+            else None,
             # group co-binding changes routing AND the budget schedule
             "ip_groups": sorted(cfg.ip_groups.items())
             if cfg.ip_groups
@@ -318,9 +335,13 @@ class Frontier:
                             else None,
                             deny_url_patterns=cfg.deny_url_patterns,
                             track_backlinks=cfg.priority == "backlink_desc",
-                            track_cash=cfg.priority == "opic",
+                            track_cash=cfg.priority
+                            in ("opic", "relevance_desc"),
                             robots_matcher=cfg.robots_matcher,
                             ip_groups=cfg.ip_groups,
+                            cash_combine="max"
+                            if cfg.priority == "relevance_desc"
+                            else "sum",
                         )
                         for i, s in enumerate(entry["actors"])
                     ]
@@ -355,9 +376,12 @@ class Frontier:
                 priority_scores=score_slices[i] if score_slices else None,
                 deny_url_patterns=cfg.deny_url_patterns,
                 track_backlinks=cfg.priority == "backlink_desc",
-                track_cash=cfg.priority == "opic",
+                track_cash=cfg.priority in ("opic", "relevance_desc"),
                 robots_matcher=cfg.robots_matcher,
                 ip_groups=cfg.ip_groups,
+                cash_combine="max"
+                if cfg.priority == "relevance_desc"
+                else "sum",
             )
             for i in range(cfg.n_shards)
         ]
@@ -633,6 +657,7 @@ def _control_from_items(
     follow_redirects: bool = False,
     dedup_links: bool = False,
     obey_meta_robots: bool = False,
+    relevance_keyword: str | None = None,
 ) -> pa.Table:
     """Build the round's control rows from an extracted batch -- all
     Arrow/numpy kernels, no Python per-URL loop, and NO blocking RPC
@@ -657,6 +682,14 @@ def _control_from_items(
     cash in integers — and the control table gains a ``cash`` column
     ('f' rows 0). Non-opic crawls emit no cash column at all: the
     candidate stream stays exactly the r3/r4 shape and cost.
+
+    With ``relevance_keyword`` (priority='relevance_desc'), each
+    parent's focused-crawl score — substring occurrences of the term in
+    its extracted ``html_content`` (one vectorized count_substring pass)
+    — rides every surviving distinct (parent, child) candidate in the
+    same ``cash`` column; the owning shard MAX-combines it into the
+    child's account. A pure content function: nothing is carried in
+    from selections, so the column appears on the way OUT only.
     """
     import numpy as np
 
@@ -687,7 +720,37 @@ def _control_from_items(
     dst = dst.filter(keep)
     nd = nd.filter(keep)
     c_cash = None
-    if dedup_links and len(dst):
+    if (
+        relevance_keyword is not None
+        and len(dst)
+        and "html_content" in items.column_names
+    ):
+        # focused-crawl scores: ONE vectorized substring count over the
+        # batch's cleaned content, gathered per surviving candidate row,
+        # then page-level (parent, child) dedup exactly like the
+        # backlink path (the score is per-parent-constant, so max ==
+        # the value; min(d) == the parent's depth)
+        scores = pc.count_substring(
+            pc.fill_null(_cc(items["html_content"]), ""), relevance_keyword
+        ).cast(pa.int64())
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        pidx = idx[keep_np]
+        g = (
+            pa.table(
+                {
+                    "p": pa.array(pidx, pa.int64()),
+                    "u": dst,
+                    "d": nd,
+                    "s": scores.take(pa.array(pidx, pa.int64())),
+                }
+            )
+            .group_by(["p", "u"])
+            .aggregate([("d", "min"), ("s", "max")])
+        )
+        dst = g["u"].combine_chunks()
+        nd = g["d_min"].combine_chunks().cast(pa.int32())
+        c_cash = g["s_max"].combine_chunks()
+    elif dedup_links and len(dst):
         # one candidate row per DISTINCT (parent page, child url): an
         # Arrow hash group-by, not a per-row Python set. A parent has
         # one depth, so min(d) == that depth for every surviving row.
@@ -755,7 +818,7 @@ def _control_from_items(
         "host": pa.concat_arrays([f_hosts, c_hosts]),
         "shard": pa.concat_arrays([f_shards, c_shards]),
     }
-    if "cash" in items.column_names:
+    if "cash" in items.column_names or relevance_keyword is not None:
         if c_cash is None:
             c_cash = pa.array(np.zeros(len(dst), dtype=np.int64))
         cols["cash"] = pa.concat_arrays(
@@ -925,6 +988,7 @@ def _fused_round_task(
     follow_redirects: bool = False,
     dedup_links: bool = False,
     obey_meta_robots: bool = False,
+    relevance_keyword: str | None = None,
 ) -> pa.Table:
     """One round x one GROUP of pinned corpus blocks: semi-join +
     extract, then SEND the control rows straight to their owning shard
@@ -1045,7 +1109,7 @@ def _fused_round_task(
         _write_items_part(items, out_part, f"part-{block_idx:05d}")
     counts = _send_control(
         items, shards, n_shards, salt, groups, max_depth, follow_redirects, dedup_links,
-        obey_meta_robots
+        obey_meta_robots, relevance_keyword
     )
     ts3 = _time.time()
     return _counts_table(
@@ -1091,13 +1155,14 @@ def _send_control(
     follow_redirects: bool = False,
     dedup_links: bool = False,
     obey_meta_robots: bool = False,
+    relevance_keyword: str | None = None,
 ) -> pa.Table:
     """Fire-and-forget the round's control rows from inside a data task
     to their owning shard actors; returns the per-kind sent counts for
     the driver's delivery reconciliation."""
     ctrl = _control_from_items(
         items, n_shards, salt, groups, max_depth, follow_redirects, dedup_links,
-        obey_meta_robots
+        obey_meta_robots, relevance_keyword
     )
     n_f = n_c = 0
     for sid in range(n_shards):
@@ -1230,6 +1295,7 @@ def _fetch_round_task(
     follow_redirects: bool = False,
     dedup_links: bool = False,
     obey_meta_robots: bool = False,
+    relevance_keyword: str | None = None,
 ) -> pa.Table:
     """One round x one URL chunk through an injected fetcher (the
     FetcherActor seam, stages/fetch.py): the factory builds/reuses the
@@ -1265,7 +1331,7 @@ def _fetch_round_task(
         _write_items_part(items, out_part, f"part-{chunk_idx:05d}")
     return _send_control(
         items, shards, n_shards, salt, groups, max_depth, follow_redirects, dedup_links,
-        obey_meta_robots
+        obey_meta_robots, relevance_keyword
     )
 
 
@@ -1315,6 +1381,9 @@ def fetcher_expand(
                         cfg.follow_redirects,
                         cfg.priority == "backlink_desc",
                         cfg.obey_meta_robots,
+                        cfg.relevance_keyword
+                        if cfg.priority == "relevance_desc"
+                        else None,
                     )
                 )
                 chunk_idx += 1
@@ -1458,6 +1527,9 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                         cfg.follow_redirects,
                         cfg.priority == "backlink_desc",
                         cfg.obey_meta_robots,
+                        cfg.relevance_keyword
+                        if cfg.priority == "relevance_desc"
+                        else None,
                     )
                 )
             if not ctrls:
@@ -1564,6 +1636,9 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                         cfg.follow_redirects,
                         cfg.priority == "backlink_desc",
                         cfg.obey_meta_robots,
+                        cfg.relevance_keyword
+                        if cfg.priority == "relevance_desc"
+                        else None,
                     )
                 )
             _t_submit = time.perf_counter() - _tsub0
@@ -1590,9 +1665,9 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                     "depth": pa.array([], pa.int32()),
                     "links": pa.array([], pa.list_(pa.string())),
                 }
-                if cfg.priority == "opic":
+                if cfg.priority in ("opic", "relevance_desc"):
                     # keep the batch-uniform control schema (the cash
-                    # column appears iff the crawl is opic)
+                    # column appears iff the crawl carries scores)
                     empty["cash"] = pa.array([], pa.int64())
                 return _control_from_items(
                     pa.table(empty),
@@ -1603,6 +1678,9 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                     cfg.follow_redirects,
                     cfg.priority == "backlink_desc",
                     cfg.obey_meta_robots,
+                    cfg.relevance_keyword
+                    if cfg.priority == "relevance_desc"
+                    else None,
                 )
             items = extract(hit)
             if out_dir is not None:
@@ -1626,6 +1704,9 @@ def pages_expand(pages_path: str, cfg: CrawlConfig, out_dir: str | None, now_us:
                 cfg.follow_redirects,
                 cfg.priority == "backlink_desc",
                 cfg.obey_meta_robots,
+                cfg.relevance_keyword
+                if cfg.priority == "relevance_desc"
+                else None,
             )
 
         ctrl_batches = list(

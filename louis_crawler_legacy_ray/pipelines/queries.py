@@ -2165,6 +2165,107 @@ GROUP BY depth, url
 )
 
 
+def q_crawl_relevance_priority(sf_dir: str):
+    """FOCUSED crawl under the exact gate (shark-search-lite —
+    Hersovici et al. 1998 / Chakrabarti et al.'s focused crawling,
+    composed into the distributed control plane): every round task
+    scores its fetched pages by `relevance_keyword` occurrences in the
+    extracted html_content (one vectorized count_substring pass —
+    content analysis INSIDE the data plane), each surviving out-link
+    candidate inherits its parent's score, and the owning shard
+    MAX-combines scores into the URL's account (commutative AND
+    idempotent, so RPC landing order and rediscoveries are moot). The
+    frontier drains (-score, depth, url) under per-host budget 2, so
+    links cited by on-topic pages fetch first. Unlike opic/backlink,
+    the score is a pure function of fetched CONTENT — nothing rides
+    selections, nothing needs freezing. The oracle simulation carries
+    per-URL best-parent keyword counts through the recursion."""
+    from .crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=6,
+        max_rounds=96,
+        per_host_budget=2,
+        priority="relevance_desc",
+        relevance_keyword="merge",
+    )
+    res = run_crawl(multihost_corpus_dir(sf_dir), [_mh_seed(sf_dir)], cfg)
+    return res.order
+
+
+SQL_CRAWL_RELEVANCE_PRIORITY = r"""
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+base AS (
+  SELECT doc_id, lang, source,
+         (CASE WHEN lang = 'fr' THEN 'fra' ELSE lang END) AS seg,
+         'http://h' || (doc_id % 7) || '.example.ca' AS origin,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS body
+  FROM documents),
+pg AS (
+  SELECT d.doc_id,
+         'h' || (d.doc_id % 7) || '.example.ca' AS host,
+         d.origin || '/' || d.seg || '/' || d.source || '/doc' || d.doc_id AS url,
+         c1.origin || '/' || c1.seg || '/' || c1.source || '/doc' || c1.doc_id AS c1_url,
+         c2.origin || '/' || c2.seg || '/' || c2.source || '/doc' || c2.doc_id AS c2_url,
+         CAST((length(d.body) - length(replace(d.body, 'merge', '')))
+              // length('merge') AS BIGINT) AS kwc
+  FROM base d, nn
+  JOIN base c1 ON c1.doc_id = (2 * d.doc_id + 1) % nn.n
+  JOIN base c2 ON c2.doc_id = (2 * d.doc_id + 2) % nn.n),
+sim(round, url, host, depth, score, done) AS (
+  SELECT 0 AS round, url, host, CAST(0 AS INTEGER) AS depth,
+         CAST(0 AS BIGINT) AS score, FALSE AS done
+  FROM pg WHERE doc_id = 0
+  UNION ALL
+  (
+  WITH prev AS (SELECT * FROM sim),
+  pending AS (SELECT url, host, depth, score FROM prev WHERE NOT done),
+  ranked AS (SELECT p.url, p.host, p.depth,
+                    (SELECT count(*) FROM pending q
+                     WHERE q.host = p.host
+                       AND (-q.score, q.depth, q.url)
+                           <= (-p.score, p.depth, p.url)) AS rn
+             FROM pending p),
+  sel AS (SELECT url, host, depth FROM ranked WHERE rn <= 2),
+  selg AS (SELECT s.url, s.depth, g.c1_url, g.c2_url, g.kwc
+           FROM sel s JOIN pg g ON g.url = s.url),
+  contrib AS (
+    -- each fetched parent endorses both heap children with its OWN
+    -- keyword count; a child keeps the BEST endorsement (max)
+    SELECT c1_url AS url, depth + 1 AS d, kwc AS sc FROM selg
+    UNION ALL SELECT c2_url, depth + 1, kwc FROM selg),
+  disc AS (SELECT url, min(d) AS ddepth, max(sc) AS ms
+           FROM contrib
+           WHERE d <= 6  -- the task drops deeper candidates BEFORE the
+                         -- shard, so they never carry a score
+           GROUP BY url),
+  kids AS (SELECT d.url, d.ddepth, d.ms FROM disc d
+           WHERE NOT EXISTS (SELECT 1 FROM prev p WHERE p.url = d.url)),
+  nstate AS (
+    SELECT p.url, p.host,
+           CASE WHEN p.done OR p.url IN (SELECT url FROM sel) THEN p.depth
+                ELSE least(p.depth, coalesce(d.ddepth, p.depth)) END AS depth,
+           CASE WHEN p.done OR p.url IN (SELECT url FROM sel) THEN p.score
+                ELSE greatest(p.score, coalesce(d.ms, 0)) END AS score,
+           (p.done OR p.url IN (SELECT url FROM sel)) AS done
+    FROM prev p LEFT JOIN disc d ON d.url = p.url
+    UNION ALL
+    SELECT k.url, split_part(split_part(k.url, '//', 2), '/', 1),
+           k.ddepth, k.ms, FALSE
+    FROM kids k)
+  SELECT r0.r + 1, n.url, n.host, CAST(n.depth AS INTEGER),
+         CAST(n.score AS BIGINT), n.done
+  FROM nstate n, (SELECT max(round) AS r FROM prev) r0
+  WHERE EXISTS (SELECT 1 FROM pending) AND r0.r < 96
+  )
+)
+SELECT CAST(min(round) - 1 AS INTEGER) AS round, depth, url
+FROM sim WHERE done
+GROUP BY depth, url
+"""
+
+
 def q_crawl_metrics_retry(sf_dir: str):
     """The retry scheduler's per-round telemetry, hash-checked: the
     same flaky-origin crawl as crawl_retry_backoff, but the gate is
@@ -6611,6 +6712,7 @@ QUERIES = {
     "canonical_consolidate": q_canonical_consolidate,
     "crawl_backlink_priority": q_crawl_backlink_priority,
     "crawl_opic": q_crawl_opic,
+    "crawl_relevance_priority": q_crawl_relevance_priority,
     "mirror_hosts": q_mirror_hosts,
     "sitemap_priority_crawl": q_sitemap_priority_crawl,
     "robots_wildcards": q_robots_wildcards,
@@ -6761,6 +6863,7 @@ ORACLE_SQL = {
     "canonical_consolidate": SQL_CANONICAL_CONSOLIDATE,
     "crawl_backlink_priority": SQL_CRAWL_BACKLINK_PRIORITY,
     "crawl_opic": SQL_CRAWL_OPIC,
+    "crawl_relevance_priority": SQL_CRAWL_RELEVANCE_PRIORITY,
     "mirror_hosts": SQL_MIRROR_HOSTS,
     "sitemap_priority_crawl": SQL_SITEMAP_PRIORITY_CRAWL,
     "robots_wildcards": SQL_ROBOTS_WILDCARDS,

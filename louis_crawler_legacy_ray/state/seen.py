@@ -213,11 +213,12 @@ class FrontierShard:
         track_cash: bool = False,
         robots_matcher: str = "stdlib",
         ip_groups: dict | None = None,
+        cash_combine: str = "sum",
     ):
         self.reset(
             shard_id, mode, bloom_bits, robots_txt_by_host, obey_robots,
             priority_scores, deny_url_patterns, track_backlinks, track_cash,
-            robots_matcher, ip_groups,
+            robots_matcher, ip_groups, cash_combine,
         )
 
     def reset(
@@ -233,6 +234,7 @@ class FrontierShard:
         track_cash: bool = False,
         robots_matcher: str = "stdlib",
         ip_groups: dict | None = None,
+        cash_combine: str = "sum",
     ) -> None:
         """Full re-initialization — lets a crawl REUSE a pooled shard
         actor from a previous crawl (actor spawn + Ray's one-time
@@ -270,6 +272,16 @@ class FrontierShard:
         # make the rank order depend on RPC landing order.
         self.track_cash = track_cash
         self.cash: dict[str, int] = {}
+        # how candidate scores fold into an account: 'sum' (OPIC cash
+        # shares) or 'max' (priority='relevance_desc' — shark-search-
+        # style focused crawl: a URL ranks by the BEST content score
+        # among the fetched parents that linked it; max is commutative
+        # and idempotent, so RPC landing order and nav-dup re-sends
+        # stay irrelevant). Selection-time cash only rides the take2
+        # parts under 'sum' (OPIC splits it); 'max' scores are computed
+        # fresh from each fetched page's content, nothing to freeze.
+        assert cash_combine in ("sum", "max")
+        self.cash_combine = cash_combine
         # 'score_desc' priority: THIS SHARD'S slice of the per-URL
         # score map (the Frontier splits the map by shard_of, so each
         # shard holds only the scores of URLs it can own — O(frontier /
@@ -394,7 +406,12 @@ class FrontierShard:
                     self.backlinks[url] = self.backlinks.get(url, 0) + 1
                 if self.track_cash and cash[i]:
                     # integer shares sum exactly; landing order moot
-                    self.cash[url] = self.cash.get(url, 0) + cash[i]
+                    # ('max' keeps the best parent score — idempotent)
+                    self.cash[url] = (
+                        max(self.cash.get(url, 0), cash[i])
+                        if self.cash_combine == "max"
+                        else self.cash.get(url, 0) + cash[i]
+                    )
                 old = self.pending[url]
                 if depth < old[0]:
                     self.pending[url] = (depth, old[1])
@@ -413,7 +430,11 @@ class FrontierShard:
             if self.track_backlinks:
                 self.backlinks[url] = self.backlinks.get(url, 0) + 1
             if self.track_cash and cash[i]:
-                self.cash[url] = self.cash.get(url, 0) + cash[i]
+                self.cash[url] = (
+                    max(self.cash.get(url, 0), cash[i])
+                    if self.cash_combine == "max"
+                    else self.cash.get(url, 0) + cash[i]
+                )
             if self.bloom is not None:
                 self.bloom.add(_h64(url))
             added += 1
@@ -495,7 +516,7 @@ class FrontierShard:
         # the static config score map
         if priority == "backlink_desc":
             score_map = self.backlinks
-        elif priority == "opic":
+        elif priority in ("opic", "relevance_desc"):
             score_map = self.cash
         else:
             score_map = self.priority_scores
@@ -612,7 +633,7 @@ class FrontierShard:
                 "host": pa.array(hosts, pa.string()),
             }
         )
-        if self.track_cash:
+        if self._emit_cash():
             # each selected URL's FROZEN cash rides to the round tasks,
             # which split it over the page's distinct out-links (the
             # account can't move while the URL is in_flight, so this is
@@ -622,6 +643,15 @@ class FrontierShard:
                 pa.array((self.cash.get(u, 0) for u in urls), pa.int64()),
             )
         return t
+
+    def _emit_cash(self) -> bool:
+        """Whether selection parts carry a frozen ``cash`` column: only
+        OPIC (sum-combine) needs it — the round tasks split it over the
+        page's out-links. relevance_desc (max-combine) computes each
+        candidate's score fresh from the fetched parent's content, so
+        nothing rides (and a riding column would wrongly engage the
+        control builder's OPIC split path)."""
+        return self.track_cash and self.cash_combine == "sum"
 
     # -- round-selection probes (driver cap without driver rows) ------
     def sel_ranks(self, keys: list[tuple[int, str]]) -> list[int]:
@@ -700,7 +730,7 @@ class FrontierShard:
                     "depth": pa.array(depths, pa.int32()),
                 }
             )
-            if self.track_cash:
+            if self._emit_cash():
                 tbl = tbl.append_column(
                     "cash",
                     pa.array((self.cash.get(u, 0) for u in urls), pa.int64()),
@@ -726,7 +756,7 @@ class FrontierShard:
                 "depth": pa.array([depths[i] for i in order], pa.int32()),
             }
         )
-        if self.track_cash:
+        if self._emit_cash():
             tbl = tbl.append_column(
                 "cash",
                 pa.array(
@@ -1196,10 +1226,11 @@ def _sel_key(
         return (depth, len(url), url)
     if priority == "score_desc":
         return (depth, -(scores.get(url, 0) if scores else 0), url)
-    if priority in ("backlink_desc", "opic"):
+    if priority in ("backlink_desc", "opic", "relevance_desc"):
         # most-important-pending-first ACROSS depths: scores = the
         # shard's live citation counts (backlink_desc, bumped on every
-        # admission/rediscovery) or live OPIC cash accounts (opic,
-        # integer shares of each fetched parent's frozen cash)
+        # admission/rediscovery), live OPIC cash accounts (opic,
+        # integer shares of each fetched parent's frozen cash), or
+        # best-parent content scores (relevance_desc, max-combined)
         return (-(scores.get(url, 0) if scores else 0), depth, url)
     return (depth, url)
