@@ -5463,6 +5463,95 @@ SELECT v AS doc_id, r AS rank_scaled FROM r{PAGERANK_ITERS}
 )
 
 
+_TR_SEED_MOD = 50  # trusted seed set: doc_id % 50 == 0 (10 seeds @ 500 docs)
+
+
+def q_trustrank(sf_dir: str):
+    """TrustRank (Gyöngyi/Garcia-Molina/Pedersen 2004) over the REAL
+    extracted link graph: teleport restricted to the trusted seed set
+    doc_id %% 50 == 0, so trust attenuates along links from the seeds
+    and pages unreachable from them settle at EXACTLY 0 — the spam-
+    demotion companion to q_pagerank (which funds every page via the
+    uniform teleport). Same stages/graph.py bulk-synchronous shape and
+    exact-int64 discipline; oracle = unrolled 3-iteration SQL with the
+    seed-gated teleport term."""
+    from ..stages.graph import trustrank
+    from .ingest import extract_edges
+
+    items = _extracted_items(sf_dir)
+    edges_u = extract_edges(items.select_columns(["url", "depth", "links"]))
+
+    def to_ids(b: pa.Table) -> pa.Table:
+        if "src" not in b.column_names:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "src": pa.array(
+                    [_doc_id_from_url(u) for u in b["src"].to_pylist()], pa.int64()
+                ),
+                "dst": pa.array(
+                    [_doc_id_from_url(u) for u in b["dst"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    edges = edges_u.map_batches(to_ids, batch_format="pyarrow")
+    docs = _docs_table(sf_dir)
+    n = docs.num_rows
+    seeds = [i for i in docs["doc_id"].to_pylist() if i % _TR_SEED_MOD == 0]
+    nodes = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda b: pa.table({"v": b["doc_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    ranks = trustrank(edges, nodes, seeds, iterations=PAGERANK_ITERS)
+    return ranks.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["v"].cast(pa.int64()),
+                "trust_scaled": b["r"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _tr_iter_sql(i: int) -> str:
+    return f"""
+a{i} AS (
+  SELECT e.dst AS v, SUM(r.r // o.d) AS s
+  FROM e JOIN r{i - 1} r ON r.v = e.src JOIN outd o ON o.src = e.src
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT n.v,
+         CAST(CASE WHEN n.v % {_TR_SEED_MOD} = 0 THEN {_PR_BASE} ELSE 0 END
+              + (85 * COALESCE(a.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN a{i} a ON a.v = n.v)"""
+
+
+SQL_TRUSTRANK = (
+    f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS v FROM documents),
+e AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CAST((2 * doc_id + 1) % nn.n AS BIGINT) AS dst FROM documents, nn
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT),
+         CAST((2 * doc_id + 2) % nn.n AS BIGINT) FROM documents, nn),
+outd AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+r0 AS (SELECT v,
+              CAST(CASE WHEN v % {_TR_SEED_MOD} = 0
+                   THEN {_PR_SCALE} ELSE 0 END AS BIGINT) AS r
+       FROM nodes),"""
+    + ",".join(_tr_iter_sql(i) for i in range(1, PAGERANK_ITERS + 1))
+    + f"""
+SELECT v AS doc_id, r AS trust_scaled FROM r{PAGERANK_ITERS}
+"""
+)
+
+
 BLOOM_PRICE_MIN = 490_000.0
 
 
@@ -6794,6 +6883,7 @@ QUERIES = {
     "perplexity_buckets": q_perplexity_buckets,
     # graph / scale joins
     "pagerank": q_pagerank,
+    "trustrank": q_trustrank,
     "bloom_semi_join": q_bloom_semi_join,
     # dedup / similarity
     "exact_dedup": q_exact_dedup,
@@ -6936,6 +7026,7 @@ ORACLE_SQL = {
     "shuffle_rank": SQL_SHUFFLE_RANK,
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "pagerank": SQL_PAGERANK,
+    "trustrank": SQL_TRUSTRANK,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

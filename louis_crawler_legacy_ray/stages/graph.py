@@ -115,3 +115,113 @@ def pagerank(
         ranks = agg.map_batches(update, batch_format="pyarrow").materialize()
 
     return ranks
+
+
+def trustrank(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    seeds: list[int],
+    iterations: int = 3,
+    scale: int = PAGERANK_SCALE,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004, "Combating
+    Web Spam with TrustRank"): PageRank with the teleport restricted to
+    a TRUSTED seed set — trust starts at the seeds and attenuates along
+    out-links, so link-farm neighborhoods unreachable from trusted
+    pages settle at 0 while PageRank would still fund them via the
+    uniform teleport. The spam-demotion companion to the crawl's
+    priority signals.
+
+    Same bulk-synchronous shape and exact-int discipline as
+    :func:`pagerank` (one partitioned join + one groupby per round,
+    int64 scaled ranks, order-independent sums — bit-identical to the
+    SQL oracle). ``seeds`` is the small trusted id list, captured in
+    the task closures (dimension-sized; NOT re-shipped per batch — Ray
+    serializes the closure once per task).
+
+      trust_0(v) = scale if v in seeds else 0
+      trust_k(v) = seed_v * (15*scale)//100
+                   + (85 * sum_{u->v} trust_{k-1}(u)//outdeg(u))//100
+    """
+    from .joins import partitioned_hash_join
+
+    base = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+    seed_arr = pa.array(sorted(set(seeds)), pa.int64())
+
+    outd = edges.groupby("src").aggregate(Count(alias_name="outdeg"))
+    edges_d = partitioned_hash_join(
+        edges, outd, "src", "src", num_buckets=num_buckets
+    ).materialize()
+
+    def init(b: pa.Table) -> pa.Table:
+        v = b["v"].cast(pa.int64())
+        is_seed = pc.is_in(v, value_set=seed_arr)
+        return pa.table(
+            {
+                "v": v,
+                "r": pc.if_else(
+                    is_seed,
+                    pa.scalar(scale, pa.int64()),
+                    pa.scalar(0, pa.int64()),
+                ),
+            }
+        )
+
+    ranks = nodes.map_batches(init, batch_format="pyarrow").materialize()
+
+    def zeros(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dst": b["v"].cast(pa.int64()),
+                "contrib": pa.array([0] * len(b), pa.int64()),
+            }
+        )
+
+    for _ in range(iterations):
+        joined = partitioned_hash_join(
+            edges_d, ranks, "src", "v", num_buckets=num_buckets
+        )
+
+        def contrib(b: pa.Table) -> pa.Table:
+            if "dst" not in b.column_names:  # empty bucket block
+                return pa.table(
+                    {
+                        "dst": pa.array([], pa.int64()),
+                        "contrib": pa.array([], pa.int64()),
+                    }
+                )
+            r = b["r"].cast(pa.int64())
+            d = b["outdeg"].cast(pa.int64())
+            return pa.table(
+                {
+                    "dst": b["dst"].cast(pa.int64()),
+                    "contrib": pc.divide(r, d),
+                }
+            )
+
+        contribs = joined.map_batches(contrib, batch_format="pyarrow").union(
+            ranks.map_batches(zeros, batch_format="pyarrow")
+        )
+        agg = contribs.groupby("dst").aggregate(Sum("contrib", alias_name="s"))
+
+        def update(b: pa.Table) -> pa.Table:
+            v = b["dst"].cast(pa.int64())
+            s = b["s"].cast(pa.int64())
+            teleport = pc.if_else(
+                pc.is_in(v, value_set=seed_arr),
+                pa.scalar(base, pa.int64()),
+                pa.scalar(0, pa.int64()),
+            )
+            r = pc.add(
+                teleport,
+                pc.divide(
+                    pc.multiply(s, pa.scalar(DAMP_NUM, pa.int64())),
+                    pa.scalar(DAMP_DEN, pa.int64()),
+                ),
+            )
+            return pa.table({"v": v, "r": r})
+
+        ranks = agg.map_batches(update, batch_format="pyarrow").materialize()
+
+    return ranks

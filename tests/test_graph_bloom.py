@@ -97,3 +97,40 @@ def test_bloom_prune_has_no_false_negatives(ray_session):
         ok &= (bits[(pos >> np.uint64(3)).astype(np.int64)]
                >> (pos & np.uint64(7)).astype(np.uint8)) & 1 > 0
     assert ok.all()
+
+
+def _naive_trustrank(edges, nodes, seeds, iters, scale=10**12):
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: (scale if v in seeds else 0) for v in nodes}
+    base = (scale * 15) // 100
+    for _ in range(iters):
+        agg = {v: 0 for v in nodes}
+        for s, d in edges:
+            agg[d] += r[s] // outdeg[s]
+        r = {
+            v: (base if v in seeds else 0) + (85 * agg[v]) // 100
+            for v in nodes
+        }
+    return r
+
+
+def test_trustrank_matches_naive_and_demotes_spam(ray_session):
+    from louis_crawler_legacy_ray.stages.graph import trustrank
+
+    # trusted core 0->1->2->0 plus a spam farm 3<->4 unreachable from
+    # the seeds (it even links INTO the core at 2)
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 3), (3, 2)]
+    nodes = [0, 1, 2, 3, 4]
+    seeds = [0]
+    e = ray.data.from_items([{"src": s, "dst": d} for s, d in edges]).repartition(3)
+    n = ray.data.from_items([{"v": v} for v in nodes]).repartition(2)
+    df = trustrank(e, n, seeds, iterations=3).to_pandas()
+    got = dict(zip(df["v"], df["r"]))
+    assert got == _naive_trustrank(edges, nodes, set(seeds), 3)
+    # spam farm gets NO trust (unreachable from the seed set), while
+    # uniform-teleport PageRank keeps funding it
+    assert got[3] == 0 and got[4] == 0
+    pr = _ranks_dict(edges, nodes, 3, 2)
+    assert pr[3] > 0 and pr[4] > 0
