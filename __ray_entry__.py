@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     first = [  # oracled but never driver-gated through round 3
         "crawl_relevance_priority",  # new in r4 (focused crawl: content scores steer the frontier)
         "trustrank",  # new in r4 (seed-restricted teleport demotes spam neighborhoods)
+        "hits_scores",  # new in r4 (Kleinberg hub/authority mutual reinforcement)
         "crawl_ip_groups",  # new in r4 (vhost->server group shared budgets)
         "crawl_meta_robots",  # new in r4 (page-level noindex/nofollow directives)
         "canonical_consolidate",  # new in r4 (rel=canonical duplicate grouping)

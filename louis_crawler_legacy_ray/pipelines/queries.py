@@ -5552,6 +5552,88 @@ SELECT v AS doc_id, r AS trust_scaled FROM r{PAGERANK_ITERS}
 )
 
 
+def q_hits_scores(sf_dir: str):
+    """HITS hub/authority scores (Kleinberg 1999) over the REAL
+    extracted link graph — the ranking companion to pagerank/trustrank
+    built from mutual reinforcement rather than random walks.
+    Unnormalized exact-int64 power iterations (rankings are identical
+    to the L2-normalized reference formulation; integer sums are
+    order-independent so the hash matches the unrolled SQL oracle on
+    any block layout). stages/graph.py hits: two partitioned joins +
+    two groupbys per iteration, score tables materialized off-driver."""
+    from ..stages.graph import hits
+    from .ingest import extract_edges
+
+    items = _extracted_items(sf_dir)
+    edges_u = extract_edges(items.select_columns(["url", "depth", "links"]))
+
+    def to_ids(b: pa.Table) -> pa.Table:
+        if "src" not in b.column_names:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "src": pa.array(
+                    [_doc_id_from_url(u) for u in b["src"].to_pylist()], pa.int64()
+                ),
+                "dst": pa.array(
+                    [_doc_id_from_url(u) for u in b["dst"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    edges = edges_u.map_batches(to_ids, batch_format="pyarrow")
+    nodes = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda b: pa.table({"v": b["doc_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    scores = hits(edges, nodes, iterations=PAGERANK_ITERS)
+    return scores.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["v"].cast(pa.int64()),
+                "hub": b["h"].cast(pa.int64()),
+                "auth": b["a"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _hits_iter_sql(i: int) -> str:
+    return f"""
+a{i} AS (
+  SELECT n.v, CAST(COALESCE((SELECT SUM(h.h) FROM e
+                             JOIN h{i - 1} h ON h.v = e.src
+                             WHERE e.dst = n.v), 0) AS BIGINT) AS a
+  FROM nodes n),
+h{i} AS (
+  SELECT n.v, CAST(COALESCE((SELECT SUM(a.a) FROM e
+                             JOIN a{i} a ON a.v = e.dst
+                             WHERE e.src = n.v), 0) AS BIGINT) AS h
+  FROM nodes n)"""
+
+
+SQL_HITS_SCORES = (
+    f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS v FROM documents),
+e AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CAST((2 * doc_id + 1) % nn.n AS BIGINT) AS dst FROM documents, nn
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT),
+         CAST((2 * doc_id + 2) % nn.n AS BIGINT) FROM documents, nn),
+h0 AS (SELECT v, CAST(1 AS BIGINT) AS h FROM nodes),"""
+    + ",".join(_hits_iter_sql(i) for i in range(1, PAGERANK_ITERS + 1))
+    + f"""
+SELECT h.v AS doc_id, h.h AS hub, a.a AS auth
+FROM h{PAGERANK_ITERS} h JOIN a{PAGERANK_ITERS} a ON a.v = h.v
+"""
+)
+
+
 BLOOM_PRICE_MIN = 490_000.0
 
 
@@ -6884,6 +6966,7 @@ QUERIES = {
     # graph / scale joins
     "pagerank": q_pagerank,
     "trustrank": q_trustrank,
+    "hits_scores": q_hits_scores,
     "bloom_semi_join": q_bloom_semi_join,
     # dedup / similarity
     "exact_dedup": q_exact_dedup,
@@ -7027,6 +7110,7 @@ ORACLE_SQL = {
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "pagerank": SQL_PAGERANK,
     "trustrank": SQL_TRUSTRANK,
+    "hits_scores": SQL_HITS_SCORES,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

@@ -225,3 +225,106 @@ def trustrank(
         ranks = agg.map_batches(update, batch_format="pyarrow").materialize()
 
     return ranks
+
+
+def hits(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    iterations: int = 3,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """HITS (Kleinberg 1999, "Authoritative Sources in a Hyperlinked
+    Environment"): mutually-reinforcing hub/authority scores —
+    ``auth_k(v) = sum_{u->v} hub_{k-1}(u)`` then ``hub_k(u) =
+    sum_{u->v} auth_k(v)``. UNNORMALIZED integer power iterations
+    (hubs start at 1): the reference algorithm's per-step L2
+    normalization only rescales — rankings are identical — and exact
+    int64 sums are order-independent, so the result hash-matches the
+    unrolled SQL oracle regardless of block layout (float HITS never
+    would). Growth is bounded by (max_deg^2)^iterations; at web
+    fan-outs keep iterations small or rescale between rounds.
+
+    Same scale shape as :func:`pagerank`: two partitioned joins + two
+    groupbys per iteration over (int64, int64) rows; score tables
+    materialized between iterations, never on the driver. Returns
+    (v, hub, auth).
+    """
+    from .joins import partitioned_hash_join
+
+    def init(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "v": b["v"].cast(pa.int64()),
+                "h": pa.array([1] * len(b), pa.int64()),
+            }
+        )
+
+    hubs = nodes.map_batches(init, batch_format="pyarrow").materialize()
+
+    def zeros(name: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    name: b["v"].cast(pa.int64()),
+                    "c": pa.array([0] * len(b), pa.int64()),
+                }
+            )
+
+        return f
+
+    def contrib(key_out: str, val_in: str):
+        def f(b: pa.Table) -> pa.Table:
+            if key_out not in b.column_names:  # empty bucket block
+                return pa.table(
+                    {
+                        key_out: pa.array([], pa.int64()),
+                        "c": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    key_out: b[key_out].cast(pa.int64()),
+                    "c": b[val_in].cast(pa.int64()),
+                }
+            )
+
+        return f
+
+    def rename(key_in: str, val_out: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "v": b[key_in].cast(pa.int64()),
+                    val_out: b["s"].cast(pa.int64()),
+                }
+            )
+
+        return f
+
+    nodes_b = nodes.map_batches(
+        lambda b: pa.table({"v": b["v"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+    auths = None
+    for _ in range(iterations):
+        # auth pass: each edge u->v forwards hub(u) to v
+        j = partitioned_hash_join(edges, hubs, "src", "v", num_buckets=num_buckets)
+        auths = (
+            j.map_batches(contrib("dst", "h"), batch_format="pyarrow")
+            .union(nodes_b.map_batches(zeros("dst"), batch_format="pyarrow"))
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="s"))
+            .map_batches(rename("dst", "a"), batch_format="pyarrow")
+            .materialize()
+        )
+        # hub pass: each edge u->v reflects auth(v) back to u
+        j2 = partitioned_hash_join(edges, auths, "dst", "v", num_buckets=num_buckets)
+        hubs = (
+            j2.map_batches(contrib("src", "a"), batch_format="pyarrow")
+            .union(nodes_b.map_batches(zeros("src"), batch_format="pyarrow"))
+            .groupby("src")
+            .aggregate(Sum("c", alias_name="s"))
+            .map_batches(rename("src", "h"), batch_format="pyarrow")
+            .materialize()
+        )
+    return partitioned_hash_join(hubs, auths, "v", "v", num_buckets=num_buckets)

@@ -134,3 +134,30 @@ def test_trustrank_matches_naive_and_demotes_spam(ray_session):
     assert got[3] == 0 and got[4] == 0
     pr = _ranks_dict(edges, nodes, 3, 2)
     assert pr[3] > 0 and pr[4] > 0
+
+
+def test_hits_matches_naive(ray_session):
+    from louis_crawler_legacy_ray.stages.graph import hits
+
+    # classic hub/authority split: 0 and 1 are hubs pointing at
+    # authorities 2 and 3; 4 is isolated
+    edges = [(0, 2), (0, 3), (1, 2), (1, 3), (3, 2)]
+    nodes = [0, 1, 2, 3, 4]
+
+    h = {v: 1 for v in nodes}
+    for _ in range(3):
+        a = {v: 0 for v in nodes}
+        for s, d in edges:
+            a[d] += h[s]
+        h = {v: 0 for v in nodes}
+        for s, d in edges:
+            h[s] += a[d]
+    e = ray.data.from_items([{"src": s, "dst": d} for s, d in edges]).repartition(3)
+    n = ray.data.from_items([{"v": v} for v in nodes]).repartition(2)
+    df = hits(e, n, iterations=3).to_pandas()
+    got_h = dict(zip(df["v"], df["h"]))
+    got_a = dict(zip(df["v"], df["a"]))
+    assert got_h == h and got_a == a
+    assert got_a[2] > got_a[3] > got_a[0] == 0  # authority order
+    assert got_h[0] == got_h[1] > got_h[3] > got_h[2] == 0  # hub order
+    assert got_h[4] == 0 and got_a[4] == 0  # isolated node present, zero
