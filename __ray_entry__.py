@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     first = [  # oracled but never driver-gated through round 3
         "crawl_relevance_priority",  # new in r4 (focused crawl: content scores steer the frontier)
+        "crawl_pagerank_priority",  # new in r4 (pagerank ranks composed into the capped control plane)
         "trustrank",  # new in r4 (seed-restricted teleport demotes spam neighborhoods)
         "hits_scores",  # new in r4 (Kleinberg hub/authority mutual reinforcement)
         "crawl_ip_groups",  # new in r4 (vhost->server group shared budgets)

@@ -2996,6 +2996,90 @@ GROUP BY depth, url
 )
 
 
+def q_crawl_pagerank_priority(sf_dir: str):
+    """PageRank-ordered crawl — the full composition gate: a PRIOR Ray
+    pass extracts the corpus's link graph (same extract_batch kernel
+    the crawl uses) and runs stages/graph.py pagerank over it (exact
+    int64, 3 iterations), the scaled ranks feed
+    CrawlConfig.priority_scores (split per shard by shard_of), and the
+    frontier drains (depth, -rank, url) under the DISTRIBUTED global
+    cap 9/round — the k-th-key selection machinery steering by
+    1e12-scale score keys. Two flagship subsystems (iterative graph
+    compute + the round control plane) under ONE oracle: the unrolled
+    pagerank SQL composed into the capped recursive round simulation.
+
+    Ranks run over the INDEXABLE subgraph: only pages passing the
+    reference's M8 language rule (non-/fra/ urls) endorse — /fra/
+    pages dangle. On the raw heap graph every node has in-degree
+    exactly 2, so unfiltered pagerank is uniform and the schedule
+    would collapse onto capped BFS; the indexable-endorsement filter
+    makes in-degrees (and ranks) vary, so the gate actually
+    discriminates rank-steering from BFS."""
+    import ray.data as _rd
+
+    from ..stages.extract import extract_batch
+    from ..stages.graph import pagerank
+    from .crawl import CrawlConfig, run_crawl
+
+    corpus = multihost_corpus_dir(sf_dir)
+
+    def edge_partial(b: pa.Table) -> pa.Table:
+        # distinct out-links per ENDORSING page in first-occurrence
+        # order (the ?ref=nav nav-dup never double-counts), as
+        # (src_id, dst_id); /fra/ sources emit nothing (they dangle)
+        items = extract_batch(b)
+        src, dst = [], []
+        for u, lang, links in zip(
+            items["url"].to_pylist(),
+            items["lang"].to_pylist(),
+            items["links"].to_pylist(),
+        ):
+            if lang == "fr":
+                continue
+            s = _doc_id_from_url(u)
+            for v in dict.fromkeys(links):
+                src.append(s)
+                dst.append(_doc_id_from_url(v))
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    edges = _rd.read_parquet(corpus, columns=["url", "html"]).map_batches(
+        edge_partial, batch_format="pyarrow"
+    )
+    nodes = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda b: pa.table({"v": b["doc_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    ranks = pagerank(edges, nodes, iterations=PAGERANK_ITERS)
+
+    # id -> corpus URL (dimension-sized fold at gate scale; at 10^10
+    # the rank table stays a Dataset and feeds the shard slices
+    # shard-wise, like the indegree variant)
+    docs = _docs_table(sf_dir)
+    langs = docs["lang"].to_pylist()
+    sources = docs["source"].to_pylist()
+
+    def url_of(d: int) -> str:
+        seg = "fra" if langs[d] == "fr" else langs[d]
+        return f"http://h{d % _MH_HOSTS}.example.ca/{seg}/{sources[d]}/doc{d}"
+
+    scores = {url_of(int(r["v"])): int(r["r"]) for r in ranks.iter_rows()}
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=6,
+        max_rounds=96,
+        round_limit=9,
+        priority="score_desc",
+        priority_scores=scores,
+    )
+    res = run_crawl(corpus, [_mh_seed(sf_dir)], cfg)
+    return res.order
+
+
 def q_anchor_texts(sf_dir: str):
     """Anchor-text aggregation over the link graph (the classic
     describe-the-target web signal; the reference extracts hrefs only,
@@ -5552,6 +5636,67 @@ SELECT v AS doc_id, r AS trust_scaled FROM r{PAGERANK_ITERS}
 )
 
 
+SQL_CRAWL_PAGERANK_PRIORITY = (
+    "WITH RECURSIVE "
+    + _SQL_MH_CTE.replace("WITH ", "", 1)
+    + f""",
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS v FROM documents),
+e AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CAST((2 * doc_id + 1) % nn.n AS BIGINT) AS dst
+  FROM documents, nn WHERE lang <> 'fr'
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT),
+         CAST((2 * doc_id + 2) % nn.n AS BIGINT)
+  FROM documents, nn WHERE lang <> 'fr'),
+outd AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+r0 AS (SELECT v, CAST({_PR_SCALE} AS BIGINT) AS r FROM nodes),"""
+    + ",".join(_pr_iter_sql(i) for i in range(1, PAGERANK_ITERS + 1))
+    + f""",
+score AS (SELECT p.url, pr.r AS c
+          FROM pg p JOIN r{PAGERANK_ITERS} pr ON pr.v = p.doc_id),
+sim(round, url, depth, done) AS (
+  SELECT 0 AS round, url, CAST(0 AS INTEGER) AS depth, FALSE AS done
+  FROM pg WHERE doc_id = 0
+  UNION ALL
+  (
+  WITH prev AS (SELECT * FROM sim),
+  pending AS (SELECT url, depth FROM prev WHERE NOT done),
+  ranked AS (SELECT p.url, p.depth,
+                    (SELECT count(*) FROM pending q
+                     LEFT JOIN score sq ON sq.url = q.url
+                     WHERE (q.depth, -coalesce(sq.c, 0), q.url)
+                           <= (p.depth, -coalesce(sp.c, 0), p.url)) AS rn
+             FROM pending p LEFT JOIN score sp ON sp.url = p.url),
+  sel AS (SELECT url, depth FROM ranked WHERE rn <= 9),
+  disc AS (SELECT e2.dst AS url, min(s.depth + 1) AS ddepth
+           FROM sel s
+           JOIN (SELECT url AS src, c1_url AS dst FROM pg
+                 UNION ALL SELECT url, c2_url FROM pg) e2 ON e2.src = s.url
+           GROUP BY e2.dst),
+  kids AS (SELECT d.url, d.ddepth AS depth FROM disc d
+           WHERE d.ddepth <= 6
+             AND NOT EXISTS (SELECT 1 FROM prev p WHERE p.url = d.url)),
+  nstate AS (
+    SELECT p.url,
+           CASE WHEN p.done OR p.url IN (SELECT url FROM sel) THEN p.depth
+                ELSE least(p.depth, coalesce(d.ddepth, p.depth)) END AS depth,
+           (p.done OR p.url IN (SELECT url FROM sel)) AS done
+    FROM prev p LEFT JOIN disc d ON d.url = p.url
+    UNION ALL
+    SELECT k.url, k.depth, FALSE FROM kids k)
+  SELECT r0.round + 1, n.url, CAST(n.depth AS INTEGER), n.done
+  FROM nstate n, (SELECT max(round) AS round FROM prev) r0
+  WHERE EXISTS (SELECT 1 FROM pending) AND r0.round < 96
+  )
+)
+SELECT CAST(min(round) - 1 AS INTEGER) AS round, depth, url
+FROM sim WHERE done
+GROUP BY depth, url
+"""
+)
+
+
 def q_hits_scores(sf_dir: str):
     """HITS hub/authority scores (Kleinberg 1999) over the REAL
     extracted link graph — the ranking companion to pagerank/trustrank
@@ -6884,6 +7029,7 @@ QUERIES = {
     "crawl_backlink_priority": q_crawl_backlink_priority,
     "crawl_opic": q_crawl_opic,
     "crawl_relevance_priority": q_crawl_relevance_priority,
+    "crawl_pagerank_priority": q_crawl_pagerank_priority,
     "mirror_hosts": q_mirror_hosts,
     "sitemap_priority_crawl": q_sitemap_priority_crawl,
     "robots_wildcards": q_robots_wildcards,
@@ -7037,6 +7183,7 @@ ORACLE_SQL = {
     "crawl_backlink_priority": SQL_CRAWL_BACKLINK_PRIORITY,
     "crawl_opic": SQL_CRAWL_OPIC,
     "crawl_relevance_priority": SQL_CRAWL_RELEVANCE_PRIORITY,
+    "crawl_pagerank_priority": SQL_CRAWL_PAGERANK_PRIORITY,
     "mirror_hosts": SQL_MIRROR_HOSTS,
     "sitemap_priority_crawl": SQL_SITEMAP_PRIORITY_CRAWL,
     "robots_wildcards": SQL_ROBOTS_WILDCARDS,
