@@ -5168,6 +5168,65 @@ FROM ranked WHERE rank <= 3
 """
 
 
+BM25_QUERY = ("merge", "scan", "window")  # sorted; summation order fixed
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 ranked retrieval (Robertson/Sparck Jones Okapi BM25, the
+    Lucene +1-idf variant; k1=1.2, b=0.75): global top-20 documents
+    for a fixed 3-term query — the ranked companion to inverted_index.
+    stages/textstats.py bm25_topk: tiny stats combiner (query-term dfs
+    + token total), stateless scoring pass, per-block local top-k, one
+    single-partition fold. Float discipline: scores order, never hash —
+    output is (rank, doc_id) ints with doc_id tie-break; per-doc terms
+    sum in sorted order with operand parenthesization the oracle
+    mirrors bit-for-bit."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ts.bm25_topk(docs, list(BM25_QUERY), k=20)
+
+
+def _bm25_comp_sql(term: str) -> str:
+    return (
+        f"coalesce((SELECT s FROM comp WHERE comp.doc_id = dl.doc_id "
+        f"AND comp.term = '{term}'), 0)"
+    )
+
+
+SQL_BM25_TOPK = (
+    """
+WITH q(term) AS (VALUES ('merge'), ('scan'), ('window')),
+wt AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM wt GROUP BY doc_id),
+nq AS (SELECT count(*) AS n FROM documents),
+ad AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST((SELECT n FROM nq) AS DOUBLE) AS a
+       FROM dl),
+tf AS (SELECT w.doc_id, w.term, count(*) AS tf
+       FROM wt w JOIN q ON q.term = w.term GROUP BY w.doc_id, w.term),
+df AS (SELECT w.term, count(DISTINCT w.doc_id) AS df
+       FROM wt w JOIN q ON q.term = w.term GROUP BY w.term),
+comp AS (
+  SELECT tf.doc_id, tf.term,
+         ln(((SELECT n FROM nq) - df.df + 0.5) / (df.df + 0.5) + 1)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + (0.75 * d.dl) / (SELECT a FROM ad))) AS s
+  FROM tf JOIN df ON df.term = tf.term JOIN dl d ON d.doc_id = tf.doc_id),
+scored AS (
+  SELECT dl.doc_id,
+         """
+    + "\n       + ".join(_bm25_comp_sql(t) for t in BM25_QUERY)
+    + """ AS s
+  FROM dl),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+  FROM scored WHERE s > 0)
+SELECT CAST(rank AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id
+FROM ranked WHERE rank <= 20
+"""
+)
+
+
 def q_pii_redact(sf_dir: str):
     """PII scrub over the events props column: email + digit-run
     redaction as two vectorized RE2 kernel passes
@@ -7094,6 +7153,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "weighted_sample": q_weighted_sample,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_topk": q_bm25_topk,
     # vector clustering
     "label_centroids": q_label_centroids,
     "kmeans_assign": q_kmeans_assign,
@@ -7242,6 +7302,7 @@ ORACLE_SQL = {
     "decontaminate": SQL_DECONTAMINATE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "bm25_topk": SQL_BM25_TOPK,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "semdedup": SQL_SEMDEDUP,

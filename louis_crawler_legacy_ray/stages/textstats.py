@@ -20,6 +20,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # token model: alnum runs, or single non-alnum-non-space marks.
 TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
@@ -717,3 +718,128 @@ def gopher_quality_batch(
     for k, v in cols.items():
         out[k] = pa.array(v, pa.bool_() if k == "keep" else pa.int64())
     return pa.table(out)
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    ds,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """(rank, doc_id): global top-k documents for a term query under
+    Lucene-variant BM25 — ``score(d) = sum_t ln((N - df_t + 0.5)/(df_t
+    + 0.5) + 1) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with
+    k1=1.2, b=0.75 — the ranked-retrieval companion to inverted_index
+    (which returns postings, not an ordering).
+
+    Float discipline (see queries.py): scores are used for ORDERING
+    only, never emitted; per-document terms are summed in SORTED term
+    order with the exact operand parenthesization the SQL oracle
+    mirrors, and ties break by doc_id, so the (rank, doc_id) output is
+    integer-stable.
+
+    Scale shape: one combiner pass folds query-term document
+    frequencies and the corpus token total (rows per block = |query|+1,
+    so the stats shuffle is tiny); the scoring pass is one stateless
+    map over the corpus carrying the (tiny) query stats in its closure;
+    each block emits only its LOCAL top-k, and one single-partition
+    fold ranks the k*blocks survivors — no corpus-sized sort.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    q = sorted(set(query_terms))
+    qset = set(q)
+    n_docs = ds.count()
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        df: Counter = Counter()
+        tokens = 0
+        for t in batch[text_col].to_pylist():
+            terms = _VOCAB_RE.findall((t or "").lower())
+            tokens += len(terms)
+            for w in qset.intersection(terms):
+                df[w] += 1
+        keys = sorted(df)
+        return pa.table(
+            {
+                "term": pa.array(keys + [""], pa.string()),
+                "n": pa.array([df[w] for w in keys] + [tokens], pa.int64()),
+            }
+        )
+
+    stats = {
+        r["term"]: r["n"]
+        for b in (
+            ds.map_batches(stats_partial, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("n", alias_name="n"))
+            .iter_batches(batch_format="pyarrow")
+        )
+        for r in b.to_pylist()
+    }
+    avgdl = stats.get("", 0) / n_docs
+    idf = {
+        w: math.log((n_docs - stats.get(w, 0) + 0.5) / (stats.get(w, 0) + 0.5) + 1)
+        for w in q
+    }
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        out_id, out_s = [], []
+        for i, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            terms = _VOCAB_RE.findall((t or "").lower())
+            tf = Counter(w for w in terms if w in qset)
+            if not tf:
+                continue
+            dl = len(terms)
+            s = 0.0
+            for w in q:  # FIXED summation order — the oracle mirrors it
+                c = tf.get(w)
+                if c:
+                    s += (
+                        idf[w]
+                        * (c * (BM25_K1 + 1))
+                        / (c + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl))
+                    )
+            out_id.append(i)
+            out_s.append(s)
+        t = pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "s": pa.array(out_s, pa.float64()),
+            }
+        )
+        if t.num_rows > k:  # local top-k: only survivors shuffle
+            order = pc.sort_indices(
+                t, sort_keys=[("s", "descending"), ("doc_id", "ascending")]
+            )
+            t = t.take(order.slice(0, k))
+        return t
+
+    cands = ds.map_batches(score_block, batch_format="pyarrow").repartition(1)
+
+    def final(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            batch, sort_keys=[("s", "descending"), ("doc_id", "ascending")]
+        )
+        top = batch.take(order.slice(0, k))
+        return pa.table(
+            {
+                "rank": pa.array(range(1, top.num_rows + 1), pa.int64()),
+                "doc_id": top["doc_id"].cast(pa.int64()),
+            }
+        )
+
+    return cands.map_batches(final, batch_format="pyarrow", batch_size=None)

@@ -208,3 +208,37 @@ def test_image_resize_geometry(ray_session):
 
     with pytest.raises(Exception):
         ImageResizeStage(real=True)(None)
+
+
+def test_bm25_topk_known_answer(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from louis_crawler_legacy_ray.stages.textstats import bm25_topk
+
+    docs = [
+        (0, "apple banana apple"),          # tf(apple)=2, dl=3
+        (1, "apple cherry cherry cherry"),  # tf(apple)=1, dl=4
+        (2, "banana banana"),               # no query term
+        (3, "apple"),                       # tf=1, dl=1 (short doc boost)
+    ]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in docs])
+    got = bm25_topk(ds, ["apple"], k=10).to_pandas()
+
+    n, df, avgdl = 4, 3, 10 / 4
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+
+    def s(tf, dl):
+        return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    exp = sorted(
+        [(0, s(2, 3)), (1, s(1, 4)), (3, s(1, 1))],
+        key=lambda p: (-p[1], p[0]),
+    )
+    assert list(got["doc_id"]) == [d for d, _ in exp]
+    assert list(got["rank"]) == [1, 2, 3]
+    # doc 2 (no query term) never ranks
+    assert 2 not in set(got["doc_id"])
+    # short doc with tf=1 outranks long doc with tf=1 (length norm)
+    assert list(got["doc_id"]).index(3) < list(got["doc_id"]).index(1)
