@@ -5227,6 +5227,121 @@ FROM ranked WHERE rank <= 20
 )
 
 
+def q_search_rank_fusion(sf_dir: str):
+    """END-TO-END SEARCH BUILD under one oracle — the three retrieval
+    subsystems composed exactly as a web search engine would: (1) the
+    frontier engine crawls the corpus depth<=5 from doc 0 (the crawl
+    defines the INDEX admission set), (2) Okapi BM25 ranks the crawled
+    index for the fixed query (stats — N, df, avgdl — computed over the
+    index, not the corpus), (3) exact-int PageRank over the
+    indexable-endorsement link graph supplies the authority signal, and
+    (4) the final order is integer Borda fusion rank(bm25)+rank(pr)
+    with doc_id tie-breaks — rank fusion keeps the hashed output pure
+    ints (floats only ever order within their own subsystem).
+
+    Scale shape: the crawled set feeds BM25 as a filter (semi-join
+    against the order output at 10^10), the rank join is the
+    partitioned hash join, and only the tiny fused candidate set hits
+    the single-partition fold."""
+    import ray.data as _rd
+
+    from ..stages.extract import extract_batch
+    from ..stages.graph import pagerank
+    from ..stages.joins import partitioned_hash_join
+    from .crawl import CrawlConfig, run_crawl
+
+    docs = _docs_table(sf_dir)
+    lang0, src0 = docs["lang"][0].as_py(), docs["source"][0].as_py()
+    seg0 = "fra" if lang0 == "fr" else lang0
+    seed = f"{SITE}/{seg0}/{src0}/doc0"
+    corpus = pages_corpus_dir(sf_dir)
+    res = run_crawl(
+        corpus, [seed], CrawlConfig(n_shards=4, max_depth=5, max_rounds=16)
+    )
+    # dimension-sized at gate scale; at 10^10 the crawled set stays in
+    # the order parquet and gates BM25 via a semi-join
+    crawled = {_doc_id_from_url(u) for u in res.order["url"].to_pylist()}
+
+    def in_index(b: pa.Table) -> pa.Table:
+        keep = pa.array([i in crawled for i in b["doc_id"].to_pylist()])
+        return b.filter(keep)
+
+    index_docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        in_index, batch_format="pyarrow"
+    )
+    bm = ts.bm25_topk(index_docs, list(BM25_QUERY), k=len(crawled)).map_batches(
+        lambda b: pa.table(
+            {
+                "bm25_rank": b["rank"].cast(pa.int64()),
+                "doc_id": b["doc_id"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def edge_partial(b: pa.Table) -> pa.Table:
+        # indexable-endorsement graph (see crawl_pagerank_priority):
+        # /fra/ pages dangle so ranks actually vary on the heap graph
+        items = extract_batch(b)
+        src, dst = [], []
+        for u, lang, links in zip(
+            items["url"].to_pylist(),
+            items["lang"].to_pylist(),
+            items["links"].to_pylist(),
+        ):
+            if lang == "fr":
+                continue
+            s = _doc_id_from_url(u)
+            for v in dict.fromkeys(links):
+                src.append(s)
+                dst.append(_doc_id_from_url(v))
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    edges = _rd.read_parquet(corpus, columns=["url", "html"]).map_batches(
+        edge_partial, batch_format="pyarrow"
+    )
+    nodes = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda b: pa.table({"v": b["doc_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    pr = pagerank(edges, nodes, iterations=PAGERANK_ITERS)
+
+    fused = partitioned_hash_join(bm, pr, "doc_id", "v", num_buckets=8)
+
+    def final(b: pa.Table) -> pa.Table:
+        # candidates are the BM25 survivors (tiny): rank the authority
+        # signal among them, Borda-fuse, emit the int-only top-20
+        order = pc.sort_indices(
+            b, sort_keys=[("r", "descending"), ("doc_id", "ascending")]
+        )
+        t = b.take(order)
+        pr_rank = pa.array(range(1, t.num_rows + 1), pa.int64())
+        t = t.append_column("pr_rank", pr_rank)
+        fuse = pc.add(t["bm25_rank"].cast(pa.int64()), t["pr_rank"])
+        t = t.append_column("fuse", fuse)
+        order2 = pc.sort_indices(
+            t, sort_keys=[("fuse", "ascending"), ("doc_id", "ascending")]
+        )
+        t = t.take(order2.slice(0, 20))
+        return pa.table(
+            {
+                "rank": pa.array(range(1, t.num_rows + 1), pa.int64()),
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "bm25_rank": t["bm25_rank"].cast(pa.int64()),
+                "pr_rank": t["pr_rank"].cast(pa.int64()),
+            }
+        )
+
+    return fused.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )
+
+
 def q_pii_redact(sf_dir: str):
     """PII scrub over the events props column: email + digit-run
     redaction as two vectorized RE2 kernel passes
@@ -5752,6 +5867,73 @@ sim(round, url, depth, done) AS (
 SELECT CAST(min(round) - 1 AS INTEGER) AS round, depth, url
 FROM sim WHERE done
 GROUP BY depth, url
+"""
+)
+
+
+SQL_SEARCH_RANK_FUSION = (
+    "WITH RECURSIVE "
+    + _SQL_PAGE_CTE.replace("WITH ", "", 1)
+    + f""",
+edges AS (
+  SELECT url AS src, '{SITE}' || c1_path AS dst FROM pg
+  UNION ALL SELECT url, '{SITE}' || c2_path FROM pg),
+walk(url, depth) AS (
+  SELECT url, 0 FROM pg WHERE doc_id = 0
+  UNION ALL
+  SELECT e2.dst, w.depth + 1 FROM walk w JOIN edges e2 ON e2.src = w.url
+  WHERE w.depth < 5),
+crawled AS (SELECT DISTINCT p.doc_id FROM walk w JOIN pg p ON p.url = w.url),
+qy(term) AS (VALUES ('merge'), ('scan'), ('window')),
+wt AS (
+  SELECT d.doc_id, unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS term
+  FROM documents d JOIN crawled c ON c.doc_id = d.doc_id),
+dl AS (SELECT doc_id, count(*) AS dl FROM wt GROUP BY doc_id),
+nq AS (SELECT count(*) AS n FROM crawled),
+ad AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST((SELECT n FROM nq) AS DOUBLE) AS a
+       FROM dl),
+tf AS (SELECT w.doc_id, w.term, count(*) AS tf
+       FROM wt w JOIN qy q ON q.term = w.term GROUP BY w.doc_id, w.term),
+df AS (SELECT w.term, count(DISTINCT w.doc_id) AS df
+       FROM wt w JOIN qy q ON q.term = w.term GROUP BY w.term),
+comp AS (
+  SELECT tf.doc_id, tf.term,
+         ln(((SELECT n FROM nq) - df.df + 0.5) / (df.df + 0.5) + 1)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + (0.75 * d.dl) / (SELECT a FROM ad))) AS s
+  FROM tf JOIN df ON df.term = tf.term JOIN dl d ON d.doc_id = tf.doc_id),
+scored AS (
+  SELECT dl.doc_id,
+         """
+    + "\n       + ".join(_bm25_comp_sql(t) for t in BM25_QUERY)
+    + f""" AS s
+  FROM dl),
+bm AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS bm25_rank
+       FROM scored WHERE s > 0),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS v FROM documents),
+e AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CAST((2 * doc_id + 1) % nn.n AS BIGINT) AS dst
+  FROM documents, nn WHERE lang <> 'fr'
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT),
+         CAST((2 * doc_id + 2) % nn.n AS BIGINT)
+  FROM documents, nn WHERE lang <> 'fr'),
+outd AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+r0 AS (SELECT v, CAST({_PR_SCALE} AS BIGINT) AS r FROM nodes),"""
+    + ",".join(_pr_iter_sql(i) for i in range(1, PAGERANK_ITERS + 1))
+    + f""",
+prr AS (SELECT b.doc_id, b.bm25_rank,
+               row_number() OVER (ORDER BY r.r DESC, b.doc_id) AS pr_rank
+        FROM bm b JOIN r{PAGERANK_ITERS} r ON r.v = b.doc_id),
+fused AS (SELECT doc_id, bm25_rank, pr_rank,
+                 row_number() OVER (ORDER BY bm25_rank + pr_rank, doc_id)
+                   AS rank
+          FROM prr)
+SELECT CAST(rank AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(pr_rank AS BIGINT) AS pr_rank
+FROM fused WHERE rank <= 20
 """
 )
 
@@ -7154,6 +7336,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_topk": q_bm25_topk,
+    "search_rank_fusion": q_search_rank_fusion,
     # vector clustering
     "label_centroids": q_label_centroids,
     "kmeans_assign": q_kmeans_assign,
@@ -7303,6 +7486,7 @@ ORACLE_SQL = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "bm25_topk": SQL_BM25_TOPK,
+    "search_rank_fusion": SQL_SEARCH_RANK_FUSION,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "semdedup": SQL_SEMDEDUP,
