@@ -38,6 +38,54 @@ PAGERANK_SCALE = 10**12
 DAMP_NUM = 85  # damping 0.85 as an exact rational
 DAMP_DEN = 100
 
+# stats-driven join strategy threshold: a score table at or under this
+# many rows ships whole (one ray.put, map-side attach inside the edge
+# blocks — no all-to-all); above it the partitioned hash join shuffles.
+# The classic broadcast-vs-shuffle planner choice: at 10^10 nodes the
+# rank table is corpus-sized and MUST shuffle, at gate scale the
+# broadcast path removes ~2 s of fixed exchange cost per iteration.
+BROADCAST_SCORE_ROWS = 200_000
+
+
+def _with_scores(
+    left: ray.data.Dataset,
+    scores: ray.data.Dataset,
+    left_key: str,
+    val_col: str,
+    num_buckets: int,
+    n_rows: int | None = None,
+) -> ray.data.Dataset:
+    """Inner-join ``scores`` (v, <val_col>) onto ``left`` rows by
+    ``left_key``, picking broadcast vs partitioned by the score-table
+    size (``n_rows``; counted if not given). Result columns = left's +
+    ``val_col`` — identical under either strategy."""
+    import ray as _ray
+
+    from .joins import partitioned_hash_join
+
+    if n_rows is None:
+        n_rows = scores.count()
+    if n_rows > BROADCAST_SCORE_ROWS:
+        return partitioned_hash_join(
+            left, scores, left_key, "v", num_buckets=num_buckets
+        )
+    m: dict = {}
+    for b in scores.iter_batches(batch_format="pyarrow"):
+        m.update(zip(b["v"].to_pylist(), b[val_col].to_pylist()))
+    ref = _ray.put(m)
+
+    def attach(b: pa.Table) -> pa.Table:
+        if left_key not in b.column_names:  # schema-less empty block
+            return b
+        mm = _ray.get(ref)
+        vals = [mm.get(k) for k in b[left_key].to_pylist()]
+        mask = pa.array([v is not None for v in vals])
+        return b.filter(mask).append_column(
+            val_col, pa.array([v for v in vals if v is not None], pa.int64())
+        )
+
+    return left.map_batches(attach, batch_format="pyarrow")
+
 
 def pagerank(
     edges: ray.data.Dataset,
@@ -70,6 +118,7 @@ def pagerank(
         )
 
     ranks = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    n_nodes = ranks.count()
 
     def zeros(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -80,8 +129,8 @@ def pagerank(
         )
 
     for _ in range(iterations):
-        joined = partitioned_hash_join(
-            edges_d, ranks, "src", "v", num_buckets=num_buckets
+        joined = _with_scores(
+            edges_d, ranks, "src", "r", num_buckets, n_rows=n_nodes
         )
 
         def contrib(b: pa.Table) -> pa.Table:
@@ -169,6 +218,7 @@ def trustrank(
         )
 
     ranks = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    n_nodes = ranks.count()
 
     def zeros(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -179,8 +229,8 @@ def trustrank(
         )
 
     for _ in range(iterations):
-        joined = partitioned_hash_join(
-            edges_d, ranks, "src", "v", num_buckets=num_buckets
+        joined = _with_scores(
+            edges_d, ranks, "src", "r", num_buckets, n_rows=n_nodes
         )
 
         def contrib(b: pa.Table) -> pa.Table:
@@ -308,7 +358,7 @@ def hits(
     auths = None
     for _ in range(iterations):
         # auth pass: each edge u->v forwards hub(u) to v
-        j = partitioned_hash_join(edges, hubs, "src", "v", num_buckets=num_buckets)
+        j = _with_scores(edges, hubs, "src", "h", num_buckets)
         auths = (
             j.map_batches(contrib("dst", "h"), batch_format="pyarrow")
             .union(nodes_b.map_batches(zeros("dst"), batch_format="pyarrow"))
@@ -318,7 +368,7 @@ def hits(
             .materialize()
         )
         # hub pass: each edge u->v reflects auth(v) back to u
-        j2 = partitioned_hash_join(edges, auths, "dst", "v", num_buckets=num_buckets)
+        j2 = _with_scores(edges, auths, "dst", "a", num_buckets)
         hubs = (
             j2.map_batches(contrib("src", "a"), batch_format="pyarrow")
             .union(nodes_b.map_batches(zeros("src"), batch_format="pyarrow"))
@@ -327,4 +377,4 @@ def hits(
             .map_batches(rename("src", "h"), batch_format="pyarrow")
             .materialize()
         )
-    return partitioned_hash_join(hubs, auths, "v", "v", num_buckets=num_buckets)
+    return _with_scores(hubs, auths, "v", "a", num_buckets)

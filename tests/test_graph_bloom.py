@@ -161,3 +161,22 @@ def test_hits_matches_naive(ray_session):
     assert got_a[2] > got_a[3] > got_a[0] == 0  # authority order
     assert got_h[0] == got_h[1] > got_h[3] > got_h[2] == 0  # hub order
     assert got_h[4] == 0 and got_a[4] == 0  # isolated node present, zero
+
+
+def test_score_join_strategies_agree(ray_session):
+    """The stats-driven broadcast-vs-shuffle score join must be
+    result-invariant: force the partitioned branch and compare bits."""
+    import louis_crawler_legacy_ray.stages.graph as g
+
+    e = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in EDGES]
+    ).repartition(3)
+    n = ray.data.from_items([{"v": v} for v in NODES]).repartition(2)
+    bc = g.pagerank(e, n, iterations=3).to_pandas().sort_values("v")
+    old = g.BROADCAST_SCORE_ROWS
+    try:
+        g.BROADCAST_SCORE_ROWS = 0  # force the shuffle branch
+        sh = g.pagerank(e, n, iterations=3).to_pandas().sort_values("v")
+    finally:
+        g.BROADCAST_SCORE_ROWS = old
+    assert bc.reset_index(drop=True).equals(sh.reset_index(drop=True))
