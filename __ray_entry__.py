@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_ip_groups",  # new in r4 (vhost->server group shared budgets)
         "crawl_meta_robots",  # new in r4 (page-level noindex/nofollow directives)
         "canonical_consolidate",  # new in r4 (rel=canonical duplicate grouping)
+        "hreflang_clusters",  # new in r4 (rel-alternate-hreflang language-variant grouping)
         "crawl_delay_budget",  # new in r4 (robots Crawl-delay politeness)
         "crawl_traps",  # new in r4 (URL-pattern-explosion trap detection)
         "crawl_trap_guard",  # new in r4 (deny-pattern quarantine at admission)

@@ -292,3 +292,36 @@ def extract_anchors(url: str, html: str) -> list[tuple[str, str]]:
         if links:
             out.append((links[0], normalize_ws(a.get_text())))
     return out
+
+
+_HREFLANG_RX = None
+
+
+def hreflang_alternates(
+    url: str, html: str, allowed_domains: list[str] | None = None
+) -> list[tuple[str, str]]:
+    """ALL ``<link rel="alternate" hreflang="xx" href="...">``
+    declarations of a page as (hreflang, absolute_url) pairs in
+    document order — the SEO-standard language-variant clustering hint
+    (Google's rel-alternate-hreflang): the indexer groups the variants
+    under one cluster and serves the language-matched member. Targets
+    absolutized + filtered EXACTLY like frontier links so cluster keys
+    agree with crawled URLs; filtered targets are dropped. Matches the
+    canonical attribute order (rel, hreflang, href); a multi-match scan
+    unlike canonical_target/meta_refresh (a page declares one variant
+    per language)."""
+    import re as _re
+
+    global _HREFLANG_RX
+    if _HREFLANG_RX is None:
+        _HREFLANG_RX = _re.compile(
+            r"<link\s+rel=[\"']alternate[\"']\s+"
+            r"hreflang=[\"']([^\"'>]+)[\"']\s+href=[\"']([^\"'>]+)[\"']",
+            _re.IGNORECASE,
+        )
+    out: list[tuple[str, str]] = []
+    for m in _HREFLANG_RX.finditer(html or ""):
+        links = extract_links([m.group(2).strip()], url, allowed_domains)
+        if links:
+            out.append((m.group(1).strip().lower(), links[0]))
+    return out

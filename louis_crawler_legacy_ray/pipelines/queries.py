@@ -2519,6 +2519,131 @@ FROM canon GROUP BY canonical_url
 )
 
 
+def hreflang_corpus_dir(sf_dir: str) -> str:
+    """Single-host corpus variant where every page declares ``<link
+    rel="alternate" hreflang>`` variants: docs cluster in groups of 4
+    (doc_id // 4) and each member declares the other three with the
+    TARGET's lang segment as hreflang — the rel-alternate-hreflang
+    reciprocal-linking shape Google's guidelines prescribe. Cached like
+    the other derived corpora."""
+    key = f"{sf_dir}|hreflang4"
+    if key in _PAGES_CACHE:
+        return _PAGES_CACHE[key]
+    tag = hashlib.blake2b(key.encode(), digest_size=6).hexdigest()
+    out = f"/tmp/louis_pages_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        tmp = f"{out}.build-{os.getpid()}"
+        docs = _docs_table(sf_dir)
+        n = docs.num_rows
+        pages = pages_from_documents(docs)
+        langs = docs["lang"].to_pylist()
+        sources = docs["source"].to_pylist()
+
+        def seg_of(doc: int) -> str:
+            return "fra" if langs[doc] == "fr" else langs[doc]
+
+        def url_of(doc: int) -> str:
+            return f"http://inspection.canada.ca/{seg_of(doc)}/{sources[doc]}/doc{doc}"
+
+        rx = re.compile(r"doc(\d+)$")
+        urls = pages["url"].to_pylist()
+        htmls = pages["html"].to_pylist()
+        for i, u in enumerate(urls):
+            doc = int(rx.search(u).group(1))
+            g0 = doc - doc % 4
+            links = "".join(
+                f'<link rel="alternate" hreflang="{seg_of(m)}" '
+                f'href="{url_of(m)}">'
+                for m in range(g0, min(g0 + 4, n))
+                if m != doc
+            )
+            htmls[i] = (
+                htmls[i].decode().replace("<head>", "<head>" + links, 1)
+            ).encode()
+        pages = pages.set_column(
+            pages.schema.get_field_index("html"),
+            "html",
+            pa.array(htmls, pa.binary()),
+        )
+        write_pages_parquet(pages, tmp, rows_per_file=4096)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    _PAGES_CACHE[key] = out
+    return out
+
+
+def q_hreflang_clusters(sf_dir: str):
+    """rel-alternate-hreflang language-variant clustering (the
+    indexing-side companion to canonical consolidation: canonical
+    collapses duplicates, hreflang GROUPS translations): each page's
+    alternate declarations are extracted with the frontier link rules
+    (functions/html_kernels.py hreflang_alternates — multi-match scan),
+    a page's cluster key is the lexicographic min of itself and its
+    declared variants (identical on every member under the reciprocal
+    scheme — no global connectivity pass needed), and ONE string-key
+    groupby reports member count and distinct declared languages.
+    Streams extract -> key -> groupby; no driver materialization."""
+    import ray.data as _rd
+
+    from ..functions.html_kernels import hreflang_alternates
+
+    pages = _rd.read_parquet(
+        hreflang_corpus_dir(sf_dir), columns=["url", "html"]
+    )
+
+    def key_batch(b: pa.Table) -> pa.Table:
+        keys, langs = [], []
+        for url, html in zip(b["url"].to_pylist(), b["html"].to_pylist()):
+            alts = hreflang_alternates(url, html.decode())
+            keys.append(min([url] + [u for _, u in alts]))
+            langs.append(sorted({lg for lg, _ in alts}))
+        return pa.table(
+            {
+                "cluster_url": pa.array(keys, pa.string()),
+                "langs": pa.array(langs, pa.list_(pa.string())),
+            }
+        )
+
+    def fold(df):
+        import pandas as pd
+
+        langs = sorted({lg for ls in df["langs"] for lg in ls})
+        return pd.DataFrame(
+            {
+                "cluster_url": [df["cluster_url"].iloc[0]],
+                "n_pages": [len(df)],
+                "langs": [",".join(langs)],
+            }
+        )
+
+    out = (
+        pages.map_batches(key_batch, batch_format="pyarrow")
+        .groupby("cluster_url")
+        .map_groups(fold, batch_format="pandas")
+    )
+    return out
+
+
+SQL_HREFLANG_CLUSTERS = (
+    _SQL_PAGE_CTE
+    + """,
+mem AS (
+  SELECT (d.doc_id - d.doc_id % 4) AS g, d.url, d.seg FROM pg d),
+agg AS (
+  SELECT g, min(url) AS cluster_url, CAST(count(*) AS BIGINT) AS n_pages,
+         string_agg(DISTINCT seg, ',' ORDER BY seg) AS langs
+  FROM mem GROUP BY g)
+SELECT cluster_url, n_pages, langs FROM agg
+"""
+)
+
+
 def q_crawl_meta_robots(sf_dir: str):
     """Page-level robots directives under the exact gate
     (obey_meta_robots — <meta name=robots>, the de-facto
@@ -7267,6 +7392,7 @@ QUERIES = {
     "crawl_ip_groups": q_crawl_ip_groups,
     "crawl_meta_robots": q_crawl_meta_robots,
     "canonical_consolidate": q_canonical_consolidate,
+    "hreflang_clusters": q_hreflang_clusters,
     "crawl_backlink_priority": q_crawl_backlink_priority,
     "crawl_opic": q_crawl_opic,
     "crawl_relevance_priority": q_crawl_relevance_priority,
@@ -7423,6 +7549,7 @@ ORACLE_SQL = {
     "crawl_ip_groups": SQL_CRAWL_IP_GROUPS,
     "crawl_meta_robots": SQL_CRAWL_META_ROBOTS,
     "canonical_consolidate": SQL_CANONICAL_CONSOLIDATE,
+    "hreflang_clusters": SQL_HREFLANG_CLUSTERS,
     "crawl_backlink_priority": SQL_CRAWL_BACKLINK_PRIORITY,
     "crawl_opic": SQL_CRAWL_OPIC,
     "crawl_relevance_priority": SQL_CRAWL_RELEVANCE_PRIORITY,

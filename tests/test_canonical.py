@@ -23,3 +23,25 @@ def test_canonical_kernel():
     # absent / other link rels don't match
     assert canonical_target(u, "<html></html>") is None
     assert canonical_target(u, '<link rel="stylesheet" href="/s.css">') is None
+
+
+def test_hreflang_alternates_kernel():
+    from louis_crawler_legacy_ray.functions.html_kernels import (
+        hreflang_alternates,
+    )
+
+    h = (
+        '<head><link rel="alternate" hreflang="FR" href="/fra/a/doc1">'
+        '<link rel="alternate" hreflang="de" '
+        'href="http://inspection.canada.ca/de/a/doc2">'
+        '<link rel="alternate" hreflang="es" href="/files/report.pdf">'
+        "</head>"
+    )
+    got = hreflang_alternates("http://inspection.canada.ca/en/a/doc0", h)
+    # multi-match in document order; hreflang lowercased; filtered
+    # targets (pdf) dropped like frontier links
+    assert got == [
+        ("fr", "http://inspection.canada.ca/fra/a/doc1"),
+        ("de", "http://inspection.canada.ca/de/a/doc2"),
+    ]
+    assert hreflang_alternates("http://x/a", "<head></head>") == []
