@@ -4478,6 +4478,48 @@ FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
 """
 
 
+def q_dedup_span_removal(sf_dir: str):
+    """Exact-substring REMOVAL (Lee et al. 2022 applied as a cleaner,
+    word granularity): tokens covered by any cross-doc duplicated
+    5-gram are dropped and docs reassemble from survivors —
+    duplicate_ngrams reports the spans, this removes them
+    (stages/dedup.py remove_duplicate_spans: bucketed dup-gram
+    aggregation broadcast once, one stateless removal pass)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dd.remove_duplicate_spans(docs, k=5, min_docs=2)
+
+
+SQL_DEDUP_SPAN_REMOVAL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+g AS (
+  SELECT doc_id, i,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS gram
+  FROM toks, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT g.doc_id, j
+  FROM g JOIN dup ON dup.gram = g.gram,
+       UNNEST(generate_series(g.i, g.i + 4)) AS t2(j)),
+tokpos AS (
+  SELECT doc_id, w[j] AS tok, j
+  FROM toks, UNNEST(generate_series(1, len(w))) AS t(j)),
+kept AS (
+  SELECT tp.doc_id, tp.tok, tp.j
+  FROM tokpos tp LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.j = tp.j
+  WHERE c.doc_id IS NULL),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY j) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+
 _DAY_US = 86_400_000_000
 
 
@@ -7458,6 +7500,7 @@ QUERIES = {
     "top_principal_component": q_top_principal_component,
     "train_val_split": q_train_val_split,
     "dedup_survivors": q_dedup_survivors,
+    "dedup_span_removal": q_dedup_span_removal,
     "decontaminate": q_decontaminate,
     "weighted_sample": q_weighted_sample,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -7609,6 +7652,7 @@ ORACLE_SQL = {
     "line_dedup": SQL_LINE_DEDUP,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "dedup_survivors": SQL_DEDUP_SURVIVORS,
+    "dedup_span_removal": SQL_DEDUP_SPAN_REMOVAL,
     "decontaminate": SQL_DECONTAMINATE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,

@@ -1332,3 +1332,61 @@ def mirror_host_pairs(
         )
 
     return agg.map_batches(flag, batch_format="pyarrow")
+
+
+def remove_duplicate_spans(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> ray.data.Dataset:
+    """Apply the Lee et al. 2022 signal as a CLEANER: every token
+    covered by a word-k-gram that appears in >= min_docs distinct
+    documents is removed, and each doc is reassembled from its
+    surviving tokens ((doc_id, n_removed, clean_text)). This is the
+    exact-substring-removal step of the paper at word granularity —
+    duplicate_ngrams only reports the spans; this drops them.
+
+    Scale shape: the duplicated-gram set comes from duplicate_ngrams'
+    bucketed partial aggregation and is broadcast ONCE via ray.put
+    (decontaminate precedent); the removal pass is one stateless map.
+    At 100 TB the dup-gram set itself is large — the scale path swaps
+    the exact set for a bloom front with a per-hit exact verify, same
+    as the decontamination stage; the exact set is the gate shape.
+    """
+    import numpy as np
+
+    dup = duplicate_ngrams(
+        ds, id_col=id_col, text_col=text_col, k=k, min_docs=min_docs
+    )
+    grams: set = set()
+    for b in dup.iter_batches(batch_format="pyarrow"):
+        grams.update(b["gram"].to_pylist())
+    ref = ray.put(grams)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        g = ray.get(ref)
+        out_id, out_rm, out_txt = [], [], []
+        for i, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            w = words_of(t)
+            n = len(w)
+            covered = np.zeros(n, dtype=bool)
+            for j in range(n - k + 1):
+                if " ".join(w[j : j + k]) in g:
+                    covered[j : j + k] = True
+            kept = [w[j] for j in range(n) if not covered[j]]
+            out_id.append(i)
+            out_rm.append(n - len(kept))
+            out_txt.append(" ".join(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_removed": pa.array(out_rm, pa.int64()),
+                "clean_text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow")

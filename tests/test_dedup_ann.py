@@ -357,3 +357,31 @@ def test_mirror_host_pairs_flags_and_threshold(ray_session):
     assert got[("a.ca", "c.ca")] == (1, False)
     assert got[("b.ca", "c.ca")] == (1, False)
     assert all(a != b for a, b in got)  # no diagonal rows in the output
+
+
+def test_remove_duplicate_spans_known_answer(ray_session):
+    import ray.data as rd
+
+    from louis_crawler_legacy_ray.stages.dedup import remove_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon"  # 5-gram shared by docs 0/1
+    docs = [
+        (0, f"intro {shared} outro words here"),
+        (1, f"{shared} tail"),
+        (2, "totally unique words nothing shared at all"),
+    ]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in docs])
+    got = (
+        remove_duplicate_spans(ds, k=5, min_docs=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # the shared 5-gram's tokens vanish; neighbors survive
+    assert got.loc[0, "clean_text"] == "intro outro words here"
+    assert got.loc[0, "n_removed"] == 5
+    assert got.loc[1, "clean_text"] == "tail"
+    assert got.loc[1, "n_removed"] == 5
+    # untouched doc passes through byte-identical (already normalized)
+    assert got.loc[2, "clean_text"] == docs[2][1]
+    assert got.loc[2, "n_removed"] == 0
