@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk",  # new in r4 (Okapi BM25 ranked retrieval, rank/doc_id-stable)
         "search_rank_fusion",  # new in r4 (crawl->index->BM25+PageRank Borda fusion, one oracle)
         "dedup_span_removal",  # new in r4 (Lee et al. exact-substring removal as a cleaner)
+        "index_delta",  # new in r4 (incremental posting-list maintenance on recrawl)
         "crawl_ip_groups",  # new in r4 (vhost->server group shared budgets)
         "crawl_meta_robots",  # new in r4 (page-level noindex/nofollow directives)
         "canonical_consolidate",  # new in r4 (rel=canonical duplicate grouping)

@@ -6487,6 +6487,120 @@ SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 100
 """
 
 
+def q_index_delta(sf_dir: str):
+    """INCREMENTAL index maintenance: the posting-list delta an
+    indexer applies when a recrawl lands — build distinct (term,
+    doc_id) postings for the old snapshot and the evolved one (same
+    deterministic evolution as snapshot_delta: %11==5 vanished, %7==3
+    content-changed, %13==1 re-added under a new id) and emit every
+    posting present on exactly one side with op in (add, del).
+    Scale shape: per-doc distinct terms emit as side-tagged partial
+    rows (0/1 per side), ONE groupby((term, doc_id)) sums the sides,
+    and unchanged postings — the overwhelming majority — are dropped
+    inside the reduce; no full-index rebuild, no driver state."""
+    from ray.data.aggregate import Sum
+
+    old = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def evolve(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b["doc_id"].cast(pa.int64()).to_numpy()
+        kept = b.filter(pa.array(ids % 11 != 5))
+        kids = kept["doc_id"].cast(pa.int64()).to_numpy()
+        changed = pa.array(kids % 7 == 3)
+        text2 = pc.if_else(
+            changed,
+            pc.binary_join_element_wise(kept["text"], pa.scalar(" v2"), ""),
+            kept["text"],
+        )
+        base = pa.table({"doc_id": pa.array(kids, pa.int64()), "text": text2})
+        adds = b.filter(pa.array(ids % 13 == 1))
+        extra = pa.table(
+            {
+                "doc_id": pc.add(
+                    adds["doc_id"].cast(pa.int64()),
+                    pa.scalar(1000000, pa.int64()),
+                ),
+                "text": adds["text"],
+            }
+        )
+        return pa.concat_tables([base, extra])
+
+    new = old.map_batches(evolve, batch_format="pyarrow")
+
+    def postings(side: str):
+        def f(b: pa.Table) -> pa.Table:
+            terms, ids = [], []
+            for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+                for w in set(ts._VOCAB_RE.findall((t or "").lower())):
+                    terms.append(w)
+                    ids.append(i)
+            n = len(terms)
+            return pa.table(
+                {
+                    "term": pa.array(terms, pa.string()),
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "o": pa.array([1 if side == "o" else 0] * n, pa.int64()),
+                    "n": pa.array([0 if side == "o" else 1] * n, pa.int64()),
+                }
+            )
+
+        return f
+
+    both = old.map_batches(postings("o"), batch_format="pyarrow").union(
+        new.map_batches(postings("n"), batch_format="pyarrow")
+    )
+    agg = both.groupby(["term", "doc_id"]).aggregate(
+        Sum("o", alias_name="o"), Sum("n", alias_name="n")
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        o = b["o"].cast(pa.int64())
+        nn = b["n"].cast(pa.int64())
+        keep = pc.xor(pc.greater(o, 0), pc.greater(nn, 0))
+        t = b.filter(keep)
+        op = pc.if_else(
+            pc.greater(t["n"].cast(pa.int64()), 0),
+            pa.scalar("add"),
+            pa.scalar("del"),
+        )
+        return pa.table(
+            {
+                "term": t["term"],
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "op": op,
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_INDEX_DELTA = r"""
+WITH old_p AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents)),
+newdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 5
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 1),
+new_p AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM newdocs))
+SELECT n.term, CAST(n.doc_id AS BIGINT) AS doc_id, 'add' AS op
+FROM new_p n LEFT JOIN old_p o ON o.doc_id = n.doc_id AND o.term = n.term
+WHERE o.doc_id IS NULL
+UNION ALL
+SELECT o.term, CAST(o.doc_id AS BIGINT), 'del'
+FROM old_p o LEFT JOIN new_p n ON n.doc_id = o.doc_id AND n.term = o.term
+WHERE n.doc_id IS NULL
+"""
+
+
 def q_snapshot_delta(sf_dir: str):
     """Incremental-recrawl delta between two crawl snapshots
     (stages/joins.py:snapshot_delta): old = the documents table; new =
@@ -7474,6 +7588,7 @@ QUERIES = {
     "domain_mix": q_domain_mix,
     "dsir_topk": q_dsir_topk,
     "snapshot_delta": q_snapshot_delta,
+    "index_delta": q_index_delta,
     "recrawl_priority": q_recrawl_priority,
     "crawl_recrawl_scheduled": q_crawl_recrawl_scheduled,
     "host_budgets": q_host_budgets,
@@ -7629,6 +7744,7 @@ ORACLE_SQL = {
     "domain_mix": SQL_DOMAIN_MIX,
     "dsir_topk": SQL_DSIR_TOPK,
     "snapshot_delta": SQL_SNAPSHOT_DELTA,
+    "index_delta": SQL_INDEX_DELTA,
     "recrawl_priority": SQL_RECRAWL_PRIORITY,
     "crawl_recrawl_scheduled": SQL_CRAWL_RECRAWL_SCHEDULED,
     "host_budgets": SQL_HOST_BUDGETS,
