@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from louis_crawler_legacy_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
     first = [  # oracled but never driver-gated through round 3
+        "spam_mass",  # new in r4 (Gyöngyi mass estimation: pagerank - normalized trustrank)
         "crawl_relevance_priority",  # new in r4 (focused crawl: content scores steer the frontier)
         "crawl_pagerank_priority",  # new in r4 (pagerank ranks composed into the capped control plane)
         "trustrank",  # new in r4 (seed-restricted teleport demotes spam neighborhoods)

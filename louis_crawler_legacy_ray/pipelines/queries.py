@@ -5977,6 +5977,165 @@ SELECT v AS doc_id, r AS trust_scaled FROM r{PAGERANK_ITERS}
 )
 
 
+# relative spam-mass flag threshold: mass/pagerank > 0.6 (exact rational)
+_SM_REL_NUM = 60
+_SM_REL_DEN = 100
+
+
+def q_spam_mass(sf_dir: str):
+    """Spam-mass estimation (Gyöngyi/Garcia-Molina/Pedersen 2006,
+    "Link Spam Detection Based on Mass Estimation"): how much of a
+    page's PageRank comes from spam? Composes the repo's two
+    exact-int link-graph fixpoints over the SAME extracted edge set —
+    uniform-teleport PageRank (every page funded) and seed-teleport
+    TrustRank (only pages reachable from the trusted core funded) —
+    then joins the two rank tables with one partitioned hash join.
+
+    ``trust_norm = trust * N // S`` rescales TrustRank's teleport mass
+    (paid only at the S seeds) to PageRank's (paid at all N nodes) so
+    the two vectors are comparable; ``abs_mass = pagerank -
+    trust_norm`` is the rank unexplained by trusted endorsement, and a
+    page is flagged when its RELATIVE mass exceeds 0.6 (exact
+    cross-multiplied rational) AND its rank exceeds the teleport-only
+    floor (a page nobody links to has no link rank to owe spam for —
+    the paper's "consider only high-PR nodes" guard).
+
+    Every quantity is int64 at scale 1e12 — both 3-iteration fixpoints,
+    the normalization, and the flag rule hash bit-identically against
+    the doubly-unrolled SQL oracle."""
+    from ..stages.graph import pagerank, trustrank
+    from ..stages.joins import partitioned_hash_join
+    from .ingest import extract_edges
+
+    items = _extracted_items(sf_dir)
+    edges_u = extract_edges(items.select_columns(["url", "depth", "links"]))
+
+    def to_ids(b: pa.Table) -> pa.Table:
+        if "src" not in b.column_names:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "src": pa.array(
+                    [_doc_id_from_url(u) for u in b["src"].to_pylist()], pa.int64()
+                ),
+                "dst": pa.array(
+                    [_doc_id_from_url(u) for u in b["dst"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    edges = edges_u.map_batches(to_ids, batch_format="pyarrow").materialize()
+    docs = _docs_table(sf_dir)
+    n = docs.num_rows
+    seeds = [i for i in docs["doc_id"].to_pylist() if i % _TR_SEED_MOD == 0]
+    s = len(seeds)
+    nodes = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda b: pa.table({"v": b["doc_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    pr = pagerank(edges, nodes, iterations=PAGERANK_ITERS).map_batches(
+        lambda b: pa.table(
+            {"v": b["v"].cast(pa.int64()), "pr": b["r"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    tr = trustrank(edges, nodes, seeds, iterations=PAGERANK_ITERS).map_batches(
+        lambda b: pa.table(
+            {"tv": b["v"].cast(pa.int64()), "tru": b["r"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = partitioned_hash_join(pr, tr, "v", "tv", num_buckets=32)
+
+    def fin(b: pa.Table) -> pa.Table:
+        if "v" not in b.column_names or b.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "rank_scaled": pa.array([], pa.int64()),
+                    "trust_norm": pa.array([], pa.int64()),
+                    "abs_mass": pa.array([], pa.int64()),
+                    "is_spam": pa.array([], pa.bool_()),
+                }
+            )
+        prv = b["pr"].cast(pa.int64())
+        trv = b["tru"].cast(pa.int64())
+        trust_norm = pc.divide(
+            pc.multiply(trv, pa.scalar(n, pa.int64())), pa.scalar(s, pa.int64())
+        )
+        mass = pc.subtract(prv, trust_norm)
+        is_spam = pc.and_(
+            pc.greater(
+                pc.multiply(mass, pa.scalar(_SM_REL_DEN, pa.int64())),
+                pc.multiply(prv, pa.scalar(_SM_REL_NUM, pa.int64())),
+            ),
+            pc.greater(prv, pa.scalar(_PR_BASE, pa.int64())),
+        )
+        return pa.table(
+            {
+                "doc_id": b["v"].cast(pa.int64()),
+                "rank_scaled": prv,
+                "trust_norm": trust_norm,
+                "abs_mass": mass,
+                "is_spam": is_spam,
+            }
+        )
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def _tr_iter_sql_t(i: int) -> str:
+    """TrustRank unrolled-iteration CTEs under t/b names so they can
+    coexist with the PageRank r/a chain in one composed oracle."""
+    return f"""
+b{i} AS (
+  SELECT e.dst AS v, SUM(t.r // o.d) AS s
+  FROM e JOIN t{i - 1} t ON t.v = e.src JOIN outd o ON o.src = e.src
+  GROUP BY e.dst),
+t{i} AS (
+  SELECT n.v,
+         CAST(CASE WHEN n.v % {_TR_SEED_MOD} = 0 THEN {_PR_BASE} ELSE 0 END
+              + (85 * COALESCE(b.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN b{i} b ON b.v = n.v)"""
+
+
+SQL_SPAM_MASS = (
+    f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS v FROM documents),
+e AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CAST((2 * doc_id + 1) % nn.n AS BIGINT) AS dst FROM documents, nn
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT),
+         CAST((2 * doc_id + 2) % nn.n AS BIGINT) FROM documents, nn),
+outd AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+sc AS (SELECT count(*) AS s FROM nodes WHERE v % {_TR_SEED_MOD} = 0),
+r0 AS (SELECT v, CAST({_PR_SCALE} AS BIGINT) AS r FROM nodes),"""
+    + ",".join(_pr_iter_sql(i) for i in range(1, PAGERANK_ITERS + 1))
+    + f""",
+t0 AS (SELECT v,
+              CAST(CASE WHEN v % {_TR_SEED_MOD} = 0
+                   THEN {_PR_SCALE} ELSE 0 END AS BIGINT) AS r
+       FROM nodes),"""
+    + ",".join(_tr_iter_sql_t(i) for i in range(1, PAGERANK_ITERS + 1))
+    + f"""
+SELECT n.v AS doc_id,
+       CAST(pr.r AS BIGINT) AS rank_scaled,
+       CAST((tr.r * nn.n) // sc.s AS BIGINT) AS trust_norm,
+       CAST(pr.r - (tr.r * nn.n) // sc.s AS BIGINT) AS abs_mass,
+       ({_SM_REL_DEN} * (pr.r - (tr.r * nn.n) // sc.s) > {_SM_REL_NUM} * pr.r
+        AND pr.r > {_PR_BASE}) AS is_spam
+FROM nodes n
+JOIN r{PAGERANK_ITERS} pr ON pr.v = n.v
+JOIN t{PAGERANK_ITERS} tr ON tr.v = n.v
+CROSS JOIN nn CROSS JOIN sc
+"""
+)
+
+
 SQL_CRAWL_PAGERANK_PRIORITY = (
     "WITH RECURSIVE "
     + _SQL_MH_CTE.replace("WITH ", "", 1)
@@ -7639,6 +7798,7 @@ QUERIES = {
     # graph / scale joins
     "pagerank": q_pagerank,
     "trustrank": q_trustrank,
+    "spam_mass": q_spam_mass,
     "hits_scores": q_hits_scores,
     "bloom_semi_join": q_bloom_semi_join,
     # dedup / similarity
@@ -7789,6 +7949,7 @@ ORACLE_SQL = {
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "pagerank": SQL_PAGERANK,
     "trustrank": SQL_TRUSTRANK,
+    "spam_mass": SQL_SPAM_MASS,
     "hits_scores": SQL_HITS_SCORES,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "exact_dedup": SQL_EXACT_DEDUP,

@@ -180,3 +180,37 @@ def test_score_join_strategies_agree(ray_session):
     finally:
         g.BROADCAST_SCORE_ROWS = old
     assert bc.reset_index(drop=True).equals(sh.reset_index(drop=True))
+
+
+def test_spam_mass_flags_link_farm(ray_session):
+    """Spam mass (Gyöngyi et al. 2006) composed from the two fixpoints:
+    the farm (unreachable from the trusted seed) carries all its
+    pagerank as spam mass; the trusted core's normalized trust exceeds
+    the 0.6 relative threshold so it is cleared."""
+    from louis_crawler_legacy_ray.stages.graph import pagerank, trustrank
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 3), (3, 2)]
+    nodes = [0, 1, 2, 3, 4]
+    seeds = [0]
+    e = ray.data.from_items([{"src": s, "dst": d} for s, d in edges]).repartition(3)
+    n = ray.data.from_items([{"v": v} for v in nodes]).repartition(2)
+    pr = dict(
+        zip(*(lambda df: (df["v"], df["r"]))(pagerank(e, n, iterations=3).to_pandas()))
+    )
+    tr = dict(
+        zip(
+            *(lambda df: (df["v"], df["r"]))(
+                trustrank(e, n, seeds, iterations=3).to_pandas()
+            )
+        )
+    )
+    n_nodes, n_seeds = len(nodes), len(seeds)
+    base = (10**12 * 15) // 100
+    flags = {}
+    for v in nodes:
+        trust_norm = tr[v] * n_nodes // n_seeds
+        mass = pr[v] - trust_norm
+        flags[v] = 100 * mass > 60 * pr[v] and pr[v] > base
+    # the farm is spam-flagged; the seeded core is not
+    assert flags[3] and flags[4]
+    assert not flags[0] and not flags[1] and not flags[2]
