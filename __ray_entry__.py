@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     first = [  # oracled but never driver-gated through round 3
         "spam_mass",  # new in r4 (Gyöngyi mass estimation: pagerank - normalized trustrank)
+        "wet_export",  # new in r4 (Common Crawl WET conversion records: extract -> text -> WET -> parse)
         "crawl_relevance_priority",  # new in r4 (focused crawl: content scores steer the frontier)
         "crawl_pagerank_priority",  # new in r4 (pagerank ranks composed into the capped control plane)
         "trustrank",  # new in r4 (seed-restricted teleport demotes spam neighborhoods)

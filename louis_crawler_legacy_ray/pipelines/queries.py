@@ -7150,6 +7150,60 @@ SELECT url, 'same' AS status FROM pg ORDER BY url
 )
 
 
+_WET_TAG_RE = re.compile(r"<[^>]*>")
+_WET_WS_RE = re.compile(r"\s+")
+
+
+def q_wet_export(sf_dir: str):
+    """WET export (Common Crawl's extracted-plain-text artifact,
+    sources/warc.py write_wet/read_wet): the pages corpus runs through
+    the REAL goldie extract kernel, the cleaned html is converted to
+    plain text (tag strip + whitespace normalize), written as WARC
+    ``conversion`` records (text/plain, WARC-Refers-To, gzip members,
+    content-hashed idempotent parts) and read BACK — the returned rows
+    are the re-parsed records, so extraction, the text conversion, the
+    WET framing and the parser are all under one hash. Oracle:
+    reconstructs the expected plain text arithmetically from the same
+    corpus construction the extract-parity oracles pin."""
+    import shutil
+
+    from ..sources.warc import read_wet, write_wet
+
+    items = _extracted_items(sf_dir)
+
+    def to_text(b: pa.Table) -> pa.Table:
+        texts = [
+            _WET_WS_RE.sub(" ", _WET_TAG_RE.sub(" ", h or "")).strip()
+            for h in b["html_content"].to_pylist()
+        ]
+        return pa.table({"url": b["url"], "text": pa.array(texts, pa.string())})
+
+    txt = items.select_columns(["url", "html_content"]).map_batches(
+        to_text, batch_format="pyarrow"
+    )
+    tag = hashlib.blake2b(f"wet|{sf_dir}".encode(), digest_size=6).hexdigest()
+    out = f"/tmp/louis_wet_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_wet(txt, out, gzip=True)
+    return read_wet(out).select_columns(["url", "text"]).sort("url")
+
+
+SQL_WET_EXPORT = (
+    _SQL_PAGE_CTE
+    + r"""
+SELECT url,
+       trim(regexp_replace(regexp_replace(
+         '<html><body><main class="container"><h1>' || title || '</h1><p>' || body
+         || '</p><time>' || pdate || '</time><a href="' || c1_path || '">next</a><a href="'
+         || c2_path || '">more</a><a href="#top">top</a><a href="mailto:info@example.ca">mail</a>'
+         || '<a href="/files/report.pdf">pdf</a><a href="' || c1_path || '?ref=nav">dup</a></main></body></html>',
+         '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS text
+FROM pg
+ORDER BY url
+"""
+)
+
+
 def q_sitemap_seeds(sf_dir: str):
     """Sitemap ingestion (sources/sitemaps.py): one sitemaps.org
     ``<urlset>`` document synthesized per corpus host (lastmod =
@@ -7753,6 +7807,7 @@ QUERIES = {
     "host_budgets": q_host_budgets,
     "surt_index": q_surt_index,
     "warc_roundtrip": q_warc_roundtrip,
+    "wet_export": q_wet_export,
     "sitemap_seeds": q_sitemap_seeds,
     "host_graph": q_host_graph,
     "bpe_merges": q_bpe_merges,
@@ -7910,6 +7965,7 @@ ORACLE_SQL = {
     "host_budgets": SQL_HOST_BUDGETS,
     "surt_index": SQL_SURT_INDEX,
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
+    "wet_export": SQL_WET_EXPORT,
     "sitemap_seeds": SQL_SITEMAP_SEEDS,
     "host_graph": SQL_HOST_GRAPH,
     "curation_pipeline": SQL_CURATION_PIPELINE,

@@ -116,15 +116,12 @@ def write_warc(
     return pages.map_batches(write_block, batch_format="pyarrow").materialize()
 
 
-def parse_warc_bytes(blob: bytes) -> list[tuple[str, int, bytes]]:
-    """Parse one WARC file's bytes into (url, ts_us, html) tuples.
-    Handles plain and (multi-member) gzip input; skips non-response
-    records; tolerates any standard header order."""
-    import datetime as _dt
-
+def _iter_records(blob: bytes):
+    """Scan one WARC file's bytes, yielding (headers, body) per record.
+    Handles plain and (multi-member) gzip input; tolerates any
+    standard header order."""
     if blob[:2] == b"\x1f\x8b":
         blob = _gzip.decompress(blob)
-    out: list[tuple[str, int, bytes]] = []
     i = 0
     n = len(blob)
     while i < n:
@@ -141,19 +138,31 @@ def parse_warc_bytes(blob: bytes) -> list[tuple[str, int, bytes]]:
         clen = int(headers.get("content-length", "0"))
         body = blob[he + 4 : he + 4 + clen]
         i = he + 4 + clen
+        yield headers, body
+
+
+def _warc_ts_us(headers: dict[str, str]) -> int:
+    import datetime as _dt
+
+    if "warc-date" not in headers:
+        return 0
+    return int(
+        _dt.datetime.strptime(headers["warc-date"], "%Y-%m-%dT%H:%M:%SZ")
+        .replace(tzinfo=_dt.timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+
+
+def parse_warc_bytes(blob: bytes) -> list[tuple[str, int, bytes]]:
+    """Parse one WARC file's bytes into (url, ts_us, html) tuples.
+    Skips non-response records."""
+    out: list[tuple[str, int, bytes]] = []
+    for headers, body in _iter_records(blob):
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri", "")
-        ts = 0
-        if "warc-date" in headers:
-            ts = int(
-                _dt.datetime.strptime(
-                    headers["warc-date"], "%Y-%m-%dT%H:%M:%SZ"
-                )
-                .replace(tzinfo=_dt.timezone.utc)
-                .timestamp()
-                * 1_000_000
-            )
+        ts = _warc_ts_us(headers)
         hb = body.find(_CRLF + _CRLF)
         html = body[hb + 4 :] if hb >= 0 else b""
         out.append((url, ts, html))
@@ -178,6 +187,129 @@ def read_warc(path: str) -> ray.data.Dataset:
                 "url": pa.array(urls, pa.string()),
                 "warc_ts": pa.array(tss, pa.int64()).cast(pa.timestamp("us")),
                 "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    return ray.data.read_binary_files(path).map_batches(
+        parse, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# WET — Common Crawl's extracted-plain-text companion artifact: WARC
+# "conversion" records (text/plain payload, WARC-Refers-To the response
+# record it was converted from). Same deterministic-id, gzip-member,
+# content-hashed-part discipline as the response sink above.
+# --------------------------------------------------------------------------
+
+
+def _wet_record(url: str, ts_us: int, text: bytes) -> bytes:
+    date = _warc_date(ts_us)
+    rid = uuid.UUID(
+        bytes=hashlib.blake2b(
+            ("wet|" + url + "|" + date).encode(), digest_size=16
+        ).digest()
+    )
+    ref = uuid.UUID(
+        bytes=hashlib.blake2b(
+            (url + "|" + date).encode(), digest_size=16
+        ).digest()
+    )
+    head = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: conversion" + _CRLF
+        + b"WARC-Record-ID: <urn:uuid:" + str(rid).encode() + b">" + _CRLF
+        + b"WARC-Refers-To: <urn:uuid:" + str(ref).encode() + b">" + _CRLF
+        + b"WARC-Date: " + date.encode() + _CRLF
+        + b"WARC-Target-URI: " + url.encode() + _CRLF
+        + b"Content-Type: text/plain" + _CRLF
+        + b"Content-Length: " + str(len(text)).encode() + _CRLF
+        + _CRLF
+    )
+    return head + text + _CRLF + _CRLF
+
+
+def write_wet(
+    texts: ray.data.Dataset,
+    out_dir: str,
+    gzip: bool = False,
+    text_col: str = "text",
+    ts_col: str | None = None,
+) -> ray.data.Dataset:
+    """Write a (url, text) Dataset as WET parts (one per input block,
+    content-hashed idempotent filenames). Returns the materialized
+    manifest Dataset (path, n_records, n_bytes)."""
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.wet.gz" if gzip else ".warc.wet"
+
+    def write_block(b: pa.Table) -> pa.Table:
+        if ts_col is not None:
+            ts = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
+        else:
+            ts = [0] * b.num_rows
+        recs = [
+            _wet_record(u, t or 0, (x or "").encode("utf-8"))
+            for u, t, x in zip(
+                b["url"].to_pylist(), ts, b[text_col].to_pylist()
+            )
+        ]
+        if gzip:
+            blob = b"".join(_gzip.compress(r, mtime=0) for r in recs)
+        else:
+            blob = b"".join(recs)
+        name = hashlib.blake2b(blob, digest_size=12).hexdigest()
+        path = os.path.join(out_dir, f"part-{name}{ext}")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.table(
+            {
+                "path": pa.array([path], pa.string()),
+                "n_records": pa.array([len(recs)], pa.int64()),
+                "n_bytes": pa.array([len(blob)], pa.int64()),
+            }
+        )
+
+    return texts.map_batches(write_block, batch_format="pyarrow").materialize()
+
+
+def parse_wet_bytes(blob: bytes) -> list[tuple[str, int, str]]:
+    """Parse one WET file's bytes into (url, ts_us, text) tuples.
+    Skips non-conversion records; the payload IS the text (no HTTP
+    block)."""
+    out: list[tuple[str, int, str]] = []
+    for headers, body in _iter_records(blob):
+        if headers.get("warc-type") != "conversion":
+            continue
+        out.append(
+            (
+                headers.get("warc-target-uri", ""),
+                _warc_ts_us(headers),
+                body.decode("utf-8", "replace"),
+            )
+        )
+    return out
+
+
+def read_wet(path: str) -> ray.data.Dataset:
+    """Read a WET directory (or single file) back into (url, wet_ts,
+    text) — one parse task per file."""
+
+    def parse(b: dict) -> pa.Table:
+        urls: list[str] = []
+        tss: list[int] = []
+        texts: list[str] = []
+        for blob in b["bytes"].to_pylist():
+            for u, t, x in parse_wet_bytes(blob):
+                urls.append(u)
+                tss.append(t)
+                texts.append(x)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "wet_ts": pa.array(tss, pa.int64()).cast(pa.timestamp("us")),
+                "text": pa.array(texts, pa.string()),
             }
         )
 

@@ -87,3 +87,40 @@ def test_write_read_dataset_roundtrip(ray_session, tmp_path):
     n_before = len(os.listdir(out))
     write_warc(_pages(rows).repartition(4), out, gzip=True)
     assert len(os.listdir(out)) == n_before
+
+
+def test_wet_record_framing_and_refers_to():
+    from louis_crawler_legacy_ray.sources.warc import _record, _wet_record, parse_wet_bytes
+
+    rec = _wet_record("http://a/x", 1_700_000_000_000_000, b"plain text here")
+    text = rec.decode()
+    assert text.startswith("WARC/1.0\r\n")
+    assert "WARC-Type: conversion\r\n" in text
+    assert "Content-Type: text/plain\r\n" in text
+    assert rec.endswith(b"plain text here\r\n\r\n")
+    # WARC-Refers-To matches the response record's deterministic id
+    resp = _record("http://a/x", 1_700_000_000_000_000, b"<p>x</p>").decode()
+    rid = [l for l in resp.split("\r\n") if l.startswith("WARC-Record-ID:")][0]
+    ref = [l for l in text.split("\r\n") if l.startswith("WARC-Refers-To:")][0]
+    assert ref.split(": ", 1)[1] == rid.split(": ", 1)[1]
+    # parser returns the payload verbatim and skips response records
+    got = parse_wet_bytes(rec + _record("http://a/y", 0, b"<p>y</p>"))
+    assert got == [("http://a/x", 1_700_000_000_000_000, "plain text here")]
+
+
+def test_wet_roundtrip_through_ray(ray_session, tmp_path):
+    from louis_crawler_legacy_ray.sources.warc import read_wet, write_wet
+
+    t = pa.table(
+        {
+            "url": pa.array(["http://h/a", "http://h/b", "http://h/c"]),
+            "text": pa.array(["alpha beta", "", "géo ünïcode"]),
+        }
+    )
+    out = str(tmp_path / "wet")
+    m = write_wet(ray.data.from_arrow(t), out, gzip=True).to_pandas()
+    assert m["n_records"].sum() == 3
+    assert all(p.endswith(".warc.wet.gz") for p in m["path"])
+    back = read_wet(out).to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(back["url"]) == ["http://h/a", "http://h/b", "http://h/c"]
+    assert list(back["text"]) == ["alpha beta", "", "géo ünïcode"]
