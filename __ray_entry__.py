@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     first = [  # oracled but never driver-gated through round 3
         "spam_mass",  # new in r4 (Gyöngyi mass estimation: pagerank - normalized trustrank)
         "wet_export",  # new in r4 (Common Crawl WET conversion records: extract -> text -> WET -> parse)
+        "soft404",  # new in r4 (content-side soft-404 detection over the 200-status error-page corpus)
         "crawl_relevance_priority",  # new in r4 (focused crawl: content scores steer the frontier)
         "crawl_pagerank_priority",  # new in r4 (pagerank ranks composed into the capped control plane)
         "trustrank",  # new in r4 (seed-restricted teleport demotes spam neighborhoods)

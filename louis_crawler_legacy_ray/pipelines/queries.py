@@ -2519,6 +2519,142 @@ FROM canon GROUP BY canonical_url
 )
 
 
+# soft-404 fixture: the error body planted under a 200 response, and the
+# phrase lexicon the detector counts. Shared verbatim with the SQL oracle.
+_SOFT404_BODY = (
+    "Error 404 page not found. The page you requested does not exist "
+    "or is no longer available. Try the search."
+)
+_SOFT404_PHRASES = ("page not found", "does not exist", "no longer available")
+_SOFT404_MOD = 13
+_SOFT404_MIN_HITS = 2
+
+
+def soft404_corpus_dir(sf_dir: str) -> str:
+    """Single-host corpus variant where every doc_id % 13 == 0 page
+    serves an ERROR-PAGE body under a 200 response — the soft-404
+    shape (server misconfigured to return 200 for missing pages) that
+    poisons an index unless detected content-side. Cached like the
+    other derived corpora."""
+    key = f"{sf_dir}|soft404"
+    if key in _PAGES_CACHE:
+        return _PAGES_CACHE[key]
+    tag = hashlib.blake2b(key.encode(), digest_size=6).hexdigest()
+    out = f"/tmp/louis_pages_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        tmp = f"{out}.build-{os.getpid()}"
+        docs = _docs_table(sf_dir)
+        pages = pages_from_documents(docs)
+        rx = re.compile(r"doc(\d+)$")
+        urls = pages["url"].to_pylist()
+        htmls = pages["html"].to_pylist()
+        for i, u in enumerate(urls):
+            doc = int(rx.search(u).group(1))
+            if doc % _SOFT404_MOD == 0:
+                s = htmls[i].decode()
+                a = s.find("<p>")
+                b = s.find("</p>")
+                htmls[i] = (
+                    s[:a] + "<p>" + _SOFT404_BODY + "</p>" + s[b + 4 :]
+                ).encode()
+        pages = pages.set_column(
+            pages.schema.get_field_index("html"),
+            "html",
+            pa.array(htmls, pa.binary()),
+        )
+        write_pages_parquet(pages, tmp, rows_per_file=4096)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    _PAGES_CACHE[key] = out
+    return out
+
+
+def q_soft404(sf_dir: str):
+    """Soft-404 detection (Bar-Yossef et al. 2004, "Sic Transit Gloria
+    Telae": pages that answer 200 but are really error pages — a
+    content-side classifier every production crawler runs because a
+    misconfigured origin otherwise floods the index with 'not found'
+    boilerplate). The REAL extract kernel runs over the variant
+    corpus, the cleaned html is tag-stripped to page text, and a
+    vectorized non-overlapping phrase count over the lowercased text
+    (Arrow count_substring — no Python loop in the hot path) flags
+    pages with >= 2 error-phrase hits. Oracle: identical
+    replace-length phrase arithmetic over the reconstructed text."""
+    import functools
+
+    pages = ray.data.read_parquet(
+        soft404_corpus_dir(sf_dir), columns=["url", "html"]
+    )
+    items = pages.map_batches(
+        functools.partial(extract_batch, now_us=0),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        texts = [
+            _WET_WS_RE.sub(" ", _WET_TAG_RE.sub(" ", h or "")).strip()
+            for h in b["html_content"].to_pylist()
+        ]
+        low = pc.utf8_lower(pa.array(texts, pa.string()))
+        n = pa.array([0] * len(texts), pa.int64())
+        for p in _SOFT404_PHRASES:
+            n = pc.add(n, pc.count_substring(low, p).cast(pa.int64()))
+        return pa.table(
+            {
+                "url": b["url"],
+                "n_err_phrases": n,
+                "is_soft404": pc.greater_equal(
+                    n, pa.scalar(_SOFT404_MIN_HITS, pa.int64())
+                ),
+            }
+        )
+
+    return items.select_columns(["url", "html_content"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def _sql_phrase_count(expr: str, phrase: str) -> str:
+    return (
+        f"(length({expr}) - length(replace({expr}, '{phrase}', '')))"
+        f" // {len(phrase)}"
+    )
+
+
+SQL_SOFT404 = (
+    _SQL_PAGE_CTE
+    + f""",
+sbody AS (
+  SELECT url,
+         CASE WHEN doc_id % {_SOFT404_MOD} = 0 THEN '{_SOFT404_BODY}'
+              ELSE body END AS body2, title, pdate, c1_path, c2_path
+  FROM pg),
+stext AS (
+  SELECT url,
+         lower(trim(regexp_replace(regexp_replace(
+           '<html><body><main class="container"><h1>' || title || '</h1><p>' || body2
+           || '</p><time>' || pdate || '</time><a href="' || c1_path || '">next</a><a href="'
+           || c2_path || '">more</a><a href="#top">top</a><a href="mailto:info@example.ca">mail</a>'
+           || '<a href="/files/report.pdf">pdf</a><a href="' || c1_path || '?ref=nav">dup</a></main></body></html>',
+           '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))) AS t
+  FROM sbody)
+SELECT url,
+       CAST({" + ".join(_sql_phrase_count("t", p) for p in _SOFT404_PHRASES)}
+            AS BIGINT) AS n_err_phrases,
+       ({" + ".join(_sql_phrase_count("t", p) for p in _SOFT404_PHRASES)})
+         >= {_SOFT404_MIN_HITS} AS is_soft404
+FROM stext
+"""
+)
+
+
 def hreflang_corpus_dir(sf_dir: str) -> str:
     """Single-host corpus variant where every page declares ``<link
     rel="alternate" hreflang>`` variants: docs cluster in groups of 4
@@ -7808,6 +7944,7 @@ QUERIES = {
     "surt_index": q_surt_index,
     "warc_roundtrip": q_warc_roundtrip,
     "wet_export": q_wet_export,
+    "soft404": q_soft404,
     "sitemap_seeds": q_sitemap_seeds,
     "host_graph": q_host_graph,
     "bpe_merges": q_bpe_merges,
@@ -7966,6 +8103,7 @@ ORACLE_SQL = {
     "surt_index": SQL_SURT_INDEX,
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "wet_export": SQL_WET_EXPORT,
+    "soft404": SQL_SOFT404,
     "sitemap_seeds": SQL_SITEMAP_SEEDS,
     "host_graph": SQL_HOST_GRAPH,
     "curation_pipeline": SQL_CURATION_PIPELINE,

@@ -45,3 +45,21 @@ def test_hreflang_alternates_kernel():
         ("de", "http://inspection.canada.ca/de/a/doc2"),
     ]
     assert hreflang_alternates("http://x/a", "<head></head>") == []
+
+
+def test_soft404_flags_planted_error_pages(ray_session):
+    """The soft-404 detector flags exactly the doc_id % 13 == 0 pages
+    whose body was swapped for the 200-status error template, and the
+    phrase count is 3 (all lexicon phrases present once)."""
+    import re
+
+    from louis_crawler_legacy_ray.pipelines.queries import q_soft404
+
+    df = q_soft404("/root/testdata/sf0.001").to_pandas()
+    rx = re.compile(r"doc(\d+)$")
+    df["doc"] = [int(rx.search(u).group(1)) for u in df["url"]]
+    planted = df[df["doc"] % 13 == 0]
+    clean = df[df["doc"] % 13 != 0]
+    assert planted["is_soft404"].all() and (planted["n_err_phrases"] == 3).all()
+    assert not clean["is_soft404"].any()
+    assert (clean["n_err_phrases"] == 0).all()
