@@ -4417,6 +4417,20 @@ def q_ivf_topk(sf_dir: str):
     return _attach_recall_check(out, sf_dir, m[:5], [0, 1, 2, 3, 4], 10, 0.6)
 
 
+def q_pq_topk(sf_dir: str):
+    """Product-quantization ANN top-10 (Jégou et al. 2011: per-subspace
+    codebooks, uint8 codes, asymmetric-distance scoring — the
+    64x-compressed scale path next to LSH buckets and IVF lists;
+    approximate by design, rows-only). check_ok carries the
+    in-pipeline recall@10 vs the exact pass."""
+    from ..stages.ann import pq_topk
+
+    m, ids = _emb_matrix(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = pq_topk(ds, m[:5], [0, 1, 2, 3, 4], k=10, m_sub=16, n_codes=256)
+    return _attach_recall_check(out, sf_dir, m[:5], [0, 1, 2, 3, 4], 10, 0.7)
+
+
 def q_chunk_documents(sf_dir: str):
     """hawn chunker over the synthetic pages corpus (token ids from the
     stand-in encoder — not SQL-expressible). Task-pool variant of the
@@ -8010,6 +8024,7 @@ QUERIES = {
     "simhash_md5": q_simhash_md5,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
+    "pq_topk": q_pq_topk,
     "cosine_near_lsh": q_cosine_near_lsh,
     "chunk_documents": q_chunk_documents,
     "embed_chunks": q_embed_chunks,

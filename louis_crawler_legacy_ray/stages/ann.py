@@ -327,3 +327,146 @@ def topk_quantized(
     return pa.Table.from_pandas(
         df[["query_id", "rank", "vec_id", "cosine"]], preserve_index=False
     ).replace_schema_metadata(None)
+
+
+# ------------------------------------------------------ product quantization
+def pq_fit(
+    sample: np.ndarray,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    iters: int = 10,
+    seed: int = 11,
+) -> np.ndarray:
+    """Per-subspace L2 k-means codebooks (Jégou/Douze/Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search"): split the D
+    dims into m_sub contiguous blocks and run Lloyd's independently in
+    each. Trains on a bounded sample of L2-NORMALIZED vectors so the
+    PQ-approximate inner product estimates cosine. Deterministic
+    (seeded init from sample rows; empty cells keep their previous
+    centroid). Returns (m_sub, n_codes, D // m_sub)."""
+    X = _normalize(np.asarray(sample, dtype=np.float64))
+    n, d = X.shape
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible into {m_sub} subspaces")
+    w = d // m_sub
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m_sub, n_codes, w))
+    for m in range(m_sub):
+        sub = X[:, m * w : (m + 1) * w]
+        c = sub[rng.choice(n, size=min(n_codes, n), replace=False)].copy()
+        if len(c) < n_codes:
+            c = np.vstack([c, rng.normal(size=(n_codes - len(c), w))])
+        for _ in range(iters):
+            d2 = (
+                (sub**2).sum(1)[:, None]
+                - 2.0 * (sub @ c.T)
+                + (c**2).sum(1)[None, :]
+            )
+            a = d2.argmin(axis=1)
+            for j in range(n_codes):
+                mem = sub[a == j]
+                if len(mem):
+                    c[j] = mem.mean(axis=0)
+        books[m] = c
+    return books
+
+
+def pq_encode(
+    ds: ray.data.Dataset,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """ONE corpus pass: normalize, per-subspace nearest-codeword argmin
+    (vectorized ||x||² - 2x·c + ||c||²) → uint8 codes. D floats become
+    m_sub BYTES per vector — at 100 TB the index that has to live hot
+    is 64x smaller than the float32 corpus. Codebooks are
+    dimension-sized and ride the task closure once."""
+    m_sub, _, w = books.shape
+    books_sq = (books**2).sum(axis=2)  # (m_sub, n_codes)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        codes = np.empty((len(vecs), m_sub), dtype=np.uint8)
+        for m in range(m_sub):
+            sub = vecs[:, m * w : (m + 1) * w]
+            d2 = -2.0 * (sub @ books[m].T) + books_sq[m][None, :]
+            codes[:, m] = d2.argmin(axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "pq_codes": pa.array(codes.tolist(), pa.list_(pa.uint8())),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    train_sample: int = 2048,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Approximate cosine top-k by asymmetric distance computation
+    (ADC): per query, precompute the (m_sub, n_codes) inner-product
+    table of its subvectors against the codebooks; a candidate's
+    approximate cosine is m_sub numpy gathers + a sum — no float
+    corpus in the scoring pass at all, only the uint8 codes. Same
+    partial-top-k-per-block + tiny driver merge shape as
+    brute_force_topk. Returns (query_id, rank, vec_id, cosine_pq)."""
+    sample_rows = ds.limit(train_sample).take_all()
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    books = pq_fit(sample, m_sub=m_sub, n_codes=n_codes, seed=seed)
+    coded = pq_encode(ds, books, id_col=id_col, vec_col=vec_col)
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    w = books.shape[2]
+    # tables[qi, m, j] = q_sub(m) . book[m][j]
+    tables = np.stack(
+        [qn[:, m * w : (m + 1) * w] @ books[m].T for m in range(m_sub)],
+        axis=1,
+    )  # (n_q, m_sub, n_codes)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        codes = np.array(batch["pq_codes"].to_pylist(), dtype=np.int64)
+        n = len(ids)
+        sims = np.zeros((tables.shape[0], n))
+        for m in range(codes.shape[1]):
+            sims += tables[:, m, codes[:, m]]
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            idx = (
+                np.argpartition(-row, k)[:k] if len(row) > k else np.arange(len(row))
+            )
+            out_q.extend([query_ids[qi]] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_sim.extend(row[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine_pq": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    parts = coded.map_batches(partial, batch_format="pyarrow")
+    import pandas as pd
+
+    df = parts.to_pandas()
+    df = df.sort_values(
+        ["query_id", "cosine_pq", "vec_id"], ascending=[True, False, True]
+    )
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["query_id", "rank", "vec_id", "cosine_pq"]], preserve_index=False
+    ).replace_schema_metadata(None)
