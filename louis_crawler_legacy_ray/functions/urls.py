@@ -216,3 +216,60 @@ def canonicalize_url(url: str) -> str:
     path = _remove_dot_segments(path) if path else "/"
     query = urlencode(sorted(parse_qsl(s.query, keep_blank_values=True)))
     return urlunsplit((scheme, host, path, query, ""))
+
+
+# --------------------------------------------------------------- PSL-lite
+# Registered-domain (eTLD+1) extraction with the publicsuffix.org list
+# ALGORITHM (exception > longest match > default '*' rule), over an
+# embedded rule subset — the full list is data, the semantics are what
+# a crawler's per-domain politeness queues (Heritrix's "queue by
+# registered domain") depend on. Rules: plain suffixes, one-label
+# wildcards ("*.ck"), and exceptions ("!www.ck").
+PSL_RULES = (
+    "com", "org", "net", "io", "jp", "uk", "au", "ca", "ck",
+    "co.uk", "org.uk", "co.jp", "com.au",
+    "on.ca", "qc.ca", "gc.ca",
+    "github.io",
+    "*.ck", "!www.ck",
+)
+
+
+def _psl_parse(rules):
+    plain, wild, exc = set(), set(), set()
+    for r in rules:
+        if r.startswith("!"):
+            exc.add(tuple(r[1:].split(".")))
+        elif r.startswith("*."):
+            wild.add(tuple(r[2:].split(".")))
+        else:
+            plain.add(tuple(r.split(".")))
+    return plain, wild, exc
+
+
+_PSL_PARSED = _psl_parse(PSL_RULES)
+
+
+def registered_domain(host: str, rules=None) -> str | None:
+    """eTLD+1 of ``host`` under the PSL algorithm, or None when the
+    host IS a public suffix. Case-folded; tolerates one trailing dot."""
+    plain, wild, exc = _PSL_PARSED if rules is None else _psl_parse(rules)
+    labels = host.lower().rstrip(".").split(".")
+    n = len(labels)
+    ps = 1  # the default rule '*': the bare TLD is a public suffix
+    for e in exc:  # exception rules win outright
+        k = len(e)
+        if n >= k and tuple(labels[n - k :]) == e:
+            ps = k - 1
+            break
+    else:
+        for r in plain:
+            k = len(r)
+            if k > ps and n >= k and tuple(labels[n - k :]) == r:
+                ps = k
+        for w in wild:  # "*.base": * consumes exactly one real label
+            k = len(w) + 1
+            if k > ps and n >= k and tuple(labels[n - len(w) :]) == w:
+                ps = k
+    if n <= ps:
+        return None
+    return ".".join(labels[n - ps - 1 :])

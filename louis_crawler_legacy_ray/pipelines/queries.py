@@ -1996,6 +1996,198 @@ GROUP BY depth, url
 )
 
 
+# hosts of the domain-mapped corpus: three registered domains with two
+# vhosts each (grouped by the PSL kernel) plus one standalone host
+_DOM_HOSTS = (
+    "a.example.ca",
+    "b.example.ca",
+    "news.sample.on.ca",
+    "shop.sample.on.ca",
+    "www.demo.co.uk",
+    "blog.demo.co.uk",
+    "solo.net",
+)
+
+
+def domains_corpus_dir(sf_dir: str) -> str:
+    """Multi-host corpus variant whose 7 vhosts live under FOUR
+    registered domains (example.ca / sample.on.ca / demo.co.uk x2
+    vhosts each, solo.net alone) — the shape where per-HOST politeness
+    over-fetches an origin and Heritrix-style queue-by-registered-
+    domain is the fix. Same page/link arithmetic as the multihost
+    corpus, hosts string-mapped in urls and html."""
+    key = f"{sf_dir}|domains"
+    if key in _PAGES_CACHE:
+        return _PAGES_CACHE[key]
+    tag = hashlib.blake2b(key.encode(), digest_size=6).hexdigest()
+    out = f"/tmp/louis_pages_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        tmp = f"{out}.build-{os.getpid()}"
+        docs = _docs_table(sf_dir)
+        pages = pages_from_documents(docs, n_hosts=_MH_HOSTS)
+        mapping = [
+            (f"h{k}.example.ca", _DOM_HOSTS[k]) for k in range(_MH_HOSTS)
+        ]
+        urls = pages["url"].to_pylist()
+        htmls = pages["html"].to_pylist()
+        for i in range(len(urls)):
+            u, h = urls[i], htmls[i].decode()
+            for old, new in mapping:
+                u = u.replace(old, new)
+                h = h.replace(old, new)
+            urls[i] = u
+            htmls[i] = h.encode()
+        pages = pages.set_column(
+            pages.schema.get_field_index("url"), "url", pa.array(urls, pa.string())
+        )
+        pages = pages.set_column(
+            pages.schema.get_field_index("html"), "html", pa.array(htmls, pa.binary())
+        )
+        write_pages_parquet(pages, tmp, rows_per_file=4096)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    _PAGES_CACHE[key] = out
+    return out
+
+
+def q_crawl_domain_budget(sf_dir: str):
+    """Queue-by-REGISTERED-DOMAIN politeness (Heritrix's default queue
+    assignment): the PSL kernel (functions/urls.py registered_domain)
+    derives the budget grouping from the hostnames themselves — the 6
+    vhosts under example.ca / sample.on.ca / demo.co.uk collapse into
+    3 shared token buckets (refill 2, burst 4, banked carry) while
+    solo.net, its own eTLD+1, keeps a private queue. Composition gate:
+    PSL extraction -> ip_groups routing (shared allowance enforced
+    inside ONE owning shard) -> token-bucket schedule, all under the
+    exact (round, depth, url) hash. Oracle re-runs the token-sentinel
+    round simulation with budget keys = the PSL expectations."""
+    from ..functions.urls import registered_domain
+    from .crawl import CrawlConfig, run_crawl
+
+    groups = {}
+    for h in _DOM_HOSTS:
+        rd = registered_domain(h)
+        if rd != h:  # a host that IS its own eTLD+1 keeps a private queue
+            groups[h] = rd
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=6,
+        max_rounds=96,
+        per_host_budget=2,
+        politeness="token_bucket",
+        ip_groups=groups,
+    )
+    seed = _mh_seed(sf_dir).replace("h0.example.ca", _DOM_HOSTS[0])
+    res = run_crawl(domains_corpus_dir(sf_dir), [seed], cfg)
+    return res.order
+
+
+_SQL_DOM_HOST_CASE = (
+    "CASE doc_id % 7 "
+    + " ".join(f"WHEN {i} THEN '{h}'" for i, h in enumerate(_DOM_HOSTS))
+    + " END"
+)
+
+
+_SQL_DOM_CTE = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+base AS (
+  SELECT doc_id, lang, source,
+         (CASE WHEN lang = 'fr' THEN 'fra' ELSE lang END) AS seg,
+         {_SQL_DOM_HOST_CASE} AS host0,
+         'http://' || {_SQL_DOM_HOST_CASE} AS origin
+  FROM documents),
+pg AS (
+  SELECT d.doc_id, d.host0 AS host,
+         d.origin || '/' || d.seg || '/' || d.source || '/doc' || d.doc_id AS url,
+         c1.origin || '/' || c1.seg || '/' || c1.source || '/doc' || c1.doc_id AS c1_url,
+         c2.origin || '/' || c2.seg || '/' || c2.source || '/doc' || c2.doc_id AS c2_url
+  FROM base d, nn
+  JOIN base c1 ON c1.doc_id = (2 * d.doc_id + 1) % nn.n
+  JOIN base c2 ON c2.doc_id = (2 * d.doc_id + 2) % nn.n)
+"""
+
+
+SQL_CRAWL_DOMAIN_BUDGET = (
+    "WITH RECURSIVE "
+    + _SQL_DOM_CTE.replace("WITH ", "", 1)
+    + """,
+edges AS (
+  SELECT url AS src, c1_url AS dst FROM pg
+  UNION ALL SELECT url, c2_url FROM pg),
+gmap(host, grp) AS (VALUES
+  ('a.example.ca', 'example.ca'), ('b.example.ca', 'example.ca'),
+  ('news.sample.on.ca', 'sample.on.ca'), ('shop.sample.on.ca', 'sample.on.ca'),
+  ('www.demo.co.uk', 'demo.co.uk'), ('blog.demo.co.uk', 'demo.co.uk')),
+bkeys AS (SELECT DISTINCT coalesce(g.grp, h.host) AS k
+          FROM (SELECT DISTINCT host FROM pg) h
+          LEFT JOIN gmap g ON g.host = h.host),
+sim(round, url, host, depth, done) AS (
+  SELECT * FROM (
+    SELECT 0 AS round, url, host, CAST(0 AS INTEGER) AS depth, FALSE AS done
+    FROM pg WHERE doc_id = 0
+    UNION ALL
+    SELECT 0, '', k, CAST(0 AS INTEGER), TRUE FROM bkeys)
+  UNION ALL
+  (
+  WITH prev AS (SELECT * FROM sim),
+  caps AS (SELECT p.host AS k, least(4, p.depth + 2) AS cap
+           FROM prev p WHERE p.url = ''),
+  pending AS (SELECT p.url, p.host, p.depth, coalesce(g.grp, p.host) AS k
+              FROM prev p LEFT JOIN gmap g ON g.host = p.host
+              WHERE NOT p.done AND p.url <> ''),
+  ranked AS (SELECT p.url, p.host, p.depth, p.k,
+                    (SELECT count(*) FROM pending q
+                     WHERE q.k = p.k
+                       AND (q.depth, q.url) <= (p.depth, p.url)) AS rn
+             FROM pending p),
+  sel AS (SELECT r.url, r.host, r.depth, r.k
+          FROM ranked r JOIN caps c ON c.k = r.k
+          WHERE r.rn <= c.cap),
+  used AS (SELECT k, count(*) AS u FROM sel GROUP BY k),
+  pend_keys AS (SELECT DISTINCT k FROM pending),
+  disc AS (SELECT e.dst AS url, min(s.depth + 1) AS ddepth
+           FROM sel s JOIN edges e ON e.src = s.url GROUP BY e.dst),
+  kids AS (SELECT d.url, d.ddepth AS depth FROM disc d
+           WHERE d.ddepth <= 6
+             AND NOT EXISTS (SELECT 1 FROM prev p WHERE p.url = d.url)),
+  nstate AS (
+    SELECT p.url, p.host,
+           CASE WHEN p.done OR p.url IN (SELECT url FROM sel) THEN p.depth
+                ELSE least(p.depth, coalesce(d.ddepth, p.depth)) END AS depth,
+           (p.done OR p.url IN (SELECT url FROM sel)) AS done
+    FROM prev p LEFT JOIN disc d ON d.url = p.url
+    WHERE p.url <> ''
+    UNION ALL
+    SELECT k.url, split_part(split_part(k.url, '//', 2), '/', 1),
+           k.depth, FALSE
+    FROM kids k
+    UNION ALL
+    SELECT '', p.host,
+           CASE WHEN p.host IN (SELECT k FROM pend_keys)
+                THEN (SELECT c.cap FROM caps c WHERE c.k = p.host)
+                     - coalesce((SELECT u.u FROM used u WHERE u.k = p.host), 0)
+                ELSE p.depth END,
+           TRUE
+    FROM prev p WHERE p.url = '')
+  SELECT r0.round + 1, n.url, n.host, CAST(n.depth AS INTEGER), n.done
+  FROM nstate n, (SELECT max(round) AS round FROM prev) r0
+  WHERE EXISTS (SELECT 1 FROM pending) AND r0.round < 96
+  )
+)
+SELECT CAST(min(round) - 1 AS INTEGER) AS round, depth, url
+FROM sim WHERE done AND url <> ''
+GROUP BY depth, url
+"""
+)
+
+
 def q_crawl_backlink_priority(sf_dir: str):
     """ADAPTIVE importance-ordered crawl under the exact gate: the
     Cho/Garcia-Molina/Page 1998 backlink-count ordering metric computed
@@ -7778,6 +7970,73 @@ FROM p
 """
 
 
+def q_registered_domains(sf_dir: str):
+    """Registered-domain (eTLD+1) extraction under the exact gate
+    (functions/urls.py registered_domain — the publicsuffix.org
+    ALGORITHM over an embedded rule subset). Six deterministic host
+    shapes per doc_id exercise every rule class: plain TLD, two-label
+    suffix (co.uk), second-level country suffix (on.ca), a wildcard
+    rule (*.ck — the whole 3-label host is registrable), an exception
+    rule (!www.ck — www.ck is registrable under the bare ck), and an
+    unknown TLD falling to the default '*' rule. The oracle constructs
+    the expected answers arithmetically, so a kernel that misorders
+    exception/longest-match/default precedence hash-mismatches."""
+    from ..functions.urls import registered_domain
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        hosts, regs, ids = [], [], []
+        for d in batch["doc_id"].to_pylist():
+            case = d % 6
+            if case == 0:
+                h = f"w{d}.site{d}.com"
+            elif case == 1:
+                h = f"x{d}.y{d}.co.uk"
+            elif case == 2:
+                h = f"a{d}.b{d}.on.ca"
+            elif case == 3:
+                h = f"p{d}.q{d}.ck"
+            elif case == 4:
+                h = f"s{d}.www.ck"
+            else:
+                h = f"m{d}.n{d}.zz"
+            ids.append(d)
+            hosts.append(h)
+            regs.append(registered_domain(h))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "host": pa.array(hosts, pa.string()),
+                "reg_domain": pa.array(regs, pa.string()),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+SQL_REGISTERED_DOMAINS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE doc_id % 6
+         WHEN 0 THEN 'w' || doc_id || '.site' || doc_id || '.com'
+         WHEN 1 THEN 'x' || doc_id || '.y' || doc_id || '.co.uk'
+         WHEN 2 THEN 'a' || doc_id || '.b' || doc_id || '.on.ca'
+         WHEN 3 THEN 'p' || doc_id || '.q' || doc_id || '.ck'
+         WHEN 4 THEN 's' || doc_id || '.www.ck'
+         ELSE 'm' || doc_id || '.n' || doc_id || '.zz'
+       END AS host,
+       CASE doc_id % 6
+         WHEN 0 THEN 'site' || doc_id || '.com'
+         WHEN 1 THEN 'y' || doc_id || '.co.uk'
+         WHEN 2 THEN 'b' || doc_id || '.on.ca'
+         WHEN 3 THEN 'p' || doc_id || '.q' || doc_id || '.ck'
+         WHEN 4 THEN 'www.ck'
+         ELSE 'n' || doc_id || '.zz'
+       END AS reg_domain
+FROM documents
+"""
+
+
 def q_host_graph(sf_dir: str):
     """Host-level webgraph rollup (the artifact Common Crawl publishes
     as its host/domain graph releases): parse every page's html with
@@ -7959,6 +8218,8 @@ QUERIES = {
     "warc_roundtrip": q_warc_roundtrip,
     "wet_export": q_wet_export,
     "soft404": q_soft404,
+    "registered_domains": q_registered_domains,
+    "crawl_domain_budget": q_crawl_domain_budget,
     "sitemap_seeds": q_sitemap_seeds,
     "host_graph": q_host_graph,
     "bpe_merges": q_bpe_merges,
@@ -8119,6 +8380,8 @@ ORACLE_SQL = {
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "wet_export": SQL_WET_EXPORT,
     "soft404": SQL_SOFT404,
+    "registered_domains": SQL_REGISTERED_DOMAINS,
+    "crawl_domain_budget": SQL_CRAWL_DOMAIN_BUDGET,
     "sitemap_seeds": SQL_SITEMAP_SEEDS,
     "host_graph": SQL_HOST_GRAPH,
     "curation_pipeline": SQL_CURATION_PIPELINE,

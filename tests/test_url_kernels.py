@@ -88,3 +88,45 @@ def test_surt_canonical_key():
     a = surt("http://a.example.com/z")
     b = surt("http://b.example.com/a")
     assert a < b  # same domain groups before the next subdomain
+
+
+def test_registered_domain_psl_algorithm():
+    """PSL-lite kernel: exception > longest-match > default-'*' rule
+    precedence, wildcard label consumption, case/trailing-dot folding,
+    and None when the host IS a public suffix."""
+    from louis_crawler_legacy_ray.functions.urls import registered_domain as rd
+
+    assert rd("w.site.com") == "site.com"
+    assert rd("x.y.co.uk") == "y.co.uk"          # 2-label suffix beats 'uk'
+    assert rd("a.b.on.ca") == "b.on.ca"          # second-level country suffix
+    assert rd("p.q.ck") == "p.q.ck"              # wildcard *.ck: q.ck is a PS
+    assert rd("s.www.ck") == "www.ck"            # exception !www.ck wins
+    assert rd("m.n.zz") == "n.zz"                # unknown TLD -> default rule
+    assert rd("co.uk") is None                   # host IS a public suffix
+    assert rd("ck") is None
+    assert rd("EXAMPLE.CA.") == "example.ca"
+    assert rd("deep.sub.name.github.io") == "name.github.io"
+    assert rd("solo.net") == "solo.net"
+
+
+def test_domain_budget_grouping_derivation():
+    """The crawl gate's PSL-derived grouping: vhost pairs collapse to
+    their registered domain; a host that is its own eTLD+1 stays
+    ungrouped (private queue)."""
+    from louis_crawler_legacy_ray.functions.urls import registered_domain
+    from louis_crawler_legacy_ray.pipelines.queries import _DOM_HOSTS
+
+    groups = {
+        h: registered_domain(h)
+        for h in _DOM_HOSTS
+        if registered_domain(h) != h
+    }
+    assert groups == {
+        "a.example.ca": "example.ca",
+        "b.example.ca": "example.ca",
+        "news.sample.on.ca": "sample.on.ca",
+        "shop.sample.on.ca": "sample.on.ca",
+        "www.demo.co.uk": "demo.co.uk",
+        "blog.demo.co.uk": "demo.co.uk",
+    }
+    assert "solo.net" not in groups
