@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wet_export",  # new in r4 (Common Crawl WET conversion records: extract -> text -> WET -> parse)
         "soft404",  # new in r4 (content-side soft-404 detection over the 200-status error-page corpus)
         "registered_domains",  # new in r4 (PSL eTLD+1 kernel known-answer gate)
+        "boilerplate_strip",  # new in r4 (within-host template-line removal, 1/2-frequency rule)
         "crawl_domain_budget",  # new in r4 (queue-by-registered-domain politeness via the PSL kernel)
         "crawl_relevance_priority",  # new in r4 (focused crawl: content scores steer the frontier)
         "crawl_pagerank_priority",  # new in r4 (pagerank ranks composed into the capped control plane)

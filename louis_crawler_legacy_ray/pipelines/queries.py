@@ -7970,6 +7970,76 @@ FROM p
 """
 
 
+def q_boilerplate_strip(sf_dir: str):
+    """Within-host boilerplate/template removal (the nav/footer
+    stripping step of C4/CCNet-style cleaning, stages/dedup.py
+    boilerplate_strip): a deterministic template overlay assigns each
+    doc to one of 7 hosts and plants a nav line + footer line (every
+    doc of the host), a 2/3-frequency seasonal line, and a 1/11
+    promo line; the >= 1/2 frequency rule must strip exactly nav,
+    footer and seasonal while promo and the body survive. Exercises
+    both sides of the threshold. Oracle: identical line-frequency
+    arithmetic in SQL (count distinct docs per host-line, 2c >= n,
+    filtered string_agg reassembly)."""
+    from ..stages.dedup import boilerplate_strip
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        txts = b["text"].to_pylist()
+        hosts, fulls = [], []
+        for d, t in zip(ids, txts):
+            h = f"h{d % 7}"
+            lines = [f"nav home about contact {h}"]
+            if d % 3 in (0, 1):
+                lines.append(f"season sale {h}")
+            if d % 11 == 0:
+                lines.append(f"promo banner {d}")
+            lines.append(t or "")
+            lines.append(f"footer terms privacy {h}")
+            hosts.append(h)
+            fulls.append("\n".join(lines))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "host": pa.array(hosts, pa.string()),
+                "text": pa.array(fulls, pa.string()),
+            }
+        )
+
+    full = docs.map_batches(synth, batch_format="pyarrow")
+    return boilerplate_strip(full)
+
+
+SQL_BOILERPLATE_STRIP = r"""
+WITH t AS (
+  SELECT doc_id, 'h' || (doc_id % 7) AS host,
+         'nav home about contact h' || (doc_id % 7)
+         || CASE WHEN doc_id % 3 IN (0, 1)
+                 THEN chr(10) || 'season sale h' || (doc_id % 7) ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN chr(10) || 'promo banner ' || doc_id ELSE '' END
+         || chr(10) || text
+         || chr(10) || 'footer terms privacy h' || (doc_id % 7) AS doc_full
+  FROM documents),
+ls AS (SELECT doc_id, host, string_split(doc_full, chr(10)) AS arr FROM t),
+lines AS (SELECT doc_id, host, unnest(arr) AS line,
+                 unnest(range(1, len(arr) + 1)) AS pos FROM ls),
+freq AS (SELECT host, line, count(DISTINCT doc_id) AS c
+         FROM lines GROUP BY host, line),
+tot AS (SELECT host, count(*) AS n FROM t GROUP BY host),
+fl AS (SELECT f.host, f.line FROM freq f
+       JOIN tot ON tot.host = f.host WHERE 2 * f.c >= tot.n)
+SELECT CAST(l.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) FILTER (WHERE fl.line IS NOT NULL) AS BIGINT) AS n_removed,
+       string_agg(l.line, chr(10) ORDER BY l.pos)
+         FILTER (WHERE fl.line IS NULL) AS clean_text
+FROM lines l LEFT JOIN fl ON fl.host = l.host AND fl.line = l.line
+GROUP BY l.doc_id
+"""
+
+
 def q_registered_domains(sf_dir: str):
     """Registered-domain (eTLD+1) extraction under the exact gate
     (functions/urls.py registered_domain — the publicsuffix.org
@@ -8219,6 +8289,7 @@ QUERIES = {
     "wet_export": q_wet_export,
     "soft404": q_soft404,
     "registered_domains": q_registered_domains,
+    "boilerplate_strip": q_boilerplate_strip,
     "crawl_domain_budget": q_crawl_domain_budget,
     "sitemap_seeds": q_sitemap_seeds,
     "host_graph": q_host_graph,
@@ -8381,6 +8452,7 @@ ORACLE_SQL = {
     "wet_export": SQL_WET_EXPORT,
     "soft404": SQL_SOFT404,
     "registered_domains": SQL_REGISTERED_DOMAINS,
+    "boilerplate_strip": SQL_BOILERPLATE_STRIP,
     "crawl_domain_budget": SQL_CRAWL_DOMAIN_BUDGET,
     "sitemap_seeds": SQL_SITEMAP_SEEDS,
     "host_graph": SQL_HOST_GRAPH,

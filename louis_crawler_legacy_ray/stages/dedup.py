@@ -1390,3 +1390,101 @@ def remove_duplicate_spans(
         )
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def boilerplate_strip(
+    ds: ray.data.Dataset,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num: int = 1,
+    den: int = 2,
+) -> ray.data.Dataset:
+    """Within-host template/boilerplate removal (the nav/footer
+    stripping step of C4/CCNet-style corpus cleaning): a line is
+    boilerplate for a host when it appears in >= num/den of that
+    host's documents (exact cross-multiplied rational, default 1/2),
+    and every occurrence of a flagged line is removed. Returns
+    (doc_id, n_removed, clean_text).
+
+    Scale shape: pass 1 emits per-block (host, line) -> distinct-doc
+    count partials (one row per doc, so block partials sum exactly)
+    and the shuffle carries DISTINCT host-lines; per-host doc totals
+    are a dimension-sized aggregate. The flagged set is template-sized
+    BY DEFINITION (a line must recur across half a host's docs to
+    flag), so it broadcasts via ray.put and pass 2 strips in one
+    map_batches — no join back, no second all-to-all."""
+    SEP = "\x00"
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for h, t in zip(
+            batch[host_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            for line in set((t or "").split("\n")):
+                c[h + SEP + line] += 1
+        return pa.table(
+            {
+                "hl": pa.array(list(c.keys()), pa.string()),
+                "c": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("hl")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    totals = {
+        r[host_col]: r["count()"]
+        for r in ds.groupby(host_col).count().take_all()
+    }
+
+    def flag(batch: pa.Table) -> pa.Table:
+        hosts, lines = [], []
+        for hl, c in zip(batch["hl"].to_pylist(), batch["c"].to_pylist()):
+            h, _, line = hl.partition(SEP)
+            if den * c >= num * totals[h]:
+                hosts.append(h)
+                lines.append(line)
+        return pa.table(
+            {
+                host_col: pa.array(hosts, pa.string()),
+                "line": pa.array(lines, pa.string()),
+            }
+        )
+
+    flagged: dict[str, set] = {}
+    for r in counts.map_batches(flag, batch_format="pyarrow").take_all():
+        flagged.setdefault(r[host_col], set()).add(r["line"])
+    flag_ref = ray.put(flagged)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        fl = ray.get(flag_ref)
+        ids, removed, cleaned = [], [], []
+        for i, h, t in zip(
+            batch[id_col].to_pylist(),
+            batch[host_col].to_pylist(),
+            batch[text_col].to_pylist(),
+        ):
+            bad = fl.get(h, ())
+            kept, n_rm = [], 0
+            for line in (t or "").split("\n"):
+                if line in bad:
+                    n_rm += 1
+                else:
+                    kept.append(line)
+            ids.append(i)
+            removed.append(n_rm)
+            cleaned.append("\n".join(kept))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_removed": pa.array(removed, pa.int64()),
+                "clean_text": pa.array(cleaned, pa.string()),
+            }
+        )
+
+    return ds.map_batches(strip, batch_format="pyarrow")

@@ -181,3 +181,36 @@ def test_gram_matrix_matches_numpy(ray_session):
     if ref[k] < 0:
         ref = -ref
     assert np.allclose(np.abs(v @ ref), 1.0, atol=1e-6)
+
+
+def test_boilerplate_strip_threshold_both_sides(ray_session):
+    """Within-host template removal: host-universal lines and the
+    2/3-frequency line are stripped, the 1/11 promo and the body
+    survive; threshold is the exact rational 1/2."""
+    import pyarrow as pa
+    import ray.data
+
+    from louis_crawler_legacy_ray.stages.dedup import boilerplate_strip
+
+    rows = []
+    for d in range(12):
+        h = f"h{d % 2}"
+        lines = [f"nav {h}"]
+        if d % 3 != 0:  # 2/3 of docs -> flagged
+            lines.append(f"sale {h}")
+        if d == 5:  # singleton -> survives
+            lines.append("promo only once")
+        lines.append(f"body {d}")
+        rows.append({"doc_id": d, "host": h, "text": "\n".join(lines)})
+    ds = ray.data.from_items(rows).repartition(3)
+    out = boilerplate_strip(ds).to_pandas().sort_values("doc_id")
+    for _, r in out.iterrows():
+        d = r["doc_id"]
+        kept = r["clean_text"].split("\n")
+        assert f"body {d}" in kept
+        assert not any(k.startswith("nav ") for k in kept)
+        assert not any(k.startswith("sale ") for k in kept)
+        if d == 5:
+            assert "promo only once" in kept
+    exp_removed = [1 if d % 3 == 0 else 2 for d in range(12)]
+    assert list(out["n_removed"]) == exp_removed
