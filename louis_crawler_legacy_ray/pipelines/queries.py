@@ -4623,6 +4623,22 @@ def q_pq_topk(sf_dir: str):
     return _attach_recall_check(out, sf_dir, m[:5], [0, 1, 2, 3, 4], 10, 0.7)
 
 
+def q_ivfpq_topk(sf_dir: str):
+    """IVF-PQ ANN top-10 (FAISS's standard index composition: coarse
+    lists prune the corpus, PQ codes score the survivors — the 10^10-
+    vector serving shape; approximate by design, rows-only). check_ok
+    carries the in-pipeline recall@10 vs the exact pass."""
+    from ..stages.ann import ivfpq_topk
+
+    m, ids = _emb_matrix(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivfpq_topk(
+        ds, m[:5], [0, 1, 2, 3, 4], k=10, n_lists=16, nprobe=6,
+        m_sub=16, n_codes=256,
+    )
+    return _attach_recall_check(out, sf_dir, m[:5], [0, 1, 2, 3, 4], 10, 0.5)
+
+
 def q_chunk_documents(sf_dir: str):
     """hawn chunker over the synthetic pages corpus (token ids from the
     stand-in encoder — not SQL-expressible). Task-pool variant of the
@@ -8357,6 +8373,7 @@ QUERIES = {
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
     "pq_topk": q_pq_topk,
+    "ivfpq_topk": q_ivfpq_topk,
     "cosine_near_lsh": q_cosine_near_lsh,
     "chunk_documents": q_chunk_documents,
     "embed_chunks": q_embed_chunks,

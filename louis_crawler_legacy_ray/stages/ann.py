@@ -470,3 +470,56 @@ def pq_topk(
     return pa.Table.from_pandas(
         df[["query_id", "rank", "vec_id", "cosine_pq"]], preserve_index=False
     ).replace_schema_metadata(None)
+
+
+def ivfpq_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 16,
+    n_codes: int = 256,
+    train_sample: int = 2048,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """IVF-PQ (the FAISS-standard composition): the IVF coarse
+    quantizer prunes the corpus to the queries' nprobe nearest lists
+    in ONE assignment pass, and PQ's asymmetric-distance scoring ranks
+    ONLY those candidates from uint8 codes. At scale this is the shape
+    that serves 10^10 vectors: probe ~nprobe/n_lists of the corpus and
+    never touch a float vector in the scoring loop."""
+    sample_rows = ds.limit(train_sample).take_all()
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    centroids = kmeans_fit(sample, n_lists, seed=seed)
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qsims = qn @ centroids.T
+    nprobe = min(nprobe, n_lists)
+    probe_lists = np.unique(
+        np.argpartition(-qsims, nprobe - 1, axis=1)[:, :nprobe]
+    ).astype(np.int64)
+    probe_set = pa.array(probe_lists.tolist(), pa.int64())
+
+    def assign_filter(batch: pa.Table) -> pa.Table:
+        vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        lists = (vecs @ centroids.T).argmax(axis=1).astype(np.int64)
+        keep = pa.compute.is_in(pa.array(lists, pa.int64()), value_set=probe_set)
+        return batch.filter(keep)
+
+    cand = ds.map_batches(assign_filter, batch_format="pyarrow")
+    return pq_topk(
+        cand,
+        queries,
+        query_ids,
+        k=k,
+        m_sub=m_sub,
+        n_codes=n_codes,
+        train_sample=train_sample,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

@@ -428,3 +428,38 @@ def test_pq_topk_recall_and_code_layout(ray_session):
         hits += len(ex[qid] & ap[qid])
         total += len(ex[qid])
     assert hits / total >= 0.5  # random gaussians are PQ's worst case
+
+
+def test_ivfpq_topk_recall(ray_session):
+    """IVF-PQ composition: coarse lists prune, PQ codes rank; self is
+    found and recall@5 vs exact stays reasonable on random gaussians."""
+    from louis_crawler_legacy_ray.stages.ann import ivfpq_topk
+
+    rng = np.random.RandomState(17)
+    m = rng.normal(size=(300, 32))
+    ids = np.arange(300, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array(m.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(4)
+    q = m[:4]
+    exact = brute_force_topk(ds, q, [0, 1, 2, 3], k=5)
+    approx = ivfpq_topk(
+        ds, q, [0, 1, 2, 3], k=5, n_lists=8, nprobe=4,
+        m_sub=8, n_codes=64, train_sample=300,
+    )
+    ex, ap = {}, {}
+    for r in exact.to_pylist():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx.to_pylist():
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for qid in (0, 1, 2, 3):
+        assert qid in ap[qid]
+        hits += len(ex[qid] & ap[qid])
+        total += len(ex[qid])
+    assert hits / total >= 0.4  # pruning x quantization compounds loss
