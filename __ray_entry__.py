@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "registered_domains",  # new in r4 (PSL eTLD+1 kernel known-answer gate)
         "boilerplate_strip",  # new in r4 (within-host template-line removal, 1/2-frequency rule)
         "crawl_domain_budget",  # new in r4 (queue-by-registered-domain politeness via the PSL kernel)
+        "crawl_fairness",  # new in r4 (Jain fairness index over the throttled schedule window)
         "crawl_relevance_priority",  # new in r4 (focused crawl: content scores steer the frontier)
         "crawl_pagerank_priority",  # new in r4 (pagerank ranks composed into the capped control plane)
         "trustrank",  # new in r4 (seed-restricted teleport demotes spam neighborhoods)

@@ -1435,6 +1435,92 @@ GROUP BY depth, url
 """
 )
 
+_FAIR_ROUNDS = 5  # fairness window: rounds 0..4, while the budgets bind
+
+
+def q_crawl_fairness(sf_dir: str):
+    """Politeness-fairness telemetry: Jain's fairness index over the
+    per-host fetch counts of the throttled crawl's FIRST 5 rounds —
+    the window where the token buckets (refill 2, burst 4) decide who
+    gets served, before the frontier exhausts and counts converge to
+    the corpus distribution. J = (Σx)²/(n·Σx²): numerator and
+    denominator are exact int64 (order-independent), the index itself
+    is ONE IEEE division — deterministic on both sides. Composes the
+    same engine run as crawl_multihost_budget; the oracle aggregates
+    the same recursive token-sentinel simulation."""
+    from .crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=6,
+        max_rounds=96,
+        per_host_budget=2,
+        politeness="token_bucket",
+    )
+    res = run_crawl(multihost_corpus_dir(sf_dir), [_mh_seed(sf_dir)], cfg)
+
+    def host_of(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.less(b["round"].cast(pa.int64()), pa.scalar(_FAIR_ROUNDS, pa.int64()))
+        )
+        return pa.table(
+            {
+                "host": pa.array(
+                    [
+                        u.split("//", 1)[1].split("/", 1)[0]
+                        for u in b["url"].to_pylist()
+                    ],
+                    pa.string(),
+                )
+            }
+        )
+
+    counts = (
+        res.order_dataset()
+        .map_batches(host_of, batch_format="pyarrow")
+        .groupby("host")
+        .count()
+    )
+    rows = counts.take_all()  # dimension-sized: one row per host
+    xs = sorted((r["host"], int(r["count()"])) for r in rows)
+    n = len(xs)
+    s = sum(c for _, c in xs)
+    ss = sum(c * c for _, c in xs)
+    jain_num, jain_den = s * s, n * ss
+    jain = jain_num / jain_den
+    return pa.table(
+        {
+            "host": pa.array([h for h, _ in xs], pa.string()),
+            "fetched": pa.array([c for _, c in xs], pa.int64()),
+            "jain_num": pa.array([jain_num] * n, pa.int64()),
+            "jain_den": pa.array([jain_den] * n, pa.int64()),
+            "jain": pa.array([jain] * n, pa.float64()),
+        }
+    )
+
+
+SQL_CRAWL_FAIRNESS = (
+    _SQL_MH_BUDGET_SIM
+    + f"""
+, fetched AS (
+  SELECT split_part(split_part(url, '//', 2), '/', 1) AS host,
+         CAST(count(*) AS BIGINT) AS fetched
+  FROM (SELECT url, min(round) - 1 AS r FROM sim
+        WHERE done AND url <> '' GROUP BY url) f
+  WHERE r < {_FAIR_ROUNDS}
+  GROUP BY 1),
+tot AS (SELECT count(*) AS n, sum(fetched) AS s,
+               sum(fetched * fetched) AS ss
+        FROM fetched)
+SELECT f.host, f.fetched,
+       CAST(tot.s * tot.s AS BIGINT) AS jain_num,
+       CAST(tot.n * tot.ss AS BIGINT) AS jain_den,
+       CAST(tot.s * tot.s AS DOUBLE) / (tot.n * tot.ss) AS jain
+FROM fetched f CROSS JOIN tot
+"""
+)
+
+
 # per-round telemetry derived from the SAME simulation: sim state at
 # round r+1 reflects engine round r (done deltas = fetched, first
 # appearance = admitted candidates, not-done rows = pending lag)
@@ -8307,6 +8393,7 @@ QUERIES = {
     "registered_domains": q_registered_domains,
     "boilerplate_strip": q_boilerplate_strip,
     "crawl_domain_budget": q_crawl_domain_budget,
+    "crawl_fairness": q_crawl_fairness,
     "sitemap_seeds": q_sitemap_seeds,
     "host_graph": q_host_graph,
     "bpe_merges": q_bpe_merges,
@@ -8471,6 +8558,7 @@ ORACLE_SQL = {
     "registered_domains": SQL_REGISTERED_DOMAINS,
     "boilerplate_strip": SQL_BOILERPLATE_STRIP,
     "crawl_domain_budget": SQL_CRAWL_DOMAIN_BUDGET,
+    "crawl_fairness": SQL_CRAWL_FAIRNESS,
     "sitemap_seeds": SQL_SITEMAP_SEEDS,
     "host_graph": SQL_HOST_GRAPH,
     "curation_pipeline": SQL_CURATION_PIPELINE,
