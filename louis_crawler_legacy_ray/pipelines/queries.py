@@ -2933,6 +2933,82 @@ FROM stext
 )
 
 
+def dust_corpus_dir(sf_dir: str) -> str:
+    """Single-host corpus variant carrying DUST aliases: every
+    doc_id % 5 == 2 page ALSO exists at url + '?print=1' and every
+    doc_id % 5 == 3 page at the m.-prefixed host, with byte-identical
+    html — the Different-URL-Same-Text shape rule discovery must
+    learn. Cached like the other derived corpora."""
+    key = f"{sf_dir}|dust"
+    if key in _PAGES_CACHE:
+        return _PAGES_CACHE[key]
+    tag = hashlib.blake2b(key.encode(), digest_size=6).hexdigest()
+    out = f"/tmp/louis_pages_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        tmp = f"{out}.build-{os.getpid()}"
+        docs = _docs_table(sf_dir)
+        pages = pages_from_documents(docs)
+        rx = re.compile(r"doc(\d+)$")
+        extra_idx, extra_url = [], []
+        urls = pages["url"].to_pylist()
+        for i, u in enumerate(urls):
+            doc = int(rx.search(u).group(1))
+            if doc % 5 == 2:
+                extra_idx.append(i)
+                extra_url.append(u + "?print=1")
+            elif doc % 5 == 3:
+                extra_idx.append(i)
+                extra_url.append(
+                    u.replace(
+                        "http://inspection.canada.ca",
+                        "http://m.inspection.canada.ca",
+                        1,
+                    )
+                )
+        extra = pages.take(extra_idx).set_column(
+            pages.schema.get_field_index("url"),
+            "url",
+            pa.array(extra_url, pa.string()),
+        )
+        pages = pa.concat_tables([pages, extra])
+        write_pages_parquet(pages, tmp, rows_per_file=4096)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    _PAGES_CACHE[key] = out
+    return out
+
+
+def q_dust_rules(sf_dir: str):
+    """DUST rule discovery (Bar-Yossef et al. 2007) over the alias
+    corpus: content-fingerprint grouping must surface EXACTLY the two
+    planted rewrite rules — strip '?print=1' (support = #docs%5==2)
+    and strip the 'm.' host prefix (support = #docs%5==3) — and
+    nothing else (unique body texts make every other pair
+    impossible). The oracle states the expected rule table by
+    construction; a rule learner that over-generalizes the
+    prefix/suffix diff or miscounts support hash-mismatches."""
+    from ..stages.dedup import dust_rules
+
+    pages = ray.data.read_parquet(dust_corpus_dir(sf_dir), columns=["url", "html"])
+    return dust_rules(pages, url_col="url", content_col="html", min_support=3)
+
+
+SQL_DUST_RULES = """
+WITH c2 AS (SELECT count(*) AS n FROM documents WHERE doc_id % 5 = 2),
+c3 AS (SELECT count(*) AS n FROM documents WHERE doc_id % 5 = 3)
+SELECT '?print=1' AS rule_from, '' AS rule_to, CAST(c2.n AS BIGINT) AS support
+FROM c2 WHERE c2.n >= 3
+UNION ALL
+SELECT 'm.', '', CAST(c3.n AS BIGINT) FROM c3 WHERE c3.n >= 3
+"""
+
+
 def hreflang_corpus_dir(sf_dir: str) -> str:
     """Single-host corpus variant where every page declares ``<link
     rel="alternate" hreflang>`` variants: docs cluster in groups of 4
@@ -8392,6 +8468,7 @@ QUERIES = {
     "soft404": q_soft404,
     "registered_domains": q_registered_domains,
     "boilerplate_strip": q_boilerplate_strip,
+    "dust_rules": q_dust_rules,
     "crawl_domain_budget": q_crawl_domain_budget,
     "crawl_fairness": q_crawl_fairness,
     "sitemap_seeds": q_sitemap_seeds,
@@ -8557,6 +8634,7 @@ ORACLE_SQL = {
     "soft404": SQL_SOFT404,
     "registered_domains": SQL_REGISTERED_DOMAINS,
     "boilerplate_strip": SQL_BOILERPLATE_STRIP,
+    "dust_rules": SQL_DUST_RULES,
     "crawl_domain_budget": SQL_CRAWL_DOMAIN_BUDGET,
     "crawl_fairness": SQL_CRAWL_FAIRNESS,
     "sitemap_seeds": SQL_SITEMAP_SEEDS,

@@ -1488,3 +1488,91 @@ def boilerplate_strip(
         )
 
     return ds.map_batches(strip, batch_format="pyarrow")
+
+
+def _dust_rule(a: str, b: str) -> tuple[str, str]:
+    """The substitution rule a pair of same-content URLs witnesses:
+    strip the longest common prefix and suffix; the rule maps the
+    LONGER url's middle to the shorter's (ties lexicographic)."""
+    if len(a) < len(b) or (len(a) == len(b) and a < b):
+        a, b = b, a
+    p = 0
+    while p < len(b) and a[p] == b[p]:
+        p += 1
+    s = 0
+    while s < len(b) - p and a[len(a) - 1 - s] == b[len(b) - 1 - s]:
+        s += 1
+    return a[p : len(a) - s], b[p : len(b) - s]
+
+
+def dust_rules(
+    ds: ray.data.Dataset,
+    url_col: str = "url",
+    content_col: str = "html",
+    min_support: int = 3,
+) -> ray.data.Dataset:
+    """DUST rule discovery (Bar-Yossef/Keidar/Schonfeld 2007, "Do Not
+    Crawl in the DUST: Different URLs with Similar Text"): learn URL
+    rewrite rules from content-duplicate url pairs, so the crawler can
+    canonicalize ?print=1 / m.-host style aliases WITHOUT fetching
+    them. Group urls by content fingerprint; each same-content pair
+    witnesses the substitution rule given by its common-prefix/suffix
+    diff; rules aggregate by support and only rules seen >= min_support
+    times survive (the paper's large-support filter kills coincidental
+    pairs). Returns (rule_from, rule_to, support).
+
+    Scale shape: only (fp, url) rows shuffle; a content group fans out
+    quadratically ONLY in its duplicate multiplicity (the mirror_hosts
+    bound); the rule aggregate carries distinct rules."""
+    SEP = "\x00"
+
+    def fp_batch(b: pa.Table) -> pa.Table:
+        fps = []
+        for x in b[content_col].to_pylist():
+            raw = x if isinstance(x, bytes) else (x or "").encode()
+            fps.append(hashlib.md5(raw).hexdigest())
+        return pa.table({"fp": pa.array(fps, pa.string()), "url": b[url_col]})
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        urls = sorted(g["url"])
+        rules = []
+        for i in range(len(urls)):
+            for j in range(i + 1, len(urls)):
+                fr, to = _dust_rule(urls[i], urls[j])
+                rules.append(fr + SEP + to)
+        return pd.DataFrame({"rule": rules})
+
+    pairs = (
+        ds.map_batches(fp_batch, batch_format="pyarrow")
+        .groupby("fp")
+        .map_groups(per_group, batch_format="pandas")
+    )
+    agg = pairs.groupby("rule").aggregate(Count(alias_name="support"))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        if "rule" not in b.column_names or b.num_rows == 0:
+            return pa.table(
+                {
+                    "rule_from": pa.array([], pa.string()),
+                    "rule_to": pa.array([], pa.string()),
+                    "support": pa.array([], pa.int64()),
+                }
+            )
+        keep = pc.greater_equal(
+            b["support"].cast(pa.int64()), pa.scalar(min_support, pa.int64())
+        )
+        b = b.filter(keep)
+        frs, tos = [], []
+        for r in b["rule"].to_pylist():
+            fr, _, to = r.partition(SEP)
+            frs.append(fr)
+            tos.append(to)
+        return pa.table(
+            {
+                "rule_from": pa.array(frs, pa.string()),
+                "rule_to": pa.array(tos, pa.string()),
+                "support": b["support"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(unpack, batch_format="pyarrow")

@@ -463,3 +463,24 @@ def test_ivfpq_topk_recall(ray_session):
         hits += len(ex[qid] & ap[qid])
         total += len(ex[qid])
     assert hits / total >= 0.4  # pruning x quantization compounds loss
+
+
+def test_dust_rules_learns_and_filters(ray_session):
+    """DUST: pair diff learns the substitution; min_support kills
+    coincidental single pairs; multiplicity-3 groups contribute all
+    C(3,2) pairs of the same rule."""
+    from louis_crawler_legacy_ray.stages.dedup import dust_rules
+
+    rows = []
+    for d in range(6):
+        base = f"http://h.ca/p/doc{d}"
+        rows.append({"url": base, "html": f"content {d}".encode()})
+        rows.append({"url": base + "?sid=1", "html": f"content {d}".encode()})
+    # one coincidental pair -> rule support 1 -> filtered
+    rows.append({"url": "http://h.ca/odd/a", "html": b"same odd"})
+    rows.append({"url": "http://h.ca/odd/b", "html": b"same odd"})
+    ds = ray.data.from_items(rows).repartition(3)
+    out = dust_rules(ds, min_support=3).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["rule_from"], r["rule_to"], r["support"]) == ("?sid=1", "", 6)
