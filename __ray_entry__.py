@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_domain_budget",  # new in r4 (queue-by-registered-domain politeness via the PSL kernel)
         "crawl_fairness",  # new in r4 (Jain fairness index over the throttled schedule window)
         "dust_rules",  # new in r4 (DUST: learn URL rewrite rules from same-content pairs)
+        "lexical_near_pairs",  # new in r4 (exact-int cosine near-dup on hashed term counts)
         "crawl_relevance_priority",  # new in r4 (focused crawl: content scores steer the frontier)
         "crawl_pagerank_priority",  # new in r4 (pagerank ranks composed into the capped control plane)
         "trustrank",  # new in r4 (seed-restricted teleport demotes spam neighborhoods)

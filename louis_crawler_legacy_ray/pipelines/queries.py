@@ -8218,6 +8218,38 @@ GROUP BY l.doc_id
 """
 
 
+def q_lexical_near_pairs(sf_dir: str):
+    """Lexical near-dup pairs under the EXACT gate: hashed term-count
+    vectors (md5_number_lower feature hashing, 64 buckets) and the
+    cosine >= 0.95 test cross-multiplied into int64 — the
+    feature-based companion to the embedding-cosine near-dup suite
+    (these vectors mean something: shared vocabulary, not random
+    floats). Oracle recomputes the same bucketed counts and integer
+    inequality in SQL."""
+    from ..stages.dedup import lexical_near_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return lexical_near_pairs(docs, th_num=95, th_den=100)
+
+
+SQL_LEXICAL_NEAR_PAIRS = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents),
+b AS (SELECT doc_id, md5_number_lower(w) % 64 AS bkt, count(*) AS c
+      FROM w GROUP BY doc_id, bkt),
+n AS (SELECT doc_id, SUM(c * c) AS nsq FROM b GROUP BY doc_id),
+g AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, SUM(a.c * b2.c) AS dot
+      FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.doc_id < b2.doc_id
+      GROUP BY 1, 2)
+SELECT CAST(g.doc_a AS BIGINT) AS doc_a, CAST(g.doc_b AS BIGINT) AS doc_b,
+       CAST(g.dot AS BIGINT) AS dot,
+       CAST(na.nsq AS BIGINT) AS normsq_a, CAST(nb.nsq AS BIGINT) AS normsq_b
+FROM g JOIN n na ON na.doc_id = g.doc_a JOIN n nb ON nb.doc_id = g.doc_b
+WHERE 100 * 100 * g.dot * g.dot >= 95 * 95 * na.nsq * nb.nsq
+"""
+
+
 def q_registered_domains(sf_dir: str):
     """Registered-domain (eTLD+1) extraction under the exact gate
     (functions/urls.py registered_domain — the publicsuffix.org
@@ -8469,6 +8501,7 @@ QUERIES = {
     "registered_domains": q_registered_domains,
     "boilerplate_strip": q_boilerplate_strip,
     "dust_rules": q_dust_rules,
+    "lexical_near_pairs": q_lexical_near_pairs,
     "crawl_domain_budget": q_crawl_domain_budget,
     "crawl_fairness": q_crawl_fairness,
     "sitemap_seeds": q_sitemap_seeds,
@@ -8635,6 +8668,7 @@ ORACLE_SQL = {
     "registered_domains": SQL_REGISTERED_DOMAINS,
     "boilerplate_strip": SQL_BOILERPLATE_STRIP,
     "dust_rules": SQL_DUST_RULES,
+    "lexical_near_pairs": SQL_LEXICAL_NEAR_PAIRS,
     "crawl_domain_budget": SQL_CRAWL_DOMAIN_BUDGET,
     "crawl_fairness": SQL_CRAWL_FAIRNESS,
     "sitemap_seeds": SQL_SITEMAP_SEEDS,

@@ -1576,3 +1576,97 @@ def dust_rules(
         )
 
     return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def lexical_featurize(
+    batch: pa.Table, text_col: str = "text", n_buckets: int = 64
+) -> pa.Table:
+    """Hashed term-count vectors (feature hashing / the 'hashing
+    trick'): word -> md5_number_lower(word) % n_buckets, counts
+    accumulate per bucket. The md5 low-8-bytes little-endian mapping
+    is the DuckDB md5_number_lower parity this repo's oracles use."""
+    vecs, ids = [], []
+    for i, t in zip(batch["doc_id"].to_pylist(), batch[text_col].to_pylist()):
+        v = [0] * n_buckets
+        for w in re.findall(r"[a-z0-9]+", (t or "").lower()):
+            b = (
+                int.from_bytes(
+                    hashlib.md5(w.encode()).digest()[8:16], "little"
+                )
+                % n_buckets
+            )
+            v[b] += 1
+        ids.append(i)
+        vecs.append(v)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "vec": pa.array(vecs, pa.list_(pa.int64())),
+        }
+    )
+
+
+def lexical_near_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    n_buckets: int = 64,
+    th_num: int = 95,
+    th_den: int = 100,
+) -> ray.data.Dataset:
+    """Lexical near-duplicate pairs by EXACT integer cosine over hashed
+    term-count vectors: pair (a, b) survives when
+    ``th_den² · (a·b)² >= th_num² · |a|²·|b|²`` — the cosine >= th
+    test cross-multiplied into int64, so the result hashes
+    bit-identically against the SQL oracle (float cosine never
+    could). Emits a < b with the integer witnesses
+    (dot, normsq_a, normsq_b).
+
+    Scale shape: the feature matrix is (n_docs x n_buckets) int64 —
+    dimension-sized at gate scale, broadcast once per worker; each
+    corpus block matmuls against it (the cosine_near_pairs exact
+    shape). At 10^10 docs the banded-LSH candidate path
+    (minhash/simhash/cosine_near_pairs_lsh) replaces the broadcast;
+    int64 holds while dot² · th_den² < 2^63 (~100-word docs here)."""
+    feats = ds.map_batches(
+        lambda b: lexical_featurize(b, text_col=text_col, n_buckets=n_buckets),
+        batch_format="pyarrow",
+    )
+    rows = feats.take_all()
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    M = np.array([r["vec"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids, M = ids[order], M[order]
+    nsq = (M * M).sum(axis=1)
+
+    def f(batch: pa.Table) -> pa.Table:
+        bids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        vb = np.array(batch["vec"].to_pylist(), dtype=np.int64)
+        if len(bids) == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "dot": pa.array([], pa.int64()),
+                    "normsq_a": pa.array([], pa.int64()),
+                    "normsq_b": pa.array([], pa.int64()),
+                }
+            )
+        G = vb @ M.T
+        bn = (vb * vb).sum(axis=1)
+        # int64 throughout: dot <= Σc² ~ 1e3 here, so th_den²·dot² and
+        # th_num²·nsq_a·nsq_b stay < 2^63 by a wide margin
+        lhs = (th_den * th_den) * (G * G)
+        rhs = (th_num * th_num) * (bn[:, None] * nsq[None, :])
+        ok = (lhs >= rhs) & (bids[:, None] < ids[None, :])
+        ai, bj = np.where(ok)
+        return pa.table(
+            {
+                "doc_a": pa.array(bids[ai], pa.int64()),
+                "doc_b": pa.array(ids[bj], pa.int64()),
+                "dot": pa.array(G[ai, bj], pa.int64()),
+                "normsq_a": pa.array(bn[ai], pa.int64()),
+                "normsq_b": pa.array(nsq[bj], pa.int64()),
+            }
+        )
+
+    return feats.map_batches(f, batch_format="pyarrow")

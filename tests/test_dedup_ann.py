@@ -484,3 +484,26 @@ def test_dust_rules_learns_and_filters(ray_session):
     assert len(out) == 1
     r = out.iloc[0]
     assert (r["rule_from"], r["rule_to"], r["support"]) == ("?sid=1", "", 6)
+
+
+def test_lexical_near_pairs_exact_threshold(ray_session):
+    """Exact-int cosine on hashed counts: identical docs pair at
+    cosine 1, disjoint-vocab docs never pair, and a clone-with-extras
+    sits on the computable side of the 0.95 threshold."""
+    from louis_crawler_legacy_ray.stages.dedup import lexical_near_pairs
+
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma delta " * 10},
+        {"doc_id": 1, "text": "alpha beta gamma delta " * 10},  # clone
+        {"doc_id": 2, "text": "zeta eta theta iota " * 10},     # disjoint
+        {"doc_id": 3, "text": ("alpha beta gamma delta " * 10) + "kappa"},
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    out = lexical_near_pairs(ds, th_num=95, th_den=100).to_pandas()
+    got = {(a, b) for a, b in zip(out["doc_a"], out["doc_b"])}
+    assert (0, 1) in got                       # exact clone
+    assert not any(2 in p for p in got)        # disjoint never pairs
+    # the near-clone passes at 0.95 (one extra token among 41)
+    assert (0, 3) in got and (1, 3) in got
+    r = out[(out.doc_a == 0) & (out.doc_b == 1)].iloc[0]
+    assert r["dot"] == r["normsq_a"] == r["normsq_b"]  # cosine exactly 1
