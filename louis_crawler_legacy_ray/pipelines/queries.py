@@ -8250,6 +8250,44 @@ WHERE 100 * 100 * g.dot * g.dot >= 95 * 95 * na.nsq * nb.nsq
 """
 
 
+_CMS_TERMS = ("merge", "scan", "window", "spark", "zzzabsent")
+
+
+def q_cms_term_counts(sf_dir: str):
+    """Count-Min sketch term frequencies (Cormode & Muthukrishnan
+    2005) — the FULLY ORACLED sketch: counter updates are commutative
+    int64 adds (layout-invariant) and the row-salted buckets use the
+    md5_number_lower parity mapping, so DuckDB recomputes the exact
+    estimates including collision inflation (the absent probe term
+    pins it: its est is whatever mass collides into its buckets, not
+    0). Per-block word Counters -> one sketch per block -> fan-in tree
+    merge -> point queries at the root."""
+    from ..stages.sketches import cms_term_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return cms_term_counts(docs, "text", list(_CMS_TERMS), depth=3, width=512)
+
+
+SQL_CMS_TERM_COUNTS = (
+    """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents),
+wc AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+q(term) AS (VALUES """
+    + ", ".join(f"('{t}')" for t in _CMS_TERMS)
+    + """),
+rws AS (
+  SELECT q.term, r.i,
+         coalesce((SELECT sum(wc.c) FROM wc
+                   WHERE md5_number_lower(r.i || '|' || wc.w) % 512
+                       = md5_number_lower(r.i || '|' || q.term) % 512), 0) AS s
+  FROM q, (SELECT unnest([0, 1, 2]) AS i) r)
+SELECT term, CAST(min(s) AS BIGINT) AS est FROM rws GROUP BY term
+"""
+)
+
+
 def q_registered_domains(sf_dir: str):
     """Registered-domain (eTLD+1) extraction under the exact gate
     (functions/urls.py registered_domain — the publicsuffix.org
@@ -8502,6 +8540,7 @@ QUERIES = {
     "boilerplate_strip": q_boilerplate_strip,
     "dust_rules": q_dust_rules,
     "lexical_near_pairs": q_lexical_near_pairs,
+    "cms_term_counts": q_cms_term_counts,
     "crawl_domain_budget": q_crawl_domain_budget,
     "crawl_fairness": q_crawl_fairness,
     "sitemap_seeds": q_sitemap_seeds,
@@ -8669,6 +8708,7 @@ ORACLE_SQL = {
     "boilerplate_strip": SQL_BOILERPLATE_STRIP,
     "dust_rules": SQL_DUST_RULES,
     "lexical_near_pairs": SQL_LEXICAL_NEAR_PAIRS,
+    "cms_term_counts": SQL_CMS_TERM_COUNTS,
     "crawl_domain_budget": SQL_CRAWL_DOMAIN_BUDGET,
     "crawl_fairness": SQL_CRAWL_FAIRNESS,
     "sitemap_seeds": SQL_SITEMAP_SEEDS,

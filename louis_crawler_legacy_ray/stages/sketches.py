@@ -717,3 +717,108 @@ def approx_quantiles(
             "k": pa.array([k] * len(qs), pa.int64()),
         }
     )
+
+
+# ------------------------------------------------------ count-min sketch
+def _cms_bucket(row: int, word: str, width: int) -> int:
+    """Row-salted md5 bucket — the md5_number_lower parity mapping, so
+    a SQL oracle can recompute the identical counters."""
+    return (
+        int.from_bytes(
+            hashlib.md5(f"{row}|{word}".encode()).digest()[8:16], "little"
+        )
+        % width
+    )
+
+
+class CountMin:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): depth x width
+    int64 counters, point estimate = min over rows of the salted-hash
+    bucket. Counter updates are commutative integer adds, so the
+    merged sketch — and therefore every estimate — is EXACTLY
+    deterministic under any block layout; with md5-parity hashing the
+    estimates are SQL-recomputable (a fully oracled sketch, unlike
+    HLL/KLL whose float estimators are bound-tested instead)."""
+
+    def __init__(self, depth: int = 3, width: int = 512):
+        self.depth = depth
+        self.width = width
+        self.t = np.zeros((depth, width), dtype=np.int64)
+
+    def add_counts(self, counts: dict) -> None:
+        for w, c in counts.items():
+            for i in range(self.depth):
+                self.t[i, _cms_bucket(i, w, self.width)] += c
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        assert self.t.shape == other.t.shape
+        self.t += other.t
+        return self
+
+    def query(self, word: str) -> int:
+        return int(
+            min(
+                self.t[i, _cms_bucket(i, word, self.width)]
+                for i in range(self.depth)
+            )
+        )
+
+    def to_bytes(self) -> bytes:
+        return self.t.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, depth: int, width: int) -> "CountMin":
+        s = cls(depth, width)
+        s.t = np.frombuffer(data, dtype=np.int64).reshape(depth, width).copy()
+        return s
+
+
+def _merge_cms_blobs(blobs: list, depth: int, width: int) -> bytes:
+    s = CountMin(depth, width)
+    for b in blobs:
+        s.merge(CountMin.from_bytes(b, depth, width))
+    return s.to_bytes()
+
+
+def cms_term_counts(
+    ds: ray.data.Dataset,
+    text_col: str,
+    terms: list[str],
+    depth: int = 3,
+    width: int = 512,
+) -> pa.Table:
+    """Count-Min term-frequency estimates for a fixed term list over a
+    text column: one sketch per block (per-block word Counter -> adds),
+    fan-in tree merge (stages/fold.py), point queries at the root.
+    Returns (term, est) — est >= true always, and with md5-parity
+    hashing the oracle recomputes est exactly."""
+    import functools
+    import re as _re
+
+    from .fold import tree_fold_blobs
+
+    wrx = _re.compile(r"[a-z0-9]+")
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            c.update(wrx.findall((t or "").lower()))
+        s = CountMin(depth, width)
+        s.add_counts(c)
+        return pa.table({"sketch": pa.array([s.to_bytes()], pa.binary())})
+
+    blob = tree_fold_blobs(
+        ds.map_batches(sketch_batch, batch_format="pyarrow"),
+        "sketch",
+        functools.partial(_merge_cms_blobs, depth=depth, width=width),
+    )
+    s = CountMin.from_bytes(blob, depth, width)
+    out_terms = sorted(terms)
+    return pa.table(
+        {
+            "term": pa.array(out_terms, pa.string()),
+            "est": pa.array([s.query(t) for t in out_terms], pa.int64()),
+        }
+    )

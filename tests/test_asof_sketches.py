@@ -321,3 +321,27 @@ def test_build_bloom_tree_no_false_negatives(ray_session):
         byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
         ok &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1 > 0
     assert ok.all()
+
+
+def test_cms_overestimates_and_is_layout_invariant(ray_session):
+    """Count-Min: est >= true for every term, exact for isolated
+    vocab, and bit-identical across block layouts (commutative int
+    adds)."""
+    import pyarrow as pa
+    import ray.data
+
+    from louis_crawler_legacy_ray.stages.sketches import CountMin, cms_term_counts
+
+    rows = [{"doc_id": i, "text": "alpha " * (i + 1) + "beta"} for i in range(10)]
+    t = pa.Table.from_pylist(rows)
+    a = cms_term_counts(
+        ray.data.from_arrow(t).repartition(2), "text", ["alpha", "beta", "gone"]
+    )
+    b = cms_term_counts(
+        ray.data.from_arrow(t).repartition(7), "text", ["alpha", "beta", "gone"]
+    )
+    assert a.equals(b)  # layout invariance
+    est = dict(zip(a["term"].to_pylist(), a["est"].to_pylist()))
+    assert est["alpha"] >= 55 and est["beta"] >= 10 and est["gone"] >= 0
+    # depth-3/width-512 with 3 distinct words: no collisions -> exact
+    assert est["alpha"] == 55 and est["beta"] == 10 and est["gone"] == 0
