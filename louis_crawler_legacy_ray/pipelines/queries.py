@@ -8415,6 +8415,100 @@ ORDER BY src_host, dst_host
 )
 
 
+def q_reciprocal_links(sf_dir: str):
+    """Reciprocal-link (nepotism) analytics over the host graph
+    (Davison 2000, "Recognizing Nepotistic Links on the Web": mutual
+    host-level linking is the classic link-exchange signal): the
+    host_graph rollup's directed weights fold onto unordered pairs —
+    key = (min, max), each direction a summed column — and a pair is
+    flagged reciprocal when BOTH directions carry links. One extra
+    dimension-sized groupby over the host-pair table; nothing
+    page-level moves twice."""
+    edges = q_host_graph(sf_dir)
+
+    def fold(b: pa.Table) -> pa.Table:
+        src = b["src_host"].to_pylist()
+        dst = b["dst_host"].to_pylist()
+        n = b["n_links"].to_pylist()
+        a_out, b_out, fwd, rev = [], [], [], []
+        for s, d, w in zip(src, dst, n):
+            lo, hi = (s, d) if s < d else (d, s)
+            a_out.append(lo)
+            b_out.append(hi)
+            fwd.append(w if s == lo else 0)
+            rev.append(w if s == hi else 0)
+        return pa.table(
+            {
+                "host_a": pa.array(a_out, pa.string()),
+                "host_b": pa.array(b_out, pa.string()),
+                "fwd": pa.array(fwd, pa.int64()),
+                "rev": pa.array(rev, pa.int64()),
+            }
+        )
+
+    agg = (
+        edges.map_batches(fold, batch_format="pyarrow")
+        .groupby(["host_a", "host_b"])
+        .aggregate(Sum("fwd", alias_name="n_ab"), Sum("rev", alias_name="n_ba"))
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        if "host_a" not in b.column_names or b.num_rows == 0:
+            return pa.table(
+                {
+                    "host_a": pa.array([], pa.string()),
+                    "host_b": pa.array([], pa.string()),
+                    "n_ab": pa.array([], pa.int64()),
+                    "n_ba": pa.array([], pa.int64()),
+                    "reciprocal": pa.array([], pa.bool_()),
+                }
+            )
+        ab = b["n_ab"].cast(pa.int64())
+        ba = b["n_ba"].cast(pa.int64())
+        return pa.table(
+            {
+                "host_a": b["host_a"],
+                "host_b": b["host_b"],
+                "n_ab": ab,
+                "n_ba": ba,
+                "reciprocal": pc.and_(
+                    pc.greater(ab, pa.scalar(0, pa.int64())),
+                    pc.greater(ba, pa.scalar(0, pa.int64())),
+                ),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_RECIPROCAL_LINKS = (
+    _SQL_MH_CTE
+    + """,
+edges AS (
+  SELECT DISTINCT url AS src, host AS src_host, c1_url AS dst FROM pg
+  UNION
+  SELECT DISTINCT url, host, c2_url FROM pg),
+hg AS (
+  SELECT src_host,
+         regexp_extract(dst, '^http://([^/]+)', 1) AS dst_host,
+         count(*) AS n_links
+  FROM edges
+  WHERE regexp_extract(dst, '^http://([^/]+)', 1) <> src_host
+  GROUP BY src_host, dst_host),
+folded AS (
+  SELECT least(src_host, dst_host) AS host_a,
+         greatest(src_host, dst_host) AS host_b,
+         sum(CASE WHEN src_host < dst_host THEN n_links ELSE 0 END) AS n_ab,
+         sum(CASE WHEN src_host > dst_host THEN n_links ELSE 0 END) AS n_ba
+  FROM hg GROUP BY 1, 2)
+SELECT host_a, host_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(n_ba AS BIGINT) AS n_ba,
+       (n_ab > 0 AND n_ba > 0) AS reciprocal
+FROM folded
+"""
+)
+
+
 def q_bpe_merges(sf_dir: str):
     """Learned BPE merge table (rank, left, right) — distributed word
     counting, driver merge loop over the distinct-word table only
@@ -8541,6 +8635,7 @@ QUERIES = {
     "dust_rules": q_dust_rules,
     "lexical_near_pairs": q_lexical_near_pairs,
     "cms_term_counts": q_cms_term_counts,
+    "reciprocal_links": q_reciprocal_links,
     "crawl_domain_budget": q_crawl_domain_budget,
     "crawl_fairness": q_crawl_fairness,
     "sitemap_seeds": q_sitemap_seeds,
@@ -8709,6 +8804,7 @@ ORACLE_SQL = {
     "dust_rules": SQL_DUST_RULES,
     "lexical_near_pairs": SQL_LEXICAL_NEAR_PAIRS,
     "cms_term_counts": SQL_CMS_TERM_COUNTS,
+    "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "crawl_domain_budget": SQL_CRAWL_DOMAIN_BUDGET,
     "crawl_fairness": SQL_CRAWL_FAIRNESS,
     "sitemap_seeds": SQL_SITEMAP_SEEDS,
