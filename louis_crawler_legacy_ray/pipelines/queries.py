@@ -8415,6 +8415,67 @@ ORDER BY src_host, dst_host
 )
 
 
+def q_shingle_containment(sf_dir: str):
+    """Asymmetric containment near-dup under the exact gate (Broder
+    1997's containment coefficient — the subset-duplication signal
+    symmetric Jaccard dilutes): every doc_id % 17 == 0 document gains
+    a planted SUPERSET twin (same text + a tail) at doc_id + 100000;
+    the detector must flag containment(original -> twin) = 1 in that
+    direction ONLY (the twin's own tail shingles keep the reverse
+    below 0.9). Oracle: identical 5-shingle sets, intersection self-
+    join and per-direction cross-multiplied test in SQL."""
+    from ..stages.dedup import containment_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        txts = b["text"].to_pylist()
+        out_i, out_t = [], []
+        for i, t in zip(ids, txts):
+            out_i.append(i)
+            out_t.append(t)
+            if i % 17 == 0:
+                out_i.append(i + 100000)
+                out_t.append((t or "") + " tail alpha beta gamma tail")
+        return pa.table(
+            {
+                "doc_id": pa.array(out_i, pa.int64()),
+                "text": pa.array(out_t, pa.string()),
+            }
+        )
+
+    return containment_pairs(
+        docs.map_batches(plant, batch_format="pyarrow"), num=9, den=10
+    )
+
+
+SQL_SHINGLE_CONTAINMENT = r"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, lower(text) || ' tail alpha beta gamma tail'
+  FROM documents WHERE doc_id % 17 = 0),
+w AS (SELECT doc_id, regexp_extract_all(t, '[a-z0-9]+') AS ws FROM d),
+sh AS (SELECT DISTINCT doc_id,
+         unnest(ws[1:len(ws)-4]) || ' ' || unnest(ws[2:len(ws)-3]) || ' ' ||
+         unnest(ws[3:len(ws)-2]) || ' ' || unnest(ws[4:len(ws)-1]) || ' ' ||
+         unnest(ws[5:len(ws)]) AS s
+       FROM w WHERE len(ws) >= 5),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT CAST(i.doc_a AS BIGINT) AS doc_a, CAST(i.doc_b AS BIGINT) AS doc_b,
+       CAST(i.inter AS BIGINT) AS inter,
+       CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b,
+       (10 * i.inter >= 9 * sa.n) AS contains_ab,
+       (10 * i.inter >= 9 * sb.n) AS contains_ba
+FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b
+WHERE 10 * i.inter >= 9 * sa.n OR 10 * i.inter >= 9 * sb.n
+"""
+
+
 def q_reciprocal_links(sf_dir: str):
     """Reciprocal-link (nepotism) analytics over the host graph
     (Davison 2000, "Recognizing Nepotistic Links on the Web": mutual
@@ -8636,6 +8697,7 @@ QUERIES = {
     "lexical_near_pairs": q_lexical_near_pairs,
     "cms_term_counts": q_cms_term_counts,
     "reciprocal_links": q_reciprocal_links,
+    "shingle_containment": q_shingle_containment,
     "crawl_domain_budget": q_crawl_domain_budget,
     "crawl_fairness": q_crawl_fairness,
     "sitemap_seeds": q_sitemap_seeds,
@@ -8805,6 +8867,7 @@ ORACLE_SQL = {
     "lexical_near_pairs": SQL_LEXICAL_NEAR_PAIRS,
     "cms_term_counts": SQL_CMS_TERM_COUNTS,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
+    "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "crawl_domain_budget": SQL_CRAWL_DOMAIN_BUDGET,
     "crawl_fairness": SQL_CRAWL_FAIRNESS,
     "sitemap_seeds": SQL_SITEMAP_SEEDS,

@@ -1670,3 +1670,104 @@ def lexical_near_pairs(
         )
 
     return feats.map_batches(f, batch_format="pyarrow")
+
+
+def containment_pairs(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num: int = 9,
+    den: int = 10,
+) -> ray.data.Dataset:
+    """ASYMMETRIC near-duplicate detection by shingle containment
+    (Broder 1997's containment coefficient |S(A)∩S(B)| / |S(A)| — the
+    signal that catches subset duplication, quote-inflation and
+    wrapper pages, which symmetric Jaccard dilutes away). Candidate
+    pairs come from the shingle inverted index (a shingle's group fans
+    out quadratically only in its duplicate multiplicity); shared-
+    shingle counts aggregate per pair; the >= num/den test is exact
+    cross-multiplied int64 PER DIRECTION. Returns (doc_a, doc_b,
+    inter, size_a, size_b, contains_ab, contains_ba) with a < b.
+
+    Shingle-set sizes are one int per doc — dimension-sized at gate
+    scale, broadcast via ray.put (the partitioned pair-join is the
+    10^10 path, same note as the cosine exact pass)."""
+    SEP = " "
+
+    def shingle_partial(b: pa.Table) -> pa.Table:
+        ids, shs = [], []
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            ws = re.findall(r"[a-z0-9]+", (t or "").lower())
+            seen = set()
+            for j in range(max(0, len(ws) - k + 1)):
+                seen.add(SEP.join(ws[j : j + k]))
+            for s in seen:
+                ids.append(i)
+                shs.append(s)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "sh": pa.array(shs, pa.string()),
+            }
+        )
+
+    sh = ds.map_batches(shingle_partial, batch_format="pyarrow")
+    sizes = {
+        r[id_col]: r["count()"] for r in sh.groupby(id_col).count().take_all()
+    }
+    size_ref = ray.put(sizes)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        docs = sorted(g[id_col])
+        a_out, b_out = [], []
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                a_out.append(docs[i])
+                b_out.append(docs[j])
+        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out})
+
+    pairs = sh.groupby("sh").map_groups(per_group, batch_format="pandas")
+    inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="inter")
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        if "doc_a" not in b.column_names or b.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "inter": pa.array([], pa.int64()),
+                    "size_a": pa.array([], pa.int64()),
+                    "size_b": pa.array([], pa.int64()),
+                    "contains_ab": pa.array([], pa.bool_()),
+                    "contains_ba": pa.array([], pa.bool_()),
+                }
+            )
+        sz = ray.get(size_ref)
+        a = b["doc_a"].to_pylist()
+        bb = b["doc_b"].to_pylist()
+        iv = b["inter"].to_pylist()
+        sa = [sz[x] for x in a]
+        sb = [sz[x] for x in bb]
+        cab = [den * i >= num * s for i, s in zip(iv, sa)]
+        cba = [den * i >= num * s for i, s in zip(iv, sb)]
+        out = pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(bb, pa.int64()),
+                "inter": pa.array(iv, pa.int64()),
+                "size_a": pa.array(sa, pa.int64()),
+                "size_b": pa.array(sb, pa.int64()),
+                "contains_ab": pa.array(cab, pa.bool_()),
+                "contains_ba": pa.array(cba, pa.bool_()),
+            }
+        )
+        # emit only pairs where at least one direction fires — the
+        # raw shared-shingle pair table is candidate noise
+        return out.filter(
+            pc.or_(out["contains_ab"], out["contains_ba"])
+        )
+
+    return inter.map_batches(fin, batch_format="pyarrow")

@@ -507,3 +507,23 @@ def test_lexical_near_pairs_exact_threshold(ray_session):
     assert (0, 3) in got and (1, 3) in got
     r = out[(out.doc_a == 0) & (out.doc_b == 1)].iloc[0]
     assert r["dot"] == r["normsq_a"] == r["normsq_b"]  # cosine exactly 1
+
+
+def test_containment_pairs_asymmetric(ray_session):
+    """Containment: a doc embedded in a larger doc is flagged in the
+    subset->superset direction only; unrelated docs never pair."""
+    from louis_crawler_legacy_ray.stages.dedup import containment_pairs
+
+    core = "one two three four five six seven eight nine ten"
+    rows = [
+        {"doc_id": 0, "text": core},
+        {"doc_id": 1, "text": core + " plus lots of extra words here " * 3},
+        {"doc_id": 2, "text": "totally different vocabulary in this doc entirely"},
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    out = containment_pairs(ds, num=9, den=10).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 1)
+    assert r["contains_ab"] and not r["contains_ba"]
+    assert r["inter"] == r["size_a"]  # full containment of the subset
