@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_term_counts",  # new in r4 (Count-Min sketch with md5-parity buckets: fully oracled estimates)
         "reciprocal_links",  # new in r4 (nepotistic mutual-linking analytics over the host graph)
         "shingle_containment",  # new in r4 (Broder containment: asymmetric subset-duplication pairs)
+        "idn_hosts",  # new in r4 (RFC 3490 punycode host normalization, known-answer gate)
         "crawl_relevance_priority",  # new in r4 (focused crawl: content scores steer the frontier)
         "crawl_pagerank_priority",  # new in r4 (pagerank ranks composed into the capped control plane)
         "trustrank",  # new in r4 (seed-restricted teleport demotes spam neighborhoods)

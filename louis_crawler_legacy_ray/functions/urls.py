@@ -273,3 +273,19 @@ def registered_domain(host: str, rules=None) -> str | None:
     if n <= ps:
         return None
     return ".".join(labels[n - ps - 1 :])
+
+
+def idna_host(host: str) -> str:
+    """IDN host normalization (RFC 3490 ToASCII via the stdlib idna
+    codec, label by label): internationalized hostnames fold to their
+    punycode wire form so seen-set keys, politeness queues and robots
+    lookups agree with what DNS and servers actually see. ASCII labels
+    pass through; the host is case-folded first (IDNA is defined on
+    lowercase)."""
+    out = []
+    for label in host.lower().rstrip(".").split("."):
+        if label and any(ord(c) > 127 for c in label):
+            out.append(label.encode("idna").decode("ascii"))
+        else:
+            out.append(label)
+    return ".".join(out)

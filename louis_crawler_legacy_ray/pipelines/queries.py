@@ -8288,6 +8288,66 @@ SELECT term, CAST(min(s) AS BIGINT) AS est FROM rws GROUP BY term
 )
 
 
+def q_idn_hosts(sf_dir: str):
+    """IDN host normalization under the exact gate (functions/urls.py
+    idna_host — RFC 3490 ToASCII, label by label): five deterministic
+    host shapes per doc_id exercise Latin-diacritic, Cyrillic,
+    pure-ASCII case-fold and trailing-dot cases; the oracle hardcodes
+    the expected punycode per arm (known-answer — a kernel that
+    re-encodes ASCII, misses case folding, or mangles multi-label
+    hosts hash-mismatches)."""
+    from ..functions.urls import idna_host
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids, hosts, ascii_hosts = [], [], []
+        for d in batch["doc_id"].to_pylist():
+            case = d % 5
+            if case == 0:
+                h = f"a{d}.bücher.example.ca"
+            elif case == 1:
+                h = f"b{d}.müller.co.uk"
+            elif case == 2:
+                h = f"c{d}.пример.com"
+            elif case == 3:
+                h = f"D{d}.MiXeD.Example.COM"
+            else:
+                h = f"e{d}.façade.on.ca."
+            ids.append(d)
+            hosts.append(h)
+            ascii_hosts.append(idna_host(h))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "host": pa.array(hosts, pa.string()),
+                "ascii_host": pa.array(ascii_hosts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+SQL_IDN_HOSTS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN 'a' || doc_id || '.bücher.example.ca'
+         WHEN 1 THEN 'b' || doc_id || '.müller.co.uk'
+         WHEN 2 THEN 'c' || doc_id || '.пример.com'
+         WHEN 3 THEN 'D' || doc_id || '.MiXeD.Example.COM'
+         ELSE 'e' || doc_id || '.façade.on.ca.'
+       END AS host,
+       CASE doc_id % 5
+         WHEN 0 THEN 'a' || doc_id || '.xn--bcher-kva.example.ca'
+         WHEN 1 THEN 'b' || doc_id || '.xn--mller-kva.co.uk'
+         WHEN 2 THEN 'c' || doc_id || '.xn--e1afmkfd.com'
+         WHEN 3 THEN 'd' || doc_id || '.mixed.example.com'
+         ELSE 'e' || doc_id || '.xn--faade-zra.on.ca'
+       END AS ascii_host
+FROM documents
+"""
+
+
 def q_registered_domains(sf_dir: str):
     """Registered-domain (eTLD+1) extraction under the exact gate
     (functions/urls.py registered_domain — the publicsuffix.org
@@ -8698,6 +8758,7 @@ QUERIES = {
     "cms_term_counts": q_cms_term_counts,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
+    "idn_hosts": q_idn_hosts,
     "crawl_domain_budget": q_crawl_domain_budget,
     "crawl_fairness": q_crawl_fairness,
     "sitemap_seeds": q_sitemap_seeds,
@@ -8868,6 +8929,7 @@ ORACLE_SQL = {
     "cms_term_counts": SQL_CMS_TERM_COUNTS,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
+    "idn_hosts": SQL_IDN_HOSTS,
     "crawl_domain_budget": SQL_CRAWL_DOMAIN_BUDGET,
     "crawl_fairness": SQL_CRAWL_FAIRNESS,
     "sitemap_seeds": SQL_SITEMAP_SEEDS,

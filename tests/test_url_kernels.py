@@ -130,3 +130,14 @@ def test_domain_budget_grouping_derivation():
         "blog.demo.co.uk": "demo.co.uk",
     }
     assert "solo.net" not in groups
+
+
+def test_idna_host_kernel():
+    from louis_crawler_legacy_ray.functions.urls import idna_host
+
+    assert idna_host("BÜCHER.Example.CA") == "xn--bcher-kva.example.ca"
+    assert idna_host("пример.com") == "xn--e1afmkfd.com"
+    assert idna_host("plain.example.com.") == "plain.example.com"
+    # already-punycode input passes through unchanged (idempotence)
+    assert idna_host("xn--bcher-kva.example.ca") == "xn--bcher-kva.example.ca"
+    assert idna_host(idna_host("façade.on.ca")) == idna_host("façade.on.ca")
