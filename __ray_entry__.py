@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     first = [  # oracled but never driver-gated through round 3
         "spam_mass",  # new in r4 (Gyöngyi mass estimation: pagerank - normalized trustrank)
         "wet_export",  # new in r4 (Common Crawl WET conversion records: extract -> text -> WET -> parse)
+        "wat_export",  # new in r4 (Common Crawl WAT metadata-JSON records roundtrip)
         "soft404",  # new in r4 (content-side soft-404 detection over the 200-status error-page corpus)
         "registered_domains",  # new in r4 (PSL eTLD+1 kernel known-answer gate)
         "boilerplate_strip",  # new in r4 (within-host template-line removal, 1/2-frequency rule)

@@ -7670,6 +7670,52 @@ SELECT url, 'same' AS status FROM pg ORDER BY url
 )
 
 
+def q_wat_export(sf_dir: str):
+    """WAT export (Common Crawl's metadata-JSON artifact,
+    sources/warc.py write_wat/read_wat): the extract kernel's
+    (url, title, links) run through WARC ``metadata`` records
+    (deterministic sorted-keys JSON envelope, WARC-Refers-To, gzip
+    members, content-hashed idempotent parts) and read BACK — the
+    returned rows are the re-parsed records, so extraction, the JSON
+    envelope, the framing and the parser sit under one hash. Oracle
+    reconstructs title and the M2-filtered outlinks arithmetically."""
+    import shutil
+
+    from ..sources.warc import read_wat, write_wat
+
+    items = _extracted_items(sf_dir).select_columns(["url", "title", "links"])
+    tag = hashlib.blake2b(f"wat|{sf_dir}".encode(), digest_size=6).hexdigest()
+    out = f"/tmp/louis_wat_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_wat(items, out, gzip=True)
+    back = read_wat(out)
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": b["url"],
+                "title": b["title"],
+                "links_csv": pa.array(
+                    [",".join(ls) for ls in b["links"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return back.map_batches(fin, batch_format="pyarrow").sort("url")
+
+
+SQL_WAT_EXPORT = (
+    _SQL_PAGE_CTE
+    + f"""
+SELECT url, title,
+       '{SITE}' || c1_path || ',' || '{SITE}' || c2_path || ','
+         || '{SITE}' || c1_path AS links_csv
+FROM pg
+ORDER BY url
+"""
+)
+
+
 _WET_TAG_RE = re.compile(r"<[^>]*>")
 _WET_WS_RE = re.compile(r"\s+")
 
@@ -8750,6 +8796,7 @@ QUERIES = {
     "surt_index": q_surt_index,
     "warc_roundtrip": q_warc_roundtrip,
     "wet_export": q_wet_export,
+    "wat_export": q_wat_export,
     "soft404": q_soft404,
     "registered_domains": q_registered_domains,
     "boilerplate_strip": q_boilerplate_strip,
@@ -8921,6 +8968,7 @@ ORACLE_SQL = {
     "surt_index": SQL_SURT_INDEX,
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "wet_export": SQL_WET_EXPORT,
+    "wat_export": SQL_WAT_EXPORT,
     "soft404": SQL_SOFT404,
     "registered_domains": SQL_REGISTERED_DOMAINS,
     "boilerplate_strip": SQL_BOILERPLATE_STRIP,

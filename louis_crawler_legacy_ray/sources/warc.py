@@ -316,3 +316,145 @@ def read_wet(path: str) -> ray.data.Dataset:
     return ray.data.read_binary_files(path).map_batches(
         parse, batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------------------------
+# WAT — Common Crawl's metadata companion artifact: WARC "metadata"
+# records whose payload is a JSON envelope of the page's extracted
+# metadata (title, outlinks). Deterministic: sort_keys + compact
+# separators, so retries and re-runs produce identical bytes.
+# --------------------------------------------------------------------------
+
+import json as _json
+
+
+def _wat_record(url: str, ts_us: int, meta: dict) -> bytes:
+    payload = _json.dumps(
+        {
+            "Envelope": {
+                "WARC-Header-Metadata": {"WARC-Target-URI": url},
+                "Payload-Metadata": {"HTML-Metadata": meta},
+            }
+        },
+        sort_keys=True,
+        separators=(",", ":"),
+    ).encode("utf-8")
+    date = _warc_date(ts_us)
+    rid = uuid.UUID(
+        bytes=hashlib.blake2b(
+            ("wat|" + url + "|" + date).encode(), digest_size=16
+        ).digest()
+    )
+    ref = uuid.UUID(
+        bytes=hashlib.blake2b(
+            (url + "|" + date).encode(), digest_size=16
+        ).digest()
+    )
+    head = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: metadata" + _CRLF
+        + b"WARC-Record-ID: <urn:uuid:" + str(rid).encode() + b">" + _CRLF
+        + b"WARC-Refers-To: <urn:uuid:" + str(ref).encode() + b">" + _CRLF
+        + b"WARC-Date: " + date.encode() + _CRLF
+        + b"WARC-Target-URI: " + url.encode() + _CRLF
+        + b"Content-Type: application/json" + _CRLF
+        + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+        + _CRLF
+    )
+    return head + payload + _CRLF + _CRLF
+
+
+def write_wat(
+    items: ray.data.Dataset,
+    out_dir: str,
+    gzip: bool = False,
+    ts_col: str | None = None,
+) -> ray.data.Dataset:
+    """Write an extract-items Dataset (url, title, links) as WAT parts
+    (one per block, content-hashed idempotent filenames)."""
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.wat.gz" if gzip else ".warc.wat"
+
+    def write_block(b: pa.Table) -> pa.Table:
+        if ts_col is not None:
+            ts = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
+        else:
+            ts = [0] * b.num_rows
+        recs = [
+            _wat_record(
+                u,
+                t or 0,
+                {"Title": ti or "", "Links": [{"url": l} for l in (ls or [])]},
+            )
+            for u, t, ti, ls in zip(
+                b["url"].to_pylist(),
+                ts,
+                b["title"].to_pylist(),
+                b["links"].to_pylist(),
+            )
+        ]
+        if gzip:
+            blob = b"".join(_gzip.compress(r, mtime=0) for r in recs)
+        else:
+            blob = b"".join(recs)
+        name = hashlib.blake2b(blob, digest_size=12).hexdigest()
+        path = os.path.join(out_dir, f"part-{name}{ext}")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.table(
+            {
+                "path": pa.array([path], pa.string()),
+                "n_records": pa.array([len(recs)], pa.int64()),
+                "n_bytes": pa.array([len(blob)], pa.int64()),
+            }
+        )
+
+    return items.map_batches(write_block, batch_format="pyarrow").materialize()
+
+
+def parse_wat_bytes(blob: bytes) -> list[tuple[str, int, str, list[str]]]:
+    """Parse one WAT file's bytes into (url, ts_us, title, links)
+    tuples. Skips non-metadata records."""
+    out: list[tuple[str, int, str, list[str]]] = []
+    for headers, body in _iter_records(blob):
+        if headers.get("warc-type") != "metadata":
+            continue
+        env = _json.loads(body.decode("utf-8"))
+        meta = env["Envelope"]["Payload-Metadata"]["HTML-Metadata"]
+        out.append(
+            (
+                headers.get("warc-target-uri", ""),
+                _warc_ts_us(headers),
+                meta.get("Title", ""),
+                [l["url"] for l in meta.get("Links", [])],
+            )
+        )
+    return out
+
+
+def read_wat(path: str) -> ray.data.Dataset:
+    """Read a WAT directory (or single file) back into
+    (url, wat_ts, title, links) — one parse task per file."""
+
+    def parse(b: dict) -> pa.Table:
+        urls, tss, titles, links = [], [], [], []
+        for blob in b["bytes"].to_pylist():
+            for u, t, ti, ls in parse_wat_bytes(blob):
+                urls.append(u)
+                tss.append(t)
+                titles.append(ti)
+                links.append(ls)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "wat_ts": pa.array(tss, pa.int64()).cast(pa.timestamp("us")),
+                "title": pa.array(titles, pa.string()),
+                "links": pa.array(links, pa.list_(pa.string())),
+            }
+        )
+
+    return ray.data.read_binary_files(path).map_batches(
+        parse, batch_format="pyarrow"
+    )

@@ -124,3 +124,41 @@ def test_wet_roundtrip_through_ray(ray_session, tmp_path):
     back = read_wet(out).to_pandas().sort_values("url").reset_index(drop=True)
     assert list(back["url"]) == ["http://h/a", "http://h/b", "http://h/c"]
     assert list(back["text"]) == ["alpha beta", "", "géo ünïcode"]
+
+
+def test_wat_record_framing_and_roundtrip(ray_session, tmp_path):
+    from louis_crawler_legacy_ray.sources.warc import (
+        _record,
+        _wat_record,
+        parse_wat_bytes,
+        read_wat,
+        write_wat,
+    )
+
+    rec = _wat_record("http://a/x", 0, {"Title": "T", "Links": [{"url": "http://a/y"}]})
+    text = rec.decode()
+    assert "WARC-Type: metadata\r\n" in text
+    assert "Content-Type: application/json\r\n" in text
+    # refers-to id matches the response record's deterministic id
+    resp = _record("http://a/x", 0, b"<p>x</p>").decode()
+    rid = [l for l in resp.split("\r\n") if l.startswith("WARC-Record-ID:")][0]
+    ref = [l for l in text.split("\r\n") if l.startswith("WARC-Refers-To:")][0]
+    assert ref.split(": ", 1)[1] == rid.split(": ", 1)[1]
+    # parser skips response records, keeps metadata ones
+    assert parse_wat_bytes(rec + _record("http://a/y", 0, b"z")) == [
+        ("http://a/x", 0, "T", ["http://a/y"])
+    ]
+    # ray roundtrip
+    t = pa.table(
+        {
+            "url": pa.array(["http://h/a", "http://h/b"]),
+            "title": pa.array(["A", ""]),
+            "links": pa.array([["http://h/b"], []], pa.list_(pa.string())),
+        }
+    )
+    out = str(tmp_path / "wat")
+    m = write_wat(ray.data.from_arrow(t), out, gzip=True).to_pandas()
+    assert m["n_records"].sum() == 2
+    back = read_wat(out).to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(back["title"]) == ["A", ""]
+    assert [list(x) for x in back["links"]] == [["http://h/b"], []]
