@@ -7336,6 +7336,67 @@ FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """
 
 
+def q_index_freshness(sf_dir: str):
+    """Index freshness/age telemetry (Cho & Garcia-Molina 2003 —
+    stages/recrawl.py freshness_metrics): 4 full snapshots under the
+    analytic change rule ``doc_id % (t+2) == 0``, refresh schedule
+    ``refresh_snap = doc_id % 4``; the engine recovers per-doc
+    freshness and age at T=3 purely from content FINGERPRINTS, the
+    oracle computes both analytically from the rule (t_c = first
+    change after the refresh; age = 3 - t_c). Varied outcomes: docs
+    refreshed late are fresh, early-refreshed frequently-changing
+    docs age up to 2."""
+    from ..stages.recrawl import freshness_metrics
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    k = 4
+
+    def snapshots(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        parts = []
+        cum = np.zeros(len(ids), np.int64)
+        for t in range(k):
+            if t >= 1:
+                cum = cum + (ids % (t + 2) == 0)
+            content = pc.binary_join_element_wise(
+                b["text"].cast(pa.string()),
+                pa.array([f" r{c}" for c in cum], pa.string()),
+                "",
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": b["doc_id"].cast(pa.int64()),
+                        "snap": pa.array(
+                            np.full(len(ids), t, np.int64), pa.int64()
+                        ),
+                        "refresh_snap": pa.array(ids % k, pa.int64()),
+                        "content": content,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    obs = docs.map_batches(snapshots, batch_format="pyarrow")
+    return freshness_metrics(obs, n_snaps=k, key_col="doc_id")
+
+
+SQL_INDEX_FRESHNESS = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, doc_id % 4 AS r
+           FROM documents),
+ch AS (SELECT d.doc_id, t.t
+       FROM d, (SELECT unnest([1, 2, 3]) AS t) t
+       WHERE d.doc_id % (t.t + 2) = 0),
+tc AS (SELECT d.doc_id, min(ch.t) AS t_c
+       FROM d LEFT JOIN ch ON ch.doc_id = d.doc_id AND ch.t > d.r
+       GROUP BY d.doc_id)
+SELECT d.doc_id, CAST(d.r AS BIGINT) AS refresh_snap,
+       (tc.t_c IS NULL) AS fresh,
+       CAST(coalesce(3 - tc.t_c, 0) AS BIGINT) AS age
+FROM d JOIN tc ON tc.doc_id = d.doc_id
+"""
+
+
 def q_recrawl_priority(sf_dir: str):
     """Adaptive recrawl scheduling (stages/recrawl.py — Cho &
     Garcia-Molina frequency-greedy, exact ints): 4 deterministic
@@ -8806,6 +8867,7 @@ QUERIES = {
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
+    "index_freshness": q_index_freshness,
     "crawl_domain_budget": q_crawl_domain_budget,
     "crawl_fairness": q_crawl_fairness,
     "sitemap_seeds": q_sitemap_seeds,
@@ -8978,6 +9040,7 @@ ORACLE_SQL = {
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,
+    "index_freshness": SQL_INDEX_FRESHNESS,
     "crawl_domain_budget": SQL_CRAWL_DOMAIN_BUDGET,
     "crawl_fairness": SQL_CRAWL_FAIRNESS,
     "sitemap_seeds": SQL_SITEMAP_SEEDS,

@@ -145,3 +145,88 @@ def recrawl_priorities(
         )
 
     return merged.map_batches(classify, batch_format="pyarrow")
+
+
+def freshness_metrics(
+    obs: ray.data.Dataset,
+    n_snaps: int,
+    key_col: str = "url",
+    snap_col: str = "snap",
+    content_col: str = "content",
+    refresh_col: str = "refresh_snap",
+    fp_col: str | None = None,
+) -> ray.data.Dataset:
+    """Index freshness & age at the final snapshot T = n_snaps-1 (Cho
+    & Garcia-Molina 2003, "Effective Page Refresh Policies for Web
+    Crawlers"): each key's INDEX COPY is the content observed at its
+    refresh snapshot r (``refresh_col``, constant per key); the copy
+    is FRESH iff no later observed snapshot's fingerprint differs from
+    it, and its AGE is T - t_c, t_c = first differing snapshot after r
+    (age counts full snapshot intervals stale; a change AT T gives
+    age 0 with fresh = False). Emits (key, refresh_snap, fresh, age).
+
+    Same scale shape as :func:`recrawl_priorities`: fingerprints are
+    computed inside the map task (payloads never shuffle), pivoted
+    into per-snapshot columns, merged with ONE groupby(key); the
+    classification is vectorized numpy over the merged rows. Keys must
+    be observed at their refresh snapshot."""
+    if not 2 <= n_snaps <= MAX_SNAPS:
+        raise ValueError(f"n_snaps must be in [2, {MAX_SNAPS}], got {n_snaps}")
+    hcols = [f"__h{t}" for t in range(n_snaps)]
+    T = n_snaps - 1
+
+    def pivot(batch: pa.Table) -> pa.Table:
+        snaps = batch[snap_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if fp_col is not None:
+            fps = batch[fp_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        else:
+            fps = content_fp64(batch[content_col].to_pylist())
+        cols: dict = {
+            key_col: batch[key_col],
+            refresh_col: batch[refresh_col].cast(pa.int64()),
+        }
+        for t in range(n_snaps):
+            mask = snaps != t
+            cols[hcols[t]] = pa.array(fps, pa.int64(), mask=mask)
+        return pa.table(cols)
+
+    merged = (
+        obs.map_batches(pivot, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(
+            Min(refresh_col, alias_name=refresh_col),
+            *[Min(h, alias_name=h, ignore_nulls=True) for h in hcols],
+        )
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        hs, present = [], []
+        for h in hcols:
+            col = batch[h].combine_chunks().cast(pa.int64())
+            present.append(pc.is_valid(col).to_numpy(zero_copy_only=False))
+            hs.append(col.fill_null(0).to_numpy(zero_copy_only=False))
+        r = (
+            batch[refresh_col]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        H = np.stack(hs)  # (n_snaps, n)
+        copy = H[r, np.arange(n)]
+        t_c = np.full(n, n_snaps, np.int64)  # sentinel: never went stale
+        for t in range(1, n_snaps):
+            diff = present[t] & (H[t] != copy) & (t > r) & (t_c == n_snaps)
+            t_c[diff] = t
+        fresh = t_c == n_snaps
+        age = np.where(fresh, 0, T - t_c)
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                refresh_col: pa.array(r, pa.int64()),
+                "fresh": pa.array(fresh, pa.bool_()),
+                "age": pa.array(age, pa.int64()),
+            }
+        )
+
+    return merged.map_batches(classify, batch_format="pyarrow")

@@ -110,3 +110,30 @@ def test_pivot_width_guard():
         recrawl_priorities(None, n_snaps=1)
     with pytest.raises(ValueError):
         recrawl_priorities(None, n_snaps=65)
+
+
+def test_freshness_metrics_direct(ray_session):
+    """Freshness/age classification on a hand-built observation set:
+    change at snap 2 only; refresh at 1 -> stale with age 1; refresh
+    at 2 or 3 -> fresh; unchanged doc always fresh."""
+    import pyarrow as pa
+    import ray.data
+
+    from louis_crawler_legacy_ray.stages.recrawl import freshness_metrics
+
+    rows = []
+    for key, refresh, change_at in ((1, 1, 2), (2, 2, 2), (3, 3, 2), (4, 0, None)):
+        for t in range(4):
+            content = "x" if (change_at is None or t < change_at) else "y"
+            rows.append(
+                {"url": key, "snap": t, "refresh_snap": refresh, "content": content}
+            )
+    out = (
+        freshness_metrics(ray.data.from_items(rows).repartition(3), n_snaps=4)
+        .to_pandas()
+        .set_index("url")
+    )
+    assert not out.loc[1, "fresh"] and out.loc[1, "age"] == 1
+    assert out.loc[2, "fresh"] and out.loc[2, "age"] == 0
+    assert out.loc[3, "fresh"] and out.loc[3, "age"] == 0
+    assert out.loc[4, "fresh"] and out.loc[4, "age"] == 0
