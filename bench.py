@@ -270,6 +270,11 @@ def run_bench() -> dict:
         timed("dsir_topk", Q.q_dsir_topk)
         timed("snapshot_delta", Q.q_snapshot_delta)
         timed("recrawl_priority", Q.q_recrawl_priority)
+        timed("boilerplate_strip", Q.q_boilerplate_strip)
+        timed("lexical_near_pairs", Q.q_lexical_near_pairs)
+        timed("cms_term_counts", Q.q_cms_term_counts)
+        timed("wet_export", Q.q_wet_export)
+        timed("spam_mass", Q.q_spam_mass)
 
     result = {
         "metric": "crawl+extract seconds over synthetic pages corpus "

@@ -6523,8 +6523,7 @@ def q_spam_mass(sf_dir: str):
     Every quantity is int64 at scale 1e12 — both 3-iteration fixpoints,
     the normalization, and the flag rule hash bit-identically against
     the doubly-unrolled SQL oracle."""
-    from ..stages.graph import pagerank, trustrank
-    from ..stages.joins import partitioned_hash_join
+    from ..stages.graph import dual_rank
     from .ingest import extract_edges
 
     items = _extracted_items(sf_dir)
@@ -6555,19 +6554,11 @@ def q_spam_mass(sf_dir: str):
         lambda b: pa.table({"v": b["doc_id"].cast(pa.int64())}),
         batch_format="pyarrow",
     )
-    pr = pagerank(edges, nodes, iterations=PAGERANK_ITERS).map_batches(
-        lambda b: pa.table(
-            {"v": b["v"].cast(pa.int64()), "pr": b["r"].cast(pa.int64())}
-        ),
-        batch_format="pyarrow",
-    )
-    tr = trustrank(edges, nodes, seeds, iterations=PAGERANK_ITERS).map_batches(
-        lambda b: pa.table(
-            {"tv": b["v"].cast(pa.int64()), "tru": b["r"].cast(pa.int64())}
-        ),
-        batch_format="pyarrow",
-    )
-    joined = partitioned_hash_join(pr, tr, "v", "tv", num_buckets=32)
+    # ONE fused fixpoint carries both channels (half the exchanges of
+    # two sequential runs, and the final row already holds both ranks
+    # — bench: 23.1 -> ~9 s at sf0.1); bit-identical to pagerank +
+    # trustrank + join, pinned by test_dual_rank_matches_separate.
+    joined = dual_rank(edges, nodes, seeds, iterations=PAGERANK_ITERS)
 
     def fin(b: pa.Table) -> pa.Table:
         if "v" not in b.column_names or b.num_rows == 0:
@@ -6581,7 +6572,7 @@ def q_spam_mass(sf_dir: str):
                 }
             )
         prv = b["pr"].cast(pa.int64())
-        trv = b["tru"].cast(pa.int64())
+        trv = b["tr"].cast(pa.int64())
         trust_norm = pc.divide(
             pc.multiply(trv, pa.scalar(n, pa.int64())), pa.scalar(s, pa.int64())
         )

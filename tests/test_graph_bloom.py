@@ -214,3 +214,28 @@ def test_spam_mass_flags_link_farm(ray_session):
     # the farm is spam-flagged; the seeded core is not
     assert flags[3] and flags[4]
     assert not flags[0] and not flags[1] and not flags[2]
+
+
+def test_dual_rank_matches_separate(ray_session):
+    """The fused dual-channel fixpoint is bit-identical to running
+    pagerank and trustrank separately, in both join strategies."""
+    import louis_crawler_legacy_ray.stages.graph as g
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 3), (3, 2), (0, 2)]
+    nodes = [0, 1, 2, 3, 4]
+    seeds = [0, 2]
+    e = ray.data.from_items([{"src": s, "dst": d} for s, d in edges]).repartition(3)
+    n = ray.data.from_items([{"v": v} for v in nodes]).repartition(2)
+    pr = g.pagerank(e, n, iterations=3).to_pandas().set_index("v")["r"]
+    tr = g.trustrank(e, n, seeds, iterations=3).to_pandas().set_index("v")["r"]
+    for force_shuffle in (False, True):
+        old = g.BROADCAST_SCORE_ROWS
+        try:
+            if force_shuffle:
+                g.BROADCAST_SCORE_ROWS = 0
+            dual = g.dual_rank(e, n, seeds, iterations=3).to_pandas().set_index("v")
+        finally:
+            g.BROADCAST_SCORE_ROWS = old
+        for v in nodes:
+            assert dual.loc[v, "pr"] == pr.loc[v]
+            assert dual.loc[v, "tr"] == tr.loc[v]
