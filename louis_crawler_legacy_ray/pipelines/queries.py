@@ -7822,6 +7822,45 @@ ORDER BY url
 )
 
 
+def q_crawl_from_warc(sf_dir: str):
+    """Archive-replay crawl (the wayback workflow: re-run a crawl from
+    a WARC archive instead of the live web): the pages corpus is
+    exported as gzip-member WARC, read BACK through the distributed
+    WARC parser into a replay corpus, and the full frontier engine
+    crawls THAT — the schedule must be bit-identical to the live
+    crawl's, so any loss or reorder in the archive hop changes
+    (url, depth) rows and fails the same recursive-BFS oracle as
+    crawl_pages_bfs."""
+    import shutil
+
+    import ray.data as _rd
+
+    from ..sources.warc import read_warc, write_warc
+    from .crawl import CrawlConfig, run_crawl
+
+    tag = hashlib.blake2b(f"replay|{sf_dir}".encode(), digest_size=6).hexdigest()
+    warc_dir = f"/tmp/louis_replay_warc_{tag}"
+    replay_dir = f"/tmp/louis_replay_pages_{tag}"
+    if not os.path.exists(os.path.join(replay_dir, "_DONE")):
+        shutil.rmtree(warc_dir, ignore_errors=True)
+        shutil.rmtree(replay_dir, ignore_errors=True)
+        pages = _rd.read_parquet(
+            pages_corpus_dir(sf_dir), columns=["url", "warc_ts", "html"]
+        )
+        write_warc(pages, warc_dir, gzip=True)
+        read_warc(warc_dir).write_parquet(replay_dir)
+        with open(os.path.join(replay_dir, "_DONE"), "w") as f:
+            f.write("ok")
+
+    docs = _docs_table(sf_dir)
+    lang0, src0 = docs["lang"][0].as_py(), docs["source"][0].as_py()
+    seg0 = "fra" if lang0 == "fr" else lang0
+    seed = f"{SITE}/{seg0}/{src0}/doc0"
+    cfg = CrawlConfig(n_shards=4, max_depth=6, max_rounds=16)
+    res = run_crawl(replay_dir, [seed], cfg)
+    return res.order.select(["url", "depth"])
+
+
 def q_sitemap_seeds(sf_dir: str):
     """Sitemap ingestion (sources/sitemaps.py): one sitemaps.org
     ``<urlset>`` document synthesized per corpus host (lastmod =
@@ -8859,6 +8898,7 @@ QUERIES = {
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
     "index_freshness": q_index_freshness,
+    "crawl_from_warc": q_crawl_from_warc,
     "crawl_domain_budget": q_crawl_domain_budget,
     "crawl_fairness": q_crawl_fairness,
     "sitemap_seeds": q_sitemap_seeds,
@@ -9032,6 +9072,7 @@ ORACLE_SQL = {
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,
     "index_freshness": SQL_INDEX_FRESHNESS,
+    "crawl_from_warc": SQL_CRAWL_PAGES_BFS,
     "crawl_domain_budget": SQL_CRAWL_DOMAIN_BUDGET,
     "crawl_fairness": SQL_CRAWL_FAIRNESS,
     "sitemap_seeds": SQL_SITEMAP_SEEDS,
