@@ -1340,6 +1340,86 @@ SELECT url, CAST(min(depth) AS INTEGER) AS depth FROM walk GROUP BY url
 )
 
 
+def q_crawl_host_discovery(sf_dir: str):
+    """Frontier-expansion telemetry: the host-discovery curve — per
+    round, how many NEW hosts the crawl reached for the first time and
+    the cumulative distinct-host count (the classic frontier coverage
+    plot). Derived from the engine's streamed order parts with two
+    dimension-sized aggregates (groupby(host).Min(round) →
+    groupby(round) count + a running sum over the tiny per-round
+    table); the oracle aggregates the same recursive min-depth walk."""
+    from .crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(n_shards=4, max_depth=6, max_rounds=16)
+    res = run_crawl(multihost_corpus_dir(sf_dir), [_mh_seed(sf_dir)], cfg)
+
+    def host_round(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": pa.array(
+                    [
+                        u.split("//", 1)[1].split("/", 1)[0]
+                        for u in b["url"].to_pylist()
+                    ],
+                    pa.string(),
+                ),
+                "round": b["round"].cast(pa.int64()),
+            }
+        )
+
+    first = (
+        res.order_dataset()
+        .map_batches(host_round, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Min("round", alias_name="first_round"))
+    )
+    rows = sorted(
+        (r["first_round"], 1) for r in first.take_all()
+    )  # dimension-sized: one row per HOST
+    per_round: dict[int, int] = {}
+    for rnd, _ in rows:
+        per_round[rnd] = per_round.get(rnd, 0) + 1
+    out_r, out_new, out_cum = [], [], []
+    cum = 0
+    for rnd in sorted(per_round):
+        cum += per_round[rnd]
+        out_r.append(rnd)
+        out_new.append(per_round[rnd])
+        out_cum.append(cum)
+    return pa.table(
+        {
+            "round": pa.array(out_r, pa.int64()),
+            "new_hosts": pa.array(out_new, pa.int64()),
+            "cum_hosts": pa.array(out_cum, pa.int64()),
+        }
+    )
+
+
+SQL_CRAWL_HOST_DISCOVERY = (
+    "WITH RECURSIVE "
+    + _SQL_MH_CTE.replace("WITH ", "", 1)
+    + """,
+edges AS (
+  SELECT url AS src, c1_url AS dst FROM pg
+  UNION ALL SELECT url, c2_url FROM pg),
+walk(url, depth) AS (
+  SELECT url, 0 FROM pg WHERE doc_id = 0
+  UNION ALL
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.url
+  WHERE w.depth < 6),
+ud AS (SELECT url, min(depth) AS depth FROM walk GROUP BY url),
+hf AS (SELECT split_part(split_part(url, '//', 2), '/', 1) AS host,
+              min(depth) AS first_round
+       FROM ud GROUP BY 1),
+pr AS (SELECT first_round AS round, CAST(count(*) AS BIGINT) AS new_hosts
+       FROM hf GROUP BY 1)
+SELECT CAST(round AS BIGINT) AS round, new_hosts,
+       CAST(sum(new_hosts) OVER (ORDER BY round) AS BIGINT) AS cum_hosts
+FROM pr
+"""
+)
+
+
 def q_crawl_multihost_budget(sf_dir: str):
     """Per-HOST token-bucket politeness across a multi-host frontier
     under the exact gate: 7 hosts × (refill 2, burst 4, banked carry),
@@ -8899,6 +8979,7 @@ QUERIES = {
     "idn_hosts": q_idn_hosts,
     "index_freshness": q_index_freshness,
     "crawl_from_warc": q_crawl_from_warc,
+    "crawl_host_discovery": q_crawl_host_discovery,
     "crawl_domain_budget": q_crawl_domain_budget,
     "crawl_fairness": q_crawl_fairness,
     "sitemap_seeds": q_sitemap_seeds,
@@ -9073,6 +9154,7 @@ ORACLE_SQL = {
     "idn_hosts": SQL_IDN_HOSTS,
     "index_freshness": SQL_INDEX_FRESHNESS,
     "crawl_from_warc": SQL_CRAWL_PAGES_BFS,
+    "crawl_host_discovery": SQL_CRAWL_HOST_DISCOVERY,
     "crawl_domain_budget": SQL_CRAWL_DOMAIN_BUDGET,
     "crawl_fairness": SQL_CRAWL_FAIRNESS,
     "sitemap_seeds": SQL_SITEMAP_SEEDS,
