@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_freshness",  # new in r4 (Cho 2003 freshness/age of the index under a refresh schedule)
         "crawl_from_warc",  # new in r4 (archive-replay: WARC roundtrip feeds the frontier, schedule bit-identical)
         "crawl_host_discovery",  # new in r4 (frontier-expansion curve: new hosts per round)
+        "curation_v2",  # new in r4 (boilerplate_strip -> Gopher rules composed under ONE oracle)
         "crawl_relevance_priority",  # new in r4 (focused crawl: content scores steer the frontier)
         "crawl_pagerank_priority",  # new in r4 (pagerank ranks composed into the capped control plane)
         "trustrank",  # new in r4 (seed-restricted teleport demotes spam neighborhoods)

@@ -8565,6 +8565,90 @@ FROM documents
 """
 
 
+def q_curation_v2(sf_dir: str):
+    """Modern-pipeline composition under ONE oracle: the planted
+    template overlay -> within-host boilerplate_strip (>= 1/2
+    line-frequency rule) -> Gopher quality rules computed on the
+    CLEANED text. Both stages are the SAME code paths as their
+    standalone oracled queries — this gates the composition: the strip
+    pass's reassembled text feeds the exact-integer rule features, so
+    an off-by-one in line reassembly flips downstream keep flags."""
+    from ..stages.dedup import boilerplate_strip
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        txts = b["text"].to_pylist()
+        hosts, fulls = [], []
+        for d, t in zip(ids, txts):
+            h = f"h{d % 7}"
+            lines = [f"nav home about contact {h}"]
+            if d % 3 in (0, 1):
+                lines.append(f"season sale {h}")
+            if d % 11 == 0:
+                lines.append(f"promo banner {d}")
+            lines.append(t or "")
+            lines.append(f"footer terms privacy {h}")
+            hosts.append(h)
+            fulls.append("\n".join(lines))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "host": pa.array(hosts, pa.string()),
+                "text": pa.array(fulls, pa.string()),
+            }
+        )
+
+    clean = boilerplate_strip(docs.map_batches(synth, batch_format="pyarrow"))
+    renamed = clean.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"].cast(pa.int64()), "text": b["clean_text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return renamed.map_batches(ts.gopher_quality_batch, batch_format="pyarrow")
+
+
+# composed oracle: the boilerplate query's full SQL becomes a CTE whose
+# clean_text feeds the Gopher feature arithmetic verbatim
+SQL_CURATION_V2 = (
+    "WITH cleaned AS ("
+    + SQL_BOILERPLATE_STRIP
+    + r"""),
+f AS (
+  SELECT doc_id,
+         len(regexp_extract_all(clean_text, '\S+')) AS n_words,
+         length(regexp_replace(clean_text, '\s', '', 'g')) AS n_word_chars,
+         len(regexp_extract_all(clean_text, '#|\.\.\.|…')) AS n_sym,
+         len(string_split(clean_text, chr(10))) AS n_lines,
+         len(regexp_extract_all(clean_text, '(?m)^[ \t]*[-*•]')) AS n_bullet,
+         len(regexp_extract_all(clean_text, '(?m)(\.\.\.|…)$')) AS n_ellipsis,
+         len(regexp_extract_all(clean_text, '\S*[A-Za-z]\S*')) AS n_alpha_words,
+         len(list_distinct(regexp_extract_all(lower(clean_text),
+             '\b(the|be|to|of|and|that|have|with)\b'))) AS n_stop_distinct
+  FROM cleaned)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_word_chars AS BIGINT) AS n_word_chars,
+       CAST(n_sym AS BIGINT) AS n_sym,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_bullet AS BIGINT) AS n_bullet,
+       CAST(n_ellipsis AS BIGINT) AS n_ellipsis,
+       CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+       CAST(n_stop_distinct AS BIGINT) AS n_stop_distinct,
+       (n_words BETWEEN 50 AND 100000
+        AND 3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+        AND 10 * n_sym < n_words
+        AND 10 * n_bullet < 9 * n_lines
+        AND 10 * n_ellipsis < 3 * n_lines
+        AND 10 * n_alpha_words >= 8 * n_words
+        AND n_stop_distinct >= 2) AS keep
+FROM f
+"""
+)
+
+
 def q_registered_domains(sf_dir: str):
     """Registered-domain (eTLD+1) extraction under the exact gate
     (functions/urls.py registered_domain — the publicsuffix.org
@@ -8980,6 +9064,7 @@ QUERIES = {
     "index_freshness": q_index_freshness,
     "crawl_from_warc": q_crawl_from_warc,
     "crawl_host_discovery": q_crawl_host_discovery,
+    "curation_v2": q_curation_v2,
     "crawl_domain_budget": q_crawl_domain_budget,
     "crawl_fairness": q_crawl_fairness,
     "sitemap_seeds": q_sitemap_seeds,
@@ -9155,6 +9240,7 @@ ORACLE_SQL = {
     "index_freshness": SQL_INDEX_FRESHNESS,
     "crawl_from_warc": SQL_CRAWL_PAGES_BFS,
     "crawl_host_discovery": SQL_CRAWL_HOST_DISCOVERY,
+    "curation_v2": SQL_CURATION_V2,
     "crawl_domain_budget": SQL_CRAWL_DOMAIN_BUDGET,
     "crawl_fairness": SQL_CRAWL_FAIRNESS,
     "sitemap_seeds": SQL_SITEMAP_SEEDS,
