@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from louis_crawler_legacy_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
     first = [  # oracled but never driver-gated through round 3
+        "hll_md5_distinct",  # new in r4 (fully-oracled HyperLogLog: md5-parity registers, integer harmonic sum)
         "spam_mass",  # new in r4 (Gyöngyi mass estimation: pagerank - normalized trustrank)
         "wet_export",  # new in r4 (Common Crawl WET conversion records: extract -> text -> WET -> parse)
         "wat_export",  # new in r4 (Common Crawl WAT metadata-JSON records roundtrip)

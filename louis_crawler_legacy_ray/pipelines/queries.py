@@ -8505,6 +8505,67 @@ SELECT term, CAST(min(s) AS BIGINT) AS est FROM rws GROUP BY term
 )
 
 
+def q_hll_md5_distinct(sf_dir: str):
+    """HyperLogLog distinct users per event type — the FULLY ORACLED
+    HLL (companion to the blake2b `approx_distinct_users` rows-only
+    path and the oracled CMS): registers keep the lowest-set-bit of
+    the md5-parity value hash (max-merge ≡ leading-zero rank), the
+    harmonic sum is an exact scaled integer, and est_raw is one IEEE
+    division — DuckDB recomputes every register and the estimate
+    bit-for-bit. exact_distinct rides along for sketch-vs-truth."""
+    from ..stages.sketches import hll_md5_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_md5_distinct(ev, "event_type", "user_id")
+
+
+def _hll_md5_sql() -> str:
+    from ..stages.sketches import HLL_MD5_C, HLL_MD5_M, HLL_MD5_VCAP
+
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         md5_number_lower(CAST(user_id AS VARCHAR)) AS h
+  FROM events),
+b AS (
+  SELECT event_type, CAST(h % {HLL_MD5_M} AS BIGINT) AS j,
+         CAST((h // {HLL_MD5_M}) % {HLL_MD5_VCAP} AS BIGINT) AS v
+  FROM h),
+lb AS (
+  SELECT event_type, j,
+         CASE WHEN v = 0 THEN {HLL_MD5_VCAP} ELSE v & (-v) END AS r
+  FROM b),
+regs AS (
+  SELECT event_type, j, max(r) AS reg FROM lb GROUP BY event_type, j),
+grid AS (
+  SELECT g.event_type, t.j
+  FROM (SELECT DISTINCT event_type FROM events) g,
+       (SELECT unnest(generate_series(0, {HLL_MD5_M - 1})) AS j) t),
+fregs AS (
+  SELECT grid.event_type, grid.j, coalesce(regs.reg, 0) AS reg
+  FROM grid LEFT JOIN regs
+    ON regs.event_type = grid.event_type AND regs.j = grid.j),
+sk AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nonzero_regs,
+         CAST(sum(CASE WHEN reg = 0 THEN {2 * HLL_MD5_VCAP}
+                       ELSE {2 * HLL_MD5_VCAP} // (2 * reg) END) AS BIGINT)
+           AS harmonic_denom
+  FROM fregs GROUP BY event_type),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type)
+SELECT sk.event_type, sk.nonzero_regs, sk.harmonic_denom,
+       {HLL_MD5_C!r} / sk.harmonic_denom AS est_raw,
+       ex.exact_distinct
+FROM sk JOIN ex ON ex.event_type = sk.event_type
+"""
+
+
+SQL_HLL_MD5_DISTINCT = _hll_md5_sql()
+
+
 def q_idn_hosts(sf_dir: str):
     """IDN host normalization under the exact gate (functions/urls.py
     idna_host — RFC 3490 ToASCII, label by label): five deterministic
@@ -9058,6 +9119,7 @@ QUERIES = {
     "dust_rules": q_dust_rules,
     "lexical_near_pairs": q_lexical_near_pairs,
     "cms_term_counts": q_cms_term_counts,
+    "hll_md5_distinct": q_hll_md5_distinct,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -9234,6 +9296,7 @@ ORACLE_SQL = {
     "dust_rules": SQL_DUST_RULES,
     "lexical_near_pairs": SQL_LEXICAL_NEAR_PAIRS,
     "cms_term_counts": SQL_CMS_TERM_COUNTS,
+    "hll_md5_distinct": SQL_HLL_MD5_DISTINCT,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,

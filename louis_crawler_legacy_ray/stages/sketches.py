@@ -115,6 +115,118 @@ def approx_distinct(
     return {"estimate": merged.estimate(), "p": p}
 
 
+# ------------------------------------------------ fully-oracled HLL (md5)
+HLL_MD5_M = 64  # registers
+HLL_MD5_VCAP = 1 << 32  # value-hash domain after the bucket bits
+# raw-estimator constant alpha_m * m^2, pre-scaled by the 2^33 fixed
+# denominator of harmonic_denom; embedded as the SAME literal in the
+# DuckDB oracle so est_raw is ONE IEEE division of two exacts.
+HLL_MD5_C = 0.7213 / (1 + 1.079 / HLL_MD5_M) * HLL_MD5_M * HLL_MD5_M * (2 * HLL_MD5_VCAP)
+
+
+def hll_md5_distinct(
+    ds: ray.data.Dataset, group_col: str, value_col: str
+) -> pa.Table:
+    """Per-group HyperLogLog distinct-count with EXACTLY-oracled state
+    (Flajolet et al. 2007), the HLL twin of the Count-Min md5 trick:
+
+    * value hash = md5_number_lower(str(value)) (DuckDB parity);
+      bucket j = h % 64; remaining value v = (h // 64) % 2^32.
+    * register stores the LOWEST set bit of v (power of two; v == 0
+      maps to 2^32) instead of the leading-zero rank — max-merge is
+      identical, and SQL recomputes it as ``v & (-v)`` with no
+      float log2.
+    * the harmonic sum is kept as an INTEGER: harmonic_denom =
+      sum_j 2^33 / (2 * R_j) (empty register contributes 2^33, i.e.
+      2^-0 scaled) — every term divides exactly, order-free.
+    * est_raw = alpha_m * m^2 * 2^33 / harmonic_denom is a single
+      IEEE division by that integer, bit-identical in DuckDB.
+
+    Scale shape: per-block register partials (<= groups x 64 compact
+    rows per block — the only thing shuffled), a (group, j) max
+    groupby, then a per-group finish. exact_distinct rides along from
+    a two-level distinct groupby for the sketch-vs-truth row."""
+    import pandas as pd
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Max as _Max
+
+    m = HLL_MD5_M
+    cap = HLL_MD5_VCAP
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs: dict[tuple, int] = {}
+        for g, u in zip(
+            batch[group_col].to_pylist(), batch[value_col].to_pylist()
+        ):
+            h = int.from_bytes(
+                hashlib.md5(str(u).encode()).digest()[8:16], "little"
+            )
+            v = (h // m) % cap
+            r = (v & -v) if v else cap
+            k = (g, h % m)
+            if r > regs.get(k, 0):
+                regs[k] = r
+        ks = list(regs)
+        return pa.table(
+            {
+                group_col: pa.array([k[0] for k in ks]),
+                "j": pa.array([k[1] for k in ks], pa.int64()),
+                "reg": pa.array([regs[k] for k in ks], pa.int64()),
+            }
+        )
+
+    regs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "j"])
+        .aggregate(_Max("reg", alias_name="reg"))
+    )
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        present = dict(zip(g["j"].astype(int), g["reg"].astype(int)))
+        s, nz = 0, 0
+        for j in range(m):
+            r = present.get(j, 0)
+            if r > 0:
+                nz += 1
+                s += (2 * cap) // (2 * r)
+            else:
+                s += 2 * cap
+        return from_pandas_clean(
+            pd.DataFrame(
+                {
+                    group_col: [g[group_col].iloc[0]],
+                    "nonzero_regs": np.array([nz], np.int64),
+                    "harmonic_denom": np.array([s], np.int64),
+                    "est_raw": np.array([HLL_MD5_C / s], np.float64),
+                }
+            )
+        )
+
+    sketch = regs.groupby(group_col).map_groups(finish, batch_format="pandas")
+    exact = (
+        ds.groupby([group_col, value_col])
+        .aggregate(_Count(alias_name="_c"))
+        .groupby(group_col)
+        .aggregate(_Count(alias_name="exact_distinct"))
+    )
+    # both sides are one row per group — a driver-side zip is the
+    # right size here (the 100 TB version joins two tiny tables)
+    sk = sketch.take_all()
+    ex = {r[group_col]: r["exact_distinct"] for r in exact.take_all()}
+    out = {
+        group_col: [r[group_col] for r in sk],
+        "nonzero_regs": pa.array([r["nonzero_regs"] for r in sk], pa.int64()),
+        "harmonic_denom": pa.array(
+            [r["harmonic_denom"] for r in sk], pa.int64()
+        ),
+        "est_raw": pa.array([r["est_raw"] for r in sk], pa.float64()),
+        "exact_distinct": pa.array(
+            [ex[r[group_col]] for r in sk], pa.int64()
+        ),
+    }
+    return pa.table(out)
+
+
 def histogram_quantiles(
     ds: ray.data.Dataset,
     key_col: str,
