@@ -4567,6 +4567,19 @@ def _mod8_filter(b: pa.Table) -> pa.Table:
         pc.equal(pc.bit_wise_and(b["doc_id"].cast(pa.int64()), 7), 0)
     )
 
+
+def _plant_copies(b: pa.Table) -> pa.Table:
+    """Append one identical copy per doc at doc_id + 1_000_000 — the
+    deterministic dup seeding the LSH/near-dup oracles rely on (random
+    testdata alone may produce zero candidate pairs)."""
+    ids = b["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate([ids, ids + 1_000_000]), pa.int64()),
+            "text": pa.chunked_array([b["text"], b["text"]]),
+        }
+    )
+
 def q_rolling_fp_cp(sf_dir: str):
     """Codepoint rolling fingerprint per document (Horner base-131 mod
     2^31-1 over the first 256 codepoints) — exact twin of
@@ -4635,19 +4648,7 @@ def q_minhash_md5_pairs(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         _mod8_filter, batch_format="pyarrow"
     )
-
-    def plant(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    np.concatenate([ids, ids + 1_000_000]), pa.int64()
-                ),
-                "text": pa.chunked_array([b["text"], b["text"]]),
-            }
-        )
-
-    aug = docs.map_batches(plant, batch_format="pyarrow")
+    aug = docs.map_batches(_plant_copies, batch_format="pyarrow")
     pairs = dd.minhash_md5_pairs(aug)
     return pairs.select_columns(["doc_a", "doc_b"])
 
@@ -4671,6 +4672,66 @@ SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
 FROM bands x JOIN bands y
   ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2
  AND x.doc_id < y.doc_id
+"""
+)
+
+
+def q_lsh_components(sf_dir: str):
+    """Near-dup CLUSTER IDs from LSH candidates: the md5-family band
+    pairs (same planted-copy corpus as minhash_md5_pairs) fed into the
+    distributed min-label-propagation connected components — the
+    MinHash->LSH->cluster composition a 100 TB dedup actually runs
+    (each cluster keeps one survivor), here end-to-end under ONE
+    exact oracle (recursive min-reachable CTE over the same edges).
+    Docs too short to sign stay singleton clusters."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _mod8_filter, batch_format="pyarrow"
+    )
+    aug = docs.map_batches(_plant_copies, batch_format="pyarrow")
+    pairs = dd.minhash_md5_pairs(aug)
+    ids = aug.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return dd.connected_components(pairs, ids)
+
+
+SQL_LSH_COMPONENTS = (
+    _SQL_MINHASH_MD5_SIGS_CTE.format(
+        src="""(
+  SELECT doc_id, text FROM documents WHERE doc_id % 8 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 8 = 0
+)"""
+    ).replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+    + """,
+bands AS (
+  SELECT doc_id, hi // 2 AS band,
+         min(CASE WHEN hi % 2 = 0 THEN sig END) AS k1,
+         min(CASE WHEN hi % 2 = 1 THEN sig END) AS k2
+  FROM h GROUP BY doc_id, hi // 2
+),
+prs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2
+   AND x.doc_id < y.doc_id
+),
+nodes AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE doc_id % 8 = 0
+  UNION ALL
+  SELECT CAST(doc_id + 1000000 AS BIGINT) FROM documents WHERE doc_id % 8 = 0
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION ALL SELECT doc_b, doc_a FROM prs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT CAST(e.dst AS BIGINT), r.label
+  FROM reach r JOIN edges e ON e.src = r.node)
+SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
 """
 )
 
@@ -9120,6 +9181,7 @@ QUERIES = {
     "lexical_near_pairs": q_lexical_near_pairs,
     "cms_term_counts": q_cms_term_counts,
     "hll_md5_distinct": q_hll_md5_distinct,
+    "lsh_components": q_lsh_components,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -9297,6 +9359,7 @@ ORACLE_SQL = {
     "lexical_near_pairs": SQL_LEXICAL_NEAR_PAIRS,
     "cms_term_counts": SQL_CMS_TERM_COUNTS,
     "hll_md5_distinct": SQL_HLL_MD5_DISTINCT,
+    "lsh_components": SQL_LSH_COMPONENTS,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,

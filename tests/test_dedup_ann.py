@@ -527,3 +527,20 @@ def test_containment_pairs_asymmetric(ray_session):
     assert (r["doc_a"], r["doc_b"]) == (0, 1)
     assert r["contains_ab"] and not r["contains_ba"]
     assert r["inter"] == r["size_a"]  # full containment of the subset
+
+
+def test_lsh_components_planted_copies_cluster(ray_session):
+    """q_lsh_components: every planted copy (doc_id + 1M, identical
+    text) lands in its original's cluster with cluster_id = the
+    original id; sig-less short docs stay singletons."""
+    from louis_crawler_legacy_ray.pipelines.queries import q_lsh_components
+
+    out = q_lsh_components("/root/testdata/sf0.001")
+    rows = out.take_all() if hasattr(out, "take_all") else out.to_pylist()
+    label = {r["doc_id"]: r["cluster_id"] for r in rows}
+    origs = [d for d in label if d < 1_000_000]
+    assert origs and len(label) == 2 * len(origs)
+    for d in origs:
+        assert label[d + 1_000_000] == label[d]
+        # min-label invariant: a cluster is named by its smallest member
+        assert label[d] <= d
