@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     first = [  # oracled but never driver-gated through round 3
         "hll_md5_distinct",  # new in r4 (fully-oracled HyperLogLog: md5-parity registers, integer harmonic sum)
         "lsh_components",  # new in r4 (MinHash->LSH->connected-components cluster ids under one oracle)
+        "harmonic_centrality",  # new in r4 (Boldi-Vigna centrality: frontier-delta multi-source BFS, exact 1/d sums)
         "spam_mass",  # new in r4 (Gyöngyi mass estimation: pagerank - normalized trustrank)
         "wet_export",  # new in r4 (Common Crawl WET conversion records: extract -> text -> WET -> parse)
         "wat_export",  # new in r4 (Common Crawl WAT metadata-JSON records roundtrip)

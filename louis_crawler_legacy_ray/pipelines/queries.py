@@ -8898,6 +8898,99 @@ ORDER BY src_host, dst_host
 )
 
 
+def q_harmonic_centrality(sf_dir: str):
+    """Harmonic centrality of every page in the multihost corpus
+    (Boldi & Vigna 2014; the Common Crawl host-ranking metric), over
+    the REAL extract path: corpus html -> link extraction -> directed
+    page graph -> frontier-delta multi-source BFS -> exact scaled-int
+    1/d sums (scale = lcm(1..15) = 360360, depth-capped at 15 to match
+    the bounded recursive-CTE oracle)."""
+    import ray.data as _rd
+
+    from ..stages.graph import harmonic_centrality
+
+    corpus = multihost_corpus_dir(sf_dir)
+    pages = _rd.read_parquet(corpus, columns=["url", "html"])
+
+    def _uid(u: str) -> int:
+        return int(u.rsplit("doc", 1)[1])
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        items = extract_batch(b)
+        srcs, dsts = [], []
+        for src, links in zip(
+            items["url"].to_pylist(), items["links"].to_pylist()
+        ):
+            sid = _uid(src)
+            for dst in dict.fromkeys(links):
+                srcs.append(sid)
+                dsts.append(_uid(dst))
+        return pa.table(
+            {
+                "src": pa.array(srcs, pa.int64()),
+                "dst": pa.array(dsts, pa.int64()),
+            }
+        )
+
+    edges = pages.map_batches(edge_rows, batch_format="pyarrow")
+    nodes = pages.map_batches(
+        lambda b: pa.table(
+            {"node": pa.array([_uid(u) for u in b["url"].to_pylist()], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    out = harmonic_centrality(edges, nodes, max_depth=15, scale=360360)
+    # map node ids back to urls: the (id, url) side is one row per
+    # page — broadcast once (the 100 TB version shuffle-joins it)
+    id2url_ref = ray.put(
+        {
+            _uid(u): u
+            for b in pages.select_columns(["url"]).iter_batches(
+                batch_format="pyarrow"
+            )
+            for u in b["url"].to_pylist()
+        }
+    )
+
+    def attach_url(b: pa.Table) -> pa.Table:
+        id2url = ray.get(id2url_ref)
+        return pa.table(
+            {
+                "url": pa.array(
+                    [id2url[int(n)] for n in b["node"].to_pylist()], pa.string()
+                ),
+                "harmonic_num": b["harmonic_num"],
+                "reachable": b["reachable"],
+            }
+        )
+
+    return out.map_batches(attach_url, batch_format="pyarrow")
+
+
+SQL_HARMONIC_CENTRALITY = (
+    _SQL_MH_CTE.replace("WITH nn AS", "WITH RECURSIVE nn AS", 1)
+    + """,
+edges AS (
+  SELECT DISTINCT url AS src, c1_url AS dst FROM pg
+  UNION
+  SELECT url, c2_url FROM pg),
+reach(root, node, d) AS (
+  SELECT url, url, 0 FROM pg
+  UNION
+  SELECT r.root, e.dst, r.d + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.d < 15),
+md AS (SELECT root, node, min(d) AS d FROM reach GROUP BY root, node)
+SELECT pg.url,
+       CAST(coalesce(s.hnum, 0) AS BIGINT) AS harmonic_num,
+       CAST(coalesce(s.nreach, 0) AS BIGINT) AS reachable
+FROM pg LEFT JOIN (
+  SELECT node, sum(360360 // d) AS hnum, count(*) AS nreach
+  FROM md WHERE d > 0 GROUP BY node) s ON s.node = pg.url
+"""
+)
+
+
 def q_shingle_containment(sf_dir: str):
     """Asymmetric containment near-dup under the exact gate (Broder
     1997's containment coefficient — the subset-duplication signal
@@ -9182,6 +9275,7 @@ QUERIES = {
     "cms_term_counts": q_cms_term_counts,
     "hll_md5_distinct": q_hll_md5_distinct,
     "lsh_components": q_lsh_components,
+    "harmonic_centrality": q_harmonic_centrality,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -9360,6 +9454,7 @@ ORACLE_SQL = {
     "cms_term_counts": SQL_CMS_TERM_COUNTS,
     "hll_md5_distinct": SQL_HLL_MD5_DISTINCT,
     "lsh_components": SQL_LSH_COMPONENTS,
+    "harmonic_centrality": SQL_HARMONIC_CENTRALITY,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,

@@ -29,6 +29,7 @@ explicitly.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -535,3 +536,220 @@ def dual_rank(
         ranks = agg.map_batches(update, batch_format="pyarrow").materialize()
 
     return ranks
+
+
+# adjacency-broadcast bound for harmonic_centrality: an edge table at
+# or under this many rows ships whole (one ray.put of a packed CSR
+# adjacency; every BFS task reads the same copy from the local object
+# store) — the Common Crawl host graph (~10^8 edges) still fits this
+# path on 64 GiB workers; beyond it the bulk-synchronous join-BFS
+# shuffles.
+HARMONIC_BROADCAST_EDGES = 5_000_000
+
+
+def harmonic_centrality(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    node_col: str = "node",
+    max_depth: int = 15,
+    scale: int = 360360,
+) -> ray.data.Dataset:
+    """Harmonic centrality (Boldi & Vigna 2014 — the ranking Common
+    Crawl publishes for its host/domain graphs): H(u) = sum over v != u
+    with d(v, u) <= max_depth of 1/d(v, u), kept EXACT as the scaled
+    integer sum(scale // d) with scale = lcm(1..max_depth), so the
+    result is order-free and hash-matches a bounded-depth recursive-CTE
+    oracle bit-for-bit.
+
+    Planner (the broadcast-vs-shuffle choice pagerank makes for its
+    score table): edge tables <= HARMONIC_BROADCAST_EDGES broadcast a
+    packed int CSR adjacency once via ``ray.put`` and run every root's
+    BFS INDEPENDENTLY inside ``map_batches`` over the node table —
+    per-root BFS is embarrassingly parallel, the only shuffle is the
+    final per-target Sum groupby of pre-aggregated per-block partials.
+    Larger graphs fall back to bulk-synchronous frontier-delta BFS
+    (iterated frontier x edges partitioned hash joins + (root, node)
+    min-groupby, the connected_components pattern). Both paths are only
+    tractable on rolled-up graphs (hosts/domains); the page-graph-scale
+    answer is HyperBall (register sketches per node — see
+    hll_md5_distinct for the oracled register kernel).
+
+    ``edges``: directed int64 (src, dst) rows. ``nodes``: one int64 row
+    per node in ``node_col`` (isolated nodes keep H = 0). Returns
+    (node_col, harmonic_num, reachable) with harmonic_num = scale-scaled
+    H and reachable = |{v : 0 < d(v, u) <= max_depth}|.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    edges = edges.materialize()
+    if edges.count() <= HARMONIC_BROADCAST_EDGES:
+        parts = _harmonic_partials_broadcast(
+            edges, nodes, node_col, max_depth, scale
+        )
+    else:
+        dist = _all_pairs_bfs_shuffle(edges, nodes, node_col, max_depth)
+
+        def contrib(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.greater(b["d"], 0))
+            d_np = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    node_col: t["node"],
+                    "hnum": pa.array(scale // d_np),
+                    "one": pa.array(np.ones(len(d_np), np.int64)),
+                }
+            )
+
+        parts = dist.map_batches(contrib, batch_format="pyarrow")
+
+    def zeros(b: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(b.num_rows, np.int64))
+        return pa.table({node_col: b[node_col], "hnum": z, "one": z})
+
+    return (
+        parts.union(nodes.map_batches(zeros, batch_format="pyarrow"))
+        .groupby(node_col)
+        .aggregate(
+            _Sum("hnum", alias_name="harmonic_num"),
+            _Sum("one", alias_name="reachable"),
+        )
+    )
+
+
+def _harmonic_partials_broadcast(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    node_col: str,
+    max_depth: int,
+    scale: int,
+) -> ray.data.Dataset:
+    """Per-block (node_col, hnum, one) partial contributions: each task
+    BFSes its block's roots against ONE broadcast CSR adjacency and
+    pre-sums scale // d per target inside the block, so the shuffle
+    carries <= |V| rows per block instead of |roots| x |V|."""
+    srcs = np.concatenate(
+        [
+            b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            for b in edges.iter_batches(batch_format="pyarrow")
+        ]
+        or [np.array([], np.int64)]
+    )
+    dsts = np.concatenate(
+        [
+            b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            for b in edges.iter_batches(batch_format="pyarrow")
+        ]
+        or [np.array([], np.int64)]
+    )
+    # CSR over a dense remap of the touched ids (int lookups, no dict
+    # per neighbor visit)
+    vocab = np.unique(np.concatenate([srcs, dsts]))
+    order = np.argsort(srcs, kind="stable")
+    s_ix = np.searchsorted(vocab, srcs[order])
+    d_ix = np.searchsorted(vocab, dsts[order])
+    starts = np.searchsorted(s_ix, np.arange(len(vocab)))
+    ends = np.searchsorted(s_ix, np.arange(len(vocab)) + 1)
+    adj_ref = ray.put((vocab, d_ix, starts, ends))
+
+    def bfs_block(b: pa.Table) -> pa.Table:
+        vocab, nbr, starts, ends = ray.get(adj_ref)
+        nv = len(vocab)
+        hnum = np.zeros(nv, np.int64)
+        nreach = np.zeros(nv, np.int64)
+        dist = np.empty(nv, np.int64)
+        for root in b[node_col].to_pylist():
+            pos = int(np.searchsorted(vocab, int(root)))
+            if pos >= nv or vocab[pos] != int(root):
+                continue  # isolated root: reaches nothing
+            dist.fill(-1)
+            dist[pos] = 0
+            frontier = [pos]
+            for depth in range(1, max_depth + 1):
+                nxt = []
+                for u in frontier:
+                    for j in range(starts[u], ends[u]):
+                        v = nbr[j]
+                        if dist[v] < 0:
+                            dist[v] = depth
+                            nxt.append(v)
+                if not nxt:
+                    break
+                frontier = nxt
+            hit = dist > 0
+            hnum[hit] += scale // dist[hit]
+            nreach[hit] += 1
+        touched = (hnum > 0) | (nreach > 0)
+        return pa.table(
+            {
+                node_col: pa.array(vocab[touched]),
+                "hnum": pa.array(hnum[touched]),
+                "one": pa.array(nreach[touched]),
+            }
+        )
+
+    return nodes.map_batches(bfs_block, batch_format="pyarrow")
+
+
+def _all_pairs_bfs_shuffle(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    node_col: str,
+    max_depth: int,
+) -> ray.data.Dataset:
+    """Bulk-synchronous frontier-delta multi-source BFS: per round one
+    (frontier x edges) partitioned hash join + one (root, node)
+    min-groupby; only newly discovered rows re-expand."""
+    from ray.data.aggregate import Min as _Min
+
+    from .joins import partitioned_hash_join
+
+    def init(b: pa.Table) -> pa.Table:
+        n = b[node_col]
+        return pa.table(
+            {
+                "root": n,
+                "node": n,
+                "d": pa.array(np.zeros(len(n), np.int64)),
+            }
+        )
+
+    dist = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    frontier = dist
+    for depth in range(1, max_depth + 1):
+        if frontier.count() == 0:
+            break
+        joined = partitioned_hash_join(
+            edges, frontier.select_columns(["root", "node"]), "src", "node"
+        )
+
+        def cand(b: pa.Table, depth: int = depth) -> pa.Table:
+            return pa.table(
+                {
+                    "root": b["root"],
+                    "node": b["dst"],
+                    "d": pa.array(np.full(b.num_rows, depth, np.int64)),
+                    "old": pa.nulls(b.num_rows, pa.int64()),
+                }
+            )
+
+        def keep(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"root": b["root"], "node": b["node"], "d": b["d"], "old": b["d"]}
+            )
+
+        merged = (
+            dist.map_batches(keep, batch_format="pyarrow")
+            .union(joined.map_batches(cand, batch_format="pyarrow"))
+            .groupby(["root", "node"])
+            .aggregate(_Min("d", alias_name="d"), _Min("old", alias_name="old"))
+            .materialize()
+        )
+
+        def fresh(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.is_null(b["old"]))
+            return pa.table({"root": t["root"], "node": t["node"], "d": t["d"]})
+
+        frontier = merged.map_batches(fresh, batch_format="pyarrow").materialize()
+        dist = merged.select_columns(["root", "node", "d"]).materialize()
+
+    return dist

@@ -239,3 +239,61 @@ def test_dual_rank_matches_separate(ray_session):
         for v in nodes:
             assert dual.loc[v, "pr"] == pr.loc[v]
             assert dual.loc[v, "tr"] == tr.loc[v]
+
+
+def test_harmonic_centrality_paths_agree(ray_session, monkeypatch):
+    """Broadcast-CSR BFS and bulk-synchronous shuffle BFS produce the
+    same exact scaled-int harmonic sums; values match a naive
+    all-pairs recompute (directed chain + cycle + isolated node)."""
+    import itertools
+
+    import ray.data as rd
+
+    from louis_crawler_legacy_ray.stages import graph as G
+
+    # 0->1->2->3, 4<->5, 6 isolated, plus 3->0 closing a 4-cycle
+    e = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 4)]
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in e], pa.int64()),
+                "dst": pa.array([b for _, b in e], pa.int64()),
+            }
+        )
+    )
+    nodes = rd.from_arrow(pa.table({"node": pa.array(range(7), pa.int64())}))
+
+    def run():
+        out = G.harmonic_centrality(edges, nodes, max_depth=15, scale=360360)
+        return {
+            r["node"]: (r["harmonic_num"], r["reachable"])
+            for r in out.take_all()
+        }
+
+    broadcast = run()
+    monkeypatch.setattr(G, "HARMONIC_BROADCAST_EDGES", 0)
+    shuffle = run()
+    assert broadcast == shuffle
+
+    # naive truth
+    adj = {}
+    for a, b in e:
+        adj.setdefault(a, []).append(b)
+    truth = {n: [0, 0] for n in range(7)}
+    for root in range(7):
+        dist = {root: 0}
+        q = [root]
+        while q:
+            nq = []
+            for u in q:
+                for v in adj.get(u, []):
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        nq.append(v)
+            q = nq
+        for v, d in dist.items():
+            if d > 0:
+                truth[v][0] += 360360 // d
+                truth[v][1] += 1
+    assert broadcast == {n: tuple(v) for n, v in truth.items()}
+    assert broadcast[6] == (0, 0)  # isolated
