@@ -8898,16 +8898,14 @@ ORDER BY src_host, dst_host
 )
 
 
-def q_harmonic_centrality(sf_dir: str):
-    """Harmonic centrality of every page in the multihost corpus
-    (Boldi & Vigna 2014; the Common Crawl host-ranking metric), over
-    the REAL extract path: corpus html -> link extraction -> directed
-    page graph -> frontier-delta multi-source BFS -> exact scaled-int
-    1/d sums (scale = lcm(1..15) = 360360, depth-capped at 15 to match
-    the bounded recursive-CTE oracle)."""
+def _mh_int_graph(sf_dir: str):
+    """(edges, nodes, pages) of the multihost corpus as an int64 page
+    graph: node id = the docN suffix, edges from the REAL extract path
+    (html -> link extraction -> per-page ordered dedup). String node
+    keys turned a gate-scale BFS into minutes of string-key shuffles —
+    graph algorithms run on int ids, the url mapping re-attaches at
+    the edge of the pipeline."""
     import ray.data as _rd
-
-    from ..stages.graph import harmonic_centrality
 
     corpus = multihost_corpus_dir(sf_dir)
     pages = _rd.read_parquet(corpus, columns=["url", "html"])
@@ -8935,11 +8933,33 @@ def q_harmonic_centrality(sf_dir: str):
     edges = pages.map_batches(edge_rows, batch_format="pyarrow")
     nodes = pages.map_batches(
         lambda b: pa.table(
-            {"node": pa.array([_uid(u) for u in b["url"].to_pylist()], pa.int64())}
+            {
+                "node": pa.array(
+                    [_uid(u) for u in b["url"].to_pylist()], pa.int64()
+                )
+            }
         ),
         batch_format="pyarrow",
     )
+    return edges, nodes, pages
+
+
+def q_harmonic_centrality(sf_dir: str):
+    """Harmonic centrality of every page in the multihost corpus
+    (Boldi & Vigna 2014; the Common Crawl host-ranking metric), over
+    the REAL extract path: corpus html -> link extraction -> directed
+    page graph -> frontier-delta multi-source BFS -> exact scaled-int
+    1/d sums (scale = lcm(1..15) = 360360, depth-capped at 15 to match
+    the bounded recursive-CTE oracle)."""
+    import ray.data as _rd
+
+    from ..stages.graph import harmonic_centrality
+
+    edges, nodes, pages = _mh_int_graph(sf_dir)
     out = harmonic_centrality(edges, nodes, max_depth=15, scale=360360)
+
+    def _uid(u: str) -> int:
+        return int(u.rsplit("doc", 1)[1])
     # map node ids back to urls: the (id, url) side is one row per
     # page — broadcast once (the 100 TB version shuffle-joins it)
     id2url_ref = ray.put(
@@ -8989,6 +9009,74 @@ FROM pg LEFT JOIN (
   FROM md WHERE d > 0 GROUP BY node) s ON s.node = pg.url
 """
 )
+
+
+def q_hyperball_md5(sf_dir: str):
+    """HyperBall ball-cardinality sketches |B(u, 4)| over the multihost
+    page graph — HLL counters flowing ALONG THE EDGES (Boldi & Vigna
+    2013), the page-graph-scale companion to harmonic_centrality's
+    exact BFS: one groupby(node, j).Max register round per hop, md5
+    registers so DuckDB recomputes every register from the exact
+    recursive ball and the estimate from the same single division."""
+    from ..stages.graph import hyperball_md5
+
+    edges, nodes, _ = _mh_int_graph(sf_dir)
+    return hyperball_md5(edges, nodes, rounds=4)
+
+
+def _hyperball_sql() -> str:
+    from ..stages.graph import HYPERBALL_C, HYPERBALL_M, HYPERBALL_VCAP
+
+    m, cap = HYPERBALL_M, HYPERBALL_VCAP
+    return f"""
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CAST((2 * doc_id + 1) % nn.n AS BIGINT) AS dst
+  FROM documents, nn
+  UNION
+  SELECT doc_id, (2 * doc_id + 2) % nn.n FROM documents, nn),
+vs AS (SELECT CAST(doc_id AS BIGINT) AS v FROM documents),
+reach(root, node, t) AS (
+  SELECT v, v, 0 FROM vs
+  UNION
+  SELECT r.root, e.dst, r.t + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.t < 4),
+ball AS (SELECT DISTINCT root, node FROM reach),
+hv AS (
+  SELECT root, md5_number_lower(CAST(node AS VARCHAR)) AS h FROM ball),
+bb AS (
+  SELECT root, CAST(h % {m} AS BIGINT) AS j,
+         CAST((h // {m}) % {cap} AS BIGINT) AS v
+  FROM hv),
+lb AS (
+  SELECT root, j,
+         CASE WHEN v = 0 THEN {cap} ELSE v & (-v) END AS r
+  FROM bb),
+regs AS (SELECT root, j, max(r) AS reg FROM lb GROUP BY root, j),
+grid AS (
+  SELECT vs.v AS root, t.j
+  FROM vs, (SELECT unnest(generate_series(0, {m - 1})) AS j) t),
+fregs AS (
+  SELECT grid.root, grid.j, coalesce(regs.reg, 0) AS reg
+  FROM grid LEFT JOIN regs
+    ON regs.root = grid.root AND regs.j = grid.j),
+sk AS (
+  SELECT root,
+         CAST(sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nonzero_regs,
+         CAST(sum(CASE WHEN reg = 0 THEN {2 * cap}
+                       ELSE {2 * cap} // (2 * reg) END) AS BIGINT)
+           AS harmonic_denom
+  FROM fregs GROUP BY root)
+SELECT root AS node, nonzero_regs, harmonic_denom,
+       {HYPERBALL_C!r} / harmonic_denom AS est_raw
+FROM sk
+"""
+
+
+SQL_HYPERBALL_MD5 = _hyperball_sql()
 
 
 def q_shingle_containment(sf_dir: str):
@@ -9276,6 +9364,7 @@ QUERIES = {
     "hll_md5_distinct": q_hll_md5_distinct,
     "lsh_components": q_lsh_components,
     "harmonic_centrality": q_harmonic_centrality,
+    "hyperball_md5": q_hyperball_md5,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -9455,6 +9544,7 @@ ORACLE_SQL = {
     "hll_md5_distinct": SQL_HLL_MD5_DISTINCT,
     "lsh_components": SQL_LSH_COMPONENTS,
     "harmonic_centrality": SQL_HARMONIC_CENTRALITY,
+    "hyperball_md5": SQL_HYPERBALL_MD5,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,

@@ -753,3 +753,159 @@ def _all_pairs_bfs_shuffle(
         dist = merged.select_columns(["root", "node", "d"]).materialize()
 
     return dist
+
+
+# HyperBall constants: m = 16 registers (alpha_16 = 0.673, Flajolet et
+# al. 2007), value domain 2^32 after the bucket bits, harmonic sums
+# scaled by 2^33 — sums bounded by 16 * 2^33 = 2^37, comfortably int64.
+HYPERBALL_M = 16
+HYPERBALL_VCAP = 1 << 32
+HYPERBALL_C = 0.673 * HYPERBALL_M * HYPERBALL_M * (2 * HYPERBALL_VCAP)
+
+
+def hyperball_md5(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    node_col: str = "node",
+    rounds: int = 4,
+) -> ray.data.Dataset:
+    """HyperBall (Boldi & Vigna 2013) with EXACTLY-oracled registers —
+    the page-graph-scale answer to harmonic_centrality's all-pairs
+    BFS: each node carries an HLL counter of its out-ball, and one
+    bulk-synchronous round unions every node's counter into its
+    predecessors', so after ``rounds`` rounds node u's counter is the
+    sketch of B(u, rounds) = {v : d(u, v) <= rounds}.
+
+    Registers use the md5-parity lowest-set-bit kernel (see
+    hll_md5_distinct): max-merge is associative/commutative/idempotent,
+    so register rows (node, j, reg) ride a plain
+    ``groupby(node, j).Max`` per round — two narrow int64 all-to-alls
+    per round, the identical shape at 10^10 nodes. The estimate is a
+    single IEEE division of exact integers; DuckDB reproduces every
+    register and the estimate bit-for-bit from a bounded recursive
+    ball CTE.
+
+    Returns (node_col, nonzero_regs, harmonic_denom, est_raw) where
+    est_raw approximates |B(node, rounds)| (self included).
+    """
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+    from ray.data.aggregate import Sum as _Sum
+
+    from .dedup import _md5_u64_lower
+    from .joins import partitioned_hash_join
+
+    m, cap = HYPERBALL_M, HYPERBALL_VCAP
+
+    def init(b: pa.Table) -> pa.Table:
+        ns, js, rs = [], [], []
+        for n in b[node_col].to_pylist():
+            h = _md5_u64_lower(str(int(n)))
+            v = (h // m) % cap
+            ns.append(int(n))
+            js.append(h % m)
+            rs.append((v & -v) if v else cap)
+        return pa.table(
+            {
+                "node": pa.array(ns, pa.int64()),
+                "j": pa.array(js, pa.int64()),
+                "reg": pa.array(rs, pa.int64()),
+            }
+        )
+
+    regs = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    edges = edges.materialize()
+
+    # broadcast-vs-shuffle planner (the _with_scores choice): a small
+    # edge table ships its REVERSE adjacency once via ray.put and the
+    # per-round pull is map-side — one groupby (the register max) is
+    # the round's only all-to-all. Corpus-scale edge tables shuffle.
+    pred_ref = None
+    if edges.count() <= BROADCAST_SCORE_ROWS:
+        pred: dict[int, list[int]] = {}
+        for b in edges.iter_batches(batch_format="pyarrow"):
+            for s, d in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
+                pred.setdefault(int(d), []).append(int(s))
+        pred_ref = ray.put(pred)
+
+    for _ in range(rounds):
+        if pred_ref is not None:
+
+            def pull(b: pa.Table, _ref=pred_ref) -> pa.Table:
+                pm: dict = ray.get(_ref)
+                ns, js, rs = [], [], []
+                for n, j, r in zip(
+                    b["node"].to_pylist(),
+                    b["j"].to_pylist(),
+                    b["reg"].to_pylist(),
+                ):
+                    for s in pm.get(int(n), ()):
+                        ns.append(s)
+                        js.append(j)
+                        rs.append(r)
+                return pa.table(
+                    {
+                        "node": pa.array(ns, pa.int64()),
+                        "j": pa.array(js, pa.int64()),
+                        "reg": pa.array(rs, pa.int64()),
+                    }
+                )
+
+            pulled = regs.map_batches(pull, batch_format="pyarrow")
+        else:
+            joined = partitioned_hash_join(edges, regs, "dst", "node")
+
+            def to_src(b: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "node": b["src"].cast(pa.int64()),
+                        "j": b["j"],
+                        "reg": b["reg"],
+                    }
+                )
+
+            pulled = joined.map_batches(to_src, batch_format="pyarrow")
+
+        regs = (
+            regs.union(pulled)
+            .groupby(["node", "j"])
+            .aggregate(_Max("reg", alias_name="reg"))
+            .materialize()
+        )
+
+    import pandas as pd
+
+    from . import from_pandas_clean as _fpc
+
+    # finish: vectorized per-bucket (node % 64) fold — every present
+    # register row is > 0, so a node's denominator is sum(2cap // 2r)
+    # over its rows plus 2cap per absent register. One narrow groupby,
+    # no per-node pandas groups.
+    def add_bucket(b: pa.Table) -> pa.Table:
+        n_np = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("__b", pa.array(n_np % 64))
+
+    def per_bucket(g: "pd.DataFrame") -> pa.Table:
+        contrib = (2 * cap) // (2 * g["reg"].to_numpy().astype(np.int64))
+        df = pd.DataFrame(
+            {"node": g["node"].to_numpy().astype(np.int64), "c": contrib}
+        )
+        agg = df.groupby("node")["c"].agg(["sum", "count"]).reset_index()
+        cnt = agg["count"].to_numpy().astype(np.int64)
+        s = agg["sum"].to_numpy().astype(np.int64) + (m - cnt) * (2 * cap)
+        return _fpc(
+            pd.DataFrame(
+                {
+                    node_col: agg["node"].to_numpy(),
+                    "nonzero_regs": cnt,
+                    "harmonic_denom": s,
+                    "est_raw": HYPERBALL_C / s,
+                }
+            )
+        )
+
+    return (
+        regs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

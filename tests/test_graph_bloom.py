@@ -297,3 +297,61 @@ def test_harmonic_centrality_paths_agree(ray_session, monkeypatch):
                 truth[v][1] += 1
     assert broadcast == {n: tuple(v) for n, v in truth.items()}
     assert broadcast[6] == (0, 0)  # isolated
+
+
+def test_hyperball_md5_matches_exact_ball_registers(ray_session, monkeypatch):
+    """hyperball_md5: the round-4 register state equals registers
+    computed directly from the exact ball B(u,4); broadcast-pull and
+    shuffle-join paths agree."""
+    import ray.data as rd
+
+    from louis_crawler_legacy_ray.stages import graph as G
+    from louis_crawler_legacy_ray.stages.dedup import _md5_u64_lower
+
+    e = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0), (6, 0)]
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in e], pa.int64()),
+                "dst": pa.array([b for _, b in e], pa.int64()),
+            }
+        )
+    )
+    nodes = rd.from_arrow(pa.table({"node": pa.array(range(7), pa.int64())}))
+
+    def run():
+        out = G.hyperball_md5(edges, nodes, rounds=4)
+        return {
+            r["node"]: (
+                r["nonzero_regs"],
+                r["harmonic_denom"],
+                r["est_raw"],
+            )
+            for r in out.take_all()
+        }
+
+    got = run()
+    monkeypatch.setattr(G, "BROADCAST_SCORE_ROWS", 0)
+    assert run() == got
+
+    adj = {}
+    for a, b in e:
+        adj.setdefault(a, []).append(b)
+    m, cap = G.HYPERBALL_M, G.HYPERBALL_VCAP
+    for u in range(7):
+        ball, frontier = {u}, [u]
+        for _ in range(4):
+            nxt = [v for x in frontier for v in adj.get(x, []) if v not in ball]
+            ball.update(nxt)
+            frontier = nxt
+        regs = {}
+        for v in ball:
+            h = _md5_u64_lower(str(v))
+            w = (h // m) % cap
+            r = (w & -w) if w else cap
+            regs[h % m] = max(regs.get(h % m, 0), r)
+        s = sum(
+            (2 * cap) // (2 * regs[j]) if j in regs else 2 * cap
+            for j in range(m)
+        )
+        assert got[u] == (len(regs), s, G.HYPERBALL_C / s)
