@@ -8687,6 +8687,92 @@ FROM documents
 """
 
 
+def q_mime_sniff(sf_dir: str):
+    """Payload routing under the exact gate: eight deterministic body
+    shapes per doc_id (pdf/png magic, html with a legacy meta charset,
+    bare html, BOM'd json, rss xml, latin-1 text, utf-16le text)
+    through the REAL sniffing kernels (functions/mime.py — WHATWG
+    magic-byte patterns, BOM > meta > utf-8-probe charset order); the
+    oracle hardcodes the expected (mime, charset) per arm, so a kernel
+    that mis-orders BOM vs meta, forgets case-folding, or trusts a
+    wrong prefix hash-mismatches. Binary types carry charset = ''."""
+    from ..functions.mime import sniff_charset, sniff_mime
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    _TEXTY = (
+        "text/html",
+        "text/plain",
+        "text/xml",
+        "application/json",
+        "application/rss+xml",
+        "application/atom+xml",
+    )
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids, mimes, charsets = [], [], []
+        for d in batch["doc_id"].to_pylist():
+            case = d % 8
+            if case == 0:
+                body = b"%PDF-1.4\n%% doc " + str(d).encode()
+            elif case == 1:
+                body = b"\x89PNG\r\n\x1a\n" + str(d).encode()
+            elif case == 2:
+                body = (
+                    b'<!DOCTYPE html><html><head><meta charset="ISO-8859-1">'
+                    b"</head><body>doc " + str(d).encode() + b"</body></html>"
+                )
+            elif case == 3:
+                body = b"  <html><body>doc " + str(d).encode() + b"</body></html>"
+            elif case == 4:
+                body = b"\xef\xbb\xbf" + ('{"doc": %d}' % d).encode()
+            elif case == 5:
+                body = (
+                    b'<?xml version="1.0"?><rss version="2.0"><channel>doc '
+                    + str(d).encode()
+                    + b"</channel></rss>"
+                )
+            elif case == 6:
+                body = ("caf\xe9 doc %d" % d).encode("latin-1")
+            else:
+                body = b"\xff\xfe" + ("doc %d" % d).encode("utf-16le")
+            mime = sniff_mime(body)
+            ids.append(d)
+            mimes.append(mime)
+            charsets.append(sniff_charset(body) if mime in _TEXTY else "")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "mime": pa.array(mimes, pa.string()),
+                "charset": pa.array(charsets, pa.string()),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+SQL_MIME_SNIFF = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE doc_id % 8
+         WHEN 0 THEN 'application/pdf'
+         WHEN 1 THEN 'image/png'
+         WHEN 2 THEN 'text/html'
+         WHEN 3 THEN 'text/html'
+         WHEN 4 THEN 'application/json'
+         WHEN 5 THEN 'application/rss+xml'
+         ELSE 'text/plain'
+       END AS mime,
+       CASE doc_id % 8
+         WHEN 0 THEN ''
+         WHEN 1 THEN ''
+         WHEN 2 THEN 'iso-8859-1'
+         WHEN 6 THEN 'windows-1252'
+         WHEN 7 THEN 'utf-16le'
+         ELSE 'utf-8'
+       END AS charset
+FROM documents
+"""
+
+
 def q_curation_v2(sf_dir: str):
     """Modern-pipeline composition under ONE oracle: the planted
     template overlay -> within-host boilerplate_strip (>= 1/2
@@ -9365,6 +9451,7 @@ QUERIES = {
     "lsh_components": q_lsh_components,
     "harmonic_centrality": q_harmonic_centrality,
     "hyperball_md5": q_hyperball_md5,
+    "mime_sniff": q_mime_sniff,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -9545,6 +9632,7 @@ ORACLE_SQL = {
     "lsh_components": SQL_LSH_COMPONENTS,
     "harmonic_centrality": SQL_HARMONIC_CENTRALITY,
     "hyperball_md5": SQL_HYPERBALL_MD5,
+    "mime_sniff": SQL_MIME_SNIFF,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,

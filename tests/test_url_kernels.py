@@ -141,3 +141,32 @@ def test_idna_host_kernel():
     # already-punycode input passes through unchanged (idempotence)
     assert idna_host("xn--bcher-kva.example.ca") == "xn--bcher-kva.example.ca"
     assert idna_host(idna_host("façade.on.ca")) == idna_host("façade.on.ca")
+
+
+def test_mime_sniff_kernels():
+    """sniff_mime / sniff_charset: magic bytes, BOM precedence over
+    meta, meta over utf-8 probe, jpeg/zip/gzip/atom arms the oracle
+    query doesn't exercise."""
+    from louis_crawler_legacy_ray.functions.mime import sniff_charset, sniff_mime
+
+    assert sniff_mime(b"%PDF-1.7") == "application/pdf"
+    assert sniff_mime(b"\xff\xd8\xff\xe0JFIF") == "image/jpeg"
+    assert sniff_mime(b"PK\x03\x04zip") == "application/zip"
+    assert sniff_mime(b"\x1f\x8bgz") == "application/gzip"
+    assert sniff_mime(b"GIF89a...") == "image/gif"
+    assert sniff_mime(b"\n\t <!DOCTYPE HTML><html>") == "text/html"
+    assert sniff_mime(b"<DIV>x</DIV>") == "text/html"
+    assert sniff_mime(b'<?xml version="1.0"?><feed xmlns=""/>') == "application/atom+xml"
+    assert sniff_mime(b'<?xml version="1.0"?><note/>') == "text/xml"
+    assert sniff_mime(b"\xef\xbb\xbf[1,2]") == "application/json"
+    assert sniff_mime(b"hello world") == "text/plain"
+
+    # BOM beats meta beats probe
+    assert (
+        sniff_charset(b'\xef\xbb\xbf<meta charset="ISO-8859-1">') == "utf-8"
+    )
+    assert sniff_charset(b"<META CHARSET='Windows-1251'>") == "windows-1251"
+    assert sniff_charset("é".encode("utf-8")) == "utf-8"
+    assert sniff_charset("é".encode("latin-1")) == "windows-1252"
+    assert sniff_charset(b"\xff\xfea\x00") == "utf-16le"
+    assert sniff_charset(b"\xfe\xff\x00a") == "utf-16be"
