@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_centrality",  # new in r4 (Boldi-Vigna centrality: frontier-delta multi-source BFS, exact 1/d sums)
         "hyperball_md5",  # new in r4 (HyperBall: HLL registers flowing along edges, oracled ball estimates)
         "mime_sniff",  # new in r4 (WHATWG magic-byte mime + BOM/meta charset sniffing, known-answer gate)
+        "warc_revisit",  # new in r4 (WARC payload-digest dedup: revisit records through the gzip roundtrip)
         "spam_mass",  # new in r4 (Gyöngyi mass estimation: pagerank - normalized trustrank)
         "wet_export",  # new in r4 (Common Crawl WET conversion records: extract -> text -> WET -> parse)
         "wat_export",  # new in r4 (Common Crawl WAT metadata-JSON records roundtrip)

@@ -7863,6 +7863,78 @@ SELECT url, 'same' AS status FROM pg ORDER BY url
 )
 
 
+def q_warc_revisit(sf_dir: str):
+    """WARC payload-digest deduplication (ISO 28500 'revisit' records —
+    the Wayback/CDX convention that makes multi-crawl archives
+    affordable): plant a second capture 1000 s later for doc_id%3==0
+    (IDENTICAL body -> must become a revisit pointing at the first
+    capture) and doc_id%3==1 (appended comment -> digest differs, a
+    full response), round-trip ALL captures through the gzip WARC
+    sink/source, then classify from the read-back bytes. The oracle
+    reasons per planted arm, so a digest computed over the wrong bytes,
+    a lost gzip member, or a first-capture tie-break error all
+    hash-mismatch."""
+    import shutil
+
+    import ray.data as _rd
+
+    from ..sources.warc import read_warc, revisit_classify, write_warc
+
+    corpus = multihost_corpus_dir(sf_dir)
+    pages = _rd.read_parquet(corpus, columns=["url", "warc_ts", "html"])
+    delta_us = 1_000_000_000
+
+    def plant(b: pa.Table) -> pa.Table:
+        us = b["warc_ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
+        urls, tss, htmls = [], [], []
+        for u, t, h in zip(b["url"].to_pylist(), us, b["html"].to_pylist()):
+            d = int(u.rsplit("doc", 1)[1])
+            urls.append(u)
+            tss.append(t)
+            htmls.append(h)
+            if d % 3 == 0:
+                urls.append(u)
+                tss.append(t + delta_us)
+                htmls.append(h)
+            elif d % 3 == 1:
+                urls.append(u)
+                tss.append(t + delta_us)
+                htmls.append(h + b"<!-- updated -->")
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.int64()).cast(pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    captures = pages.map_batches(plant, batch_format="pyarrow")
+    tag = hashlib.blake2b(f"warc_rv|{sf_dir}".encode(), digest_size=6).hexdigest()
+    out = f"/tmp/louis_warc_rv_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_warc(captures, out, gzip=True)
+    return revisit_classify(read_warc(out))
+
+
+SQL_WARC_REVISIT = (
+    _SQL_MH_CTE
+    + """,
+caps AS (
+  SELECT url,
+         CAST(1700000000000000 + doc_id * 1000000 AS BIGINT) AS ts_us,
+         'response' AS record_type, CAST(0 AS BIGINT) AS refers_to_us
+  FROM pg
+  UNION ALL
+  SELECT url, 1700000000000000 + doc_id * 1000000 + 1000000000,
+         CASE WHEN doc_id % 3 = 0 THEN 'revisit' ELSE 'response' END,
+         CASE WHEN doc_id % 3 = 0
+              THEN 1700000000000000 + doc_id * 1000000 ELSE 0 END
+  FROM pg WHERE doc_id % 3 IN (0, 1))
+SELECT url, ts_us, record_type, refers_to_us FROM caps
+"""
+)
+
+
 def q_wat_export(sf_dir: str):
     """WAT export (Common Crawl's metadata-JSON artifact,
     sources/warc.py write_wat/read_wat): the extract kernel's
@@ -9452,6 +9524,7 @@ QUERIES = {
     "harmonic_centrality": q_harmonic_centrality,
     "hyperball_md5": q_hyperball_md5,
     "mime_sniff": q_mime_sniff,
+    "warc_revisit": q_warc_revisit,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -9633,6 +9706,7 @@ ORACLE_SQL = {
     "harmonic_centrality": SQL_HARMONIC_CENTRALITY,
     "hyperball_md5": SQL_HYPERBALL_MD5,
     "mime_sniff": SQL_MIME_SNIFF,
+    "warc_revisit": SQL_WARC_REVISIT,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,

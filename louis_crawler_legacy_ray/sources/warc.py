@@ -36,6 +36,7 @@ import hashlib
 import os
 import uuid
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
@@ -457,4 +458,67 @@ def read_wat(path: str) -> ray.data.Dataset:
 
     return ray.data.read_binary_files(path).map_batches(
         parse, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# revisit records — WARC's payload-digest deduplication (ISO 28500
+# 'revisit' type with WARC-Refers-To-Date, the Wayback/Common-Crawl CDX
+# dedup convention): a re-capture of a URL whose payload digest matches
+# an earlier capture stores NO payload, only a pointer to the first
+# capture. At archive scale this is the single biggest storage saver —
+# most pages don't change between visits.
+# --------------------------------------------------------------------------
+def revisit_classify(captures: ray.data.Dataset) -> ray.data.Dataset:
+    """Classify (url, warc_ts, html) captures into 'response' /
+    'revisit' records: per (url, payload digest), the earliest capture
+    is the stored response; every later identical capture becomes a
+    revisit carrying refers_to_us = the response's timestamp. Digest
+    rows shuffle once bucketed by digest (narrow int64 columns — the
+    html bytes never move), then a vectorized per-bucket pandas fold
+    picks firsts; a bucket owns all rows of its (url, digest) keys so
+    the fold is exact. Returns (url, ts_us, record_type,
+    refers_to_us) with refers_to_us = 0 on responses."""
+    import hashlib as _h
+
+    import pandas as pd
+
+    from ..stages import from_pandas_clean
+
+    def digest_rows(b: pa.Table) -> pa.Table:
+        us = b["warc_ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        dg = [
+            int.from_bytes(_h.md5(h or b"").digest()[8:16], "little") - (1 << 63)
+            for h in b["html"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "url": b["url"],
+                "ts_us": us,
+                "digest": pa.array(dg, pa.int64()),
+                "__b": pa.array([d % 64 for d in dg], pa.int64()),
+            }
+        )
+
+    def per_bucket(g: "pd.DataFrame") -> pa.Table:
+        df = g.sort_values(["url", "digest", "ts_us"], kind="mergesort")
+        first = ~df.duplicated(["url", "digest"], keep="first")
+        first_ts = df.groupby(["url", "digest"])["ts_us"].transform("min")
+        return from_pandas_clean(
+            pd.DataFrame(
+                {
+                    "url": df["url"].to_numpy(),
+                    "ts_us": df["ts_us"].to_numpy(),
+                    "record_type": np.where(first, "response", "revisit"),
+                    "refers_to_us": np.where(
+                        first, 0, first_ts.to_numpy()
+                    ).astype("int64"),
+                }
+            )
+        )
+
+    return (
+        captures.map_batches(digest_rows, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
     )

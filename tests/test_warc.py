@@ -162,3 +162,44 @@ def test_wat_record_framing_and_roundtrip(ray_session, tmp_path):
     back = read_wat(out).to_pandas().sort_values("url").reset_index(drop=True)
     assert list(back["title"]) == ["A", ""]
     assert [list(x) for x in back["links"]] == [["http://h/b"], []]
+
+
+def test_revisit_classify_semantics(ray_session):
+    """revisit_classify: earliest capture per (url, digest) is the
+    response, later identical captures become revisits pointing at it;
+    a changed payload restarts as a response; block layout invariant."""
+    import ray.data as rd
+
+    from louis_crawler_legacy_ray.sources.warc import revisit_classify
+
+    rows = [
+        ("http://a/x", 100, b"<p>same</p>"),
+        ("http://a/x", 300, b"<p>same</p>"),   # revisit -> 100
+        ("http://a/x", 200, b"<p>same</p>"),   # revisit -> 100 (out of order)
+        ("http://a/x", 400, b"<p>new</p>"),    # digest changed -> response
+        ("http://b/y", 100, b"<p>same</p>"),   # same bytes, other url -> response
+    ]
+    tbl = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+        }
+    )
+    for nblocks in (1, 5):
+        out = revisit_classify(
+            rd.from_arrow(tbl).repartition(nblocks)
+        ).take_all()
+        got = {
+            (r["url"], r["ts_us"]): (r["record_type"], r["refers_to_us"])
+            for r in out
+        }
+        assert got == {
+            ("http://a/x", 100): ("response", 0),
+            ("http://a/x", 200): ("revisit", 100),
+            ("http://a/x", 300): ("revisit", 100),
+            ("http://a/x", 400): ("response", 0),
+            ("http://b/y", 100): ("response", 0),
+        }
