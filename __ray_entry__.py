@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperball_md5",  # new in r4 (HyperBall: HLL registers flowing along edges, oracled ball estimates)
         "mime_sniff",  # new in r4 (WHATWG magic-byte mime + BOM/meta charset sniffing, known-answer gate)
         "warc_revisit",  # new in r4 (WARC payload-digest dedup: revisit records through the gzip roundtrip)
+        "bowtie_components",  # new in r4 (Broder bowtie: SCC ids + in/out/tendril classes vs the giant SCC)
         "spam_mass",  # new in r4 (Gyöngyi mass estimation: pagerank - normalized trustrank)
         "wet_export",  # new in r4 (Common Crawl WET conversion records: extract -> text -> WET -> parse)
         "wat_export",  # new in r4 (Common Crawl WAT metadata-JSON records roundtrip)

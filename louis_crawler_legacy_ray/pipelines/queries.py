@@ -9237,6 +9237,72 @@ FROM sk
 SQL_HYPERBALL_MD5 = _hyperball_sql()
 
 
+def q_bowtie_components(sf_dir: str):
+    """Bowtie decomposition of the web graph (Broder et al. 2000 —
+    the SCC/IN/OUT/tendril structure every crawl-coverage analysis
+    cites), over the multihost page graph with planted structure:
+    dropping all out-edges of doc_id%5==0 pages makes sinks (OUT),
+    dropping in-edges into (2d+k)%n % 7 == 3 targets makes
+    source-only pages (IN), their overlap goes isolated (tendril).
+    SCC ids are min-mutual-reachable labels from per-root fwd+bwd
+    BFS against broadcast CSRs; classes are relative to the giant
+    SCC. The oracle rebuilds the same filtered edge set and the full
+    bounded closure in SQL."""
+    from ..stages.graph import bowtie_components
+
+    edges, nodes, _ = _mh_int_graph(sf_dir)
+
+    def prune(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = (s % 5 != 0) & (d % 7 != 3)
+        return b.filter(pa.array(keep))
+
+    return bowtie_components(
+        edges.map_batches(prune, batch_format="pyarrow"), nodes, max_depth=16
+    )
+
+
+SQL_BOWTIE_COMPONENTS = """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CAST((2 * doc_id + 1) % nn.n AS BIGINT) AS dst
+  FROM documents, nn
+  WHERE doc_id % 5 <> 0 AND ((2 * doc_id + 1) % nn.n) % 7 <> 3
+  UNION
+  SELECT doc_id, (2 * doc_id + 2) % nn.n FROM documents, nn
+  WHERE doc_id % 5 <> 0 AND ((2 * doc_id + 2) % nn.n) % 7 <> 3),
+vs AS (SELECT CAST(doc_id AS BIGINT) AS v FROM documents),
+fwd(root, node, t) AS (
+  SELECT v, v, 0 FROM vs
+  UNION
+  SELECT r.root, e.dst, r.t + 1
+  FROM fwd r JOIN edges e ON e.src = r.node
+  WHERE r.t < 16),
+fr AS (SELECT DISTINCT root, node FROM fwd),
+mutual AS (
+  SELECT a.root AS u, a.node AS w
+  FROM fr a JOIN fr b ON b.root = a.node AND b.node = a.root),
+scc AS (SELECT u AS node, min(w) AS scc_id FROM mutual GROUP BY u),
+giant AS (
+  SELECT scc_id FROM (
+    SELECT scc_id, count(*) AS n FROM scc GROUP BY scc_id)
+  ORDER BY n DESC, scc_id LIMIT 1),
+gset AS (SELECT node FROM scc WHERE scc_id = (SELECT scc_id FROM giant))
+SELECT scc.node, scc.scc_id,
+       CASE
+         WHEN scc.scc_id = (SELECT scc_id FROM giant) THEN 'scc'
+         WHEN EXISTS (SELECT 1 FROM fr WHERE fr.root = scc.node
+                        AND fr.node IN (SELECT node FROM gset)) THEN 'in'
+         WHEN EXISTS (SELECT 1 FROM fr WHERE fr.node = scc.node
+                        AND fr.root IN (SELECT node FROM gset)) THEN 'out'
+         ELSE 'tendril'
+       END AS bowtie_class
+FROM scc
+"""
+
+
 def q_shingle_containment(sf_dir: str):
     """Asymmetric containment near-dup under the exact gate (Broder
     1997's containment coefficient — the subset-duplication signal
@@ -9525,6 +9591,7 @@ QUERIES = {
     "hyperball_md5": q_hyperball_md5,
     "mime_sniff": q_mime_sniff,
     "warc_revisit": q_warc_revisit,
+    "bowtie_components": q_bowtie_components,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -9707,6 +9774,7 @@ ORACLE_SQL = {
     "hyperball_md5": SQL_HYPERBALL_MD5,
     "mime_sniff": SQL_MIME_SNIFF,
     "warc_revisit": SQL_WARC_REVISIT,
+    "bowtie_components": SQL_BOWTIE_COMPONENTS,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,

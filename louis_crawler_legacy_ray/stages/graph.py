@@ -909,3 +909,129 @@ def hyperball_md5(
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def bowtie_components(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    node_col: str = "node",
+    max_depth: int = 16,
+) -> ray.data.Dataset:
+    """Bowtie decomposition of a directed graph (Broder et al. 2000,
+    "Graph structure in the Web"): every node gets its SCC id (the min
+    id among nodes MUTUALLY reachable within max_depth) and a bowtie
+    class relative to the giant SCC — 'scc' (inside it), 'in' (reaches
+    it), 'out' (reached from it), 'tendril' (neither).
+
+    Shape: both adjacencies (forward + reverse CSR) broadcast once via
+    ``ray.put``; each task runs an independent fwd+bwd BFS per root in
+    its block (the FW-BW SCC idea restricted to per-node labels), so
+    the only shuffles are the tiny scc-size groupby and the final
+    class attach. Like harmonic_centrality this all-pairs form is for
+    rolled-up host/domain graphs; max_depth must be >= the graph's
+    diameter for exact SCCs (it bounds the oracle's recursion too).
+
+    Returns (node_col, scc_id, bowtie_class).
+    """
+    import pandas as pd
+
+    from . import from_pandas_clean as _fpc
+    from ray.data.aggregate import Count as _Count
+
+    rows = [
+        (int(s), int(d))
+        for b in edges.iter_batches(batch_format="pyarrow")
+        for s, d in zip(b["src"].to_pylist(), b["dst"].to_pylist())
+    ]
+    srcs = np.array([r[0] for r in rows], np.int64)
+    dsts = np.array([r[1] for r in rows], np.int64)
+    vocab = np.unique(np.concatenate([srcs, dsts]))
+
+    def csr(a: np.ndarray, b: np.ndarray):
+        order = np.argsort(a, kind="stable")
+        a_ix = np.searchsorted(vocab, a[order])
+        b_ix = np.searchsorted(vocab, b[order])
+        starts = np.searchsorted(a_ix, np.arange(len(vocab)))
+        ends = np.searchsorted(a_ix, np.arange(len(vocab)) + 1)
+        return b_ix, starts, ends
+
+    adj_ref = ray.put((vocab, csr(srcs, dsts), csr(dsts, srcs)))
+
+    def _ball(pos: int, nbr, starts, ends, nv: int) -> np.ndarray:
+        seen = np.zeros(nv, bool)
+        seen[pos] = True
+        frontier = [pos]
+        for _ in range(max_depth):
+            nxt = []
+            for u in frontier:
+                for j in range(starts[u], ends[u]):
+                    v = nbr[j]
+                    if not seen[v]:
+                        seen[v] = True
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier = nxt
+        return seen
+
+    def scc_rows(b: pa.Table) -> pa.Table:
+        vocab, (fn, fs, fe), (bn, bs, be) = ray.get(adj_ref)
+        nv = len(vocab)
+        out_n, out_s = [], []
+        for n in b[node_col].to_pylist():
+            n = int(n)
+            pos = int(np.searchsorted(vocab, n))
+            if pos >= nv or vocab[pos] != n:
+                out_n.append(n)
+                out_s.append(n)  # isolated: its own singleton SCC
+                continue
+            fwd = _ball(pos, fn, fs, fe, nv)
+            bwd = _ball(pos, bn, bs, be, nv)
+            mutual = fwd & bwd
+            out_n.append(n)
+            out_s.append(int(vocab[mutual].min()))
+        return pa.table(
+            {
+                node_col: pa.array(out_n, pa.int64()),
+                "scc_id": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    labels = nodes.map_batches(scc_rows, batch_format="pyarrow").materialize()
+
+    sizes = labels.groupby("scc_id").aggregate(_Count(alias_name="n")).take_all()
+    giant = min(
+        (r["scc_id"] for r in sizes),
+        key=lambda s: (-next(r["n"] for r in sizes if r["scc_id"] == s), s),
+    )
+    giant_members_ref = ray.put(
+        {
+            r[node_col]
+            for b in labels.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+            if r["scc_id"] == giant
+        }
+    )
+
+    def classify(b: pa.Table) -> pa.Table:
+        vocab, (fn, fs, fe), (bn, bs, be) = ray.get(adj_ref)
+        gm: set = ray.get(giant_members_ref)
+        nv = len(vocab)
+        cls = []
+        for n, s in zip(b[node_col].to_pylist(), b["scc_id"].to_pylist()):
+            if s == giant:
+                cls.append("scc")
+                continue
+            pos = int(np.searchsorted(vocab, int(n)))
+            if pos >= nv or vocab[pos] != int(n):
+                cls.append("tendril")
+                continue
+            fwd = _ball(pos, fn, fs, fe, nv)
+            if any(int(v) in gm for v in vocab[fwd]):
+                cls.append("in")
+                continue
+            bwd = _ball(pos, bn, bs, be, nv)
+            cls.append("out" if any(int(v) in gm for v in vocab[bwd]) else "tendril")
+        return b.append_column("bowtie_class", pa.array(cls, pa.string()))
+
+    return labels.map_batches(classify, batch_format="pyarrow")

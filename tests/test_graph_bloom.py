@@ -355,3 +355,35 @@ def test_hyperball_md5_matches_exact_ball_registers(ray_session, monkeypatch):
             for j in range(m)
         )
         assert got[u] == (len(regs), s, G.HYPERBALL_C / s)
+
+
+def test_bowtie_components_hand_graph(ray_session):
+    """bowtie_components on a textbook bowtie: 3-cycle giant SCC {1,2,3},
+    IN node 0 -> 1, OUT node 4 <- 3, 2-cycle {5,6} (smaller SCC that
+    reaches nothing -> its nodes classify by reachability), isolated 7."""
+    import ray.data as rd
+
+    from louis_crawler_legacy_ray.stages.graph import bowtie_components
+
+    e = [(1, 2), (2, 3), (3, 1), (0, 1), (3, 4), (5, 6), (6, 5)]
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in e], pa.int64()),
+                "dst": pa.array([b for _, b in e], pa.int64()),
+            }
+        )
+    )
+    nodes = rd.from_arrow(pa.table({"node": pa.array(range(8), pa.int64())}))
+    out = bowtie_components(edges, nodes).take_all()
+    got = {r["node"]: (r["scc_id"], r["bowtie_class"]) for r in out}
+    assert got == {
+        0: (0, "in"),
+        1: (1, "scc"),
+        2: (1, "scc"),
+        3: (1, "scc"),
+        4: (4, "out"),
+        5: (5, "tendril"),
+        6: (5, "tendril"),
+        7: (7, "tendril"),
+    }
