@@ -275,6 +275,12 @@ def run_bench() -> dict:
         timed("cms_term_counts", Q.q_cms_term_counts)
         timed("wet_export", Q.q_wet_export)
         timed("spam_mass", Q.q_spam_mass)
+        timed("hll_md5_distinct", Q.q_hll_md5_distinct)
+        timed("harmonic_centrality", Q.q_harmonic_centrality)
+        timed("hyperball_md5", Q.q_hyperball_md5)
+        timed("bowtie_components", Q.q_bowtie_components)
+        timed("lsh_components", Q.q_lsh_components)
+        timed("warc_revisit", Q.q_warc_revisit)
 
     result = {
         "metric": "crawl+extract seconds over synthetic pages corpus "
