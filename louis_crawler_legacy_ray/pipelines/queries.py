@@ -352,6 +352,169 @@ def q_shipping_priority(sf_dir: str):
     ).slice(0, 10)
 
 
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: the 6-table join — revenue by nation where the
+    CUSTOMER and the SUPPLIER sit in the same ASIA nation, orders in
+    1996. Plan: region/nation/supplier are dimension tables (broadcast
+    once — supplier key -> nationkey, asia nation keys + names);
+    customer x orders is a partitioned hash join (both corpus-scale at
+    100 TB); lineitem attaches s_nationkey map-side, then the big
+    lineitem x orders join buckets by orderkey with the same-nation
+    filter AND the per-nation revenue pre-aggregation fused into the
+    bucket task. Revenue is EXACT: cents x (100 - discount cents)
+    int64 units (1e-4 dollars) — a float sum over a nation's thousands
+    of lineitems would be order-dependent and could never hash-match."""
+    from datetime import datetime as _dt
+
+    from ..stages.joins import partitioned_hash_join
+
+    lo = pa.scalar(_dt(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt(1997, 1, 1), pa.timestamp("us"))
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    asia_key = region.filter(pc.equal(region["r_name"], "ASIA"))[
+        "r_regionkey"
+    ][0].as_py()
+    nat = nation.filter(pc.equal(nation["n_regionkey"], asia_key))
+    asia_nations = {
+        int(k): n
+        for k, n in zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    }
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    supp_nation = {
+        int(s): int(n)
+        for s, n in zip(
+            supplier["s_suppkey"].to_pylist(),
+            supplier["s_nationkey"].to_pylist(),
+        )
+        if int(n) in asia_nations
+    }
+    supp_ref = ray.put(supp_nation)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def c_prep(b: pa.Table) -> pa.Table:
+        keys = pa.array(list(asia_nations), pa.int64())
+        b = b.filter(pc.is_in(b["c_nationkey"].cast(pa.int64()), value_set=keys))
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"].cast(pa.int64()),
+                "c_nationkey": b["c_nationkey"].cast(pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], lo),
+                pc.less(b["o_orderdate"], hi),
+            )
+        )
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+            }
+        )
+
+    ord_nat = partitioned_hash_join(
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        cust.map_batches(c_prep, batch_format="pyarrow"),
+        "o_custkey",
+        "c_custkey",
+        num_buckets=32,
+    )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        sn = ray.get(supp_ref)
+        snk = [sn.get(int(s)) for s in b["l_suppkey"].to_pylist()]
+        mask = pa.array([v is not None for v in snk])
+        b = b.filter(mask)
+        price_c = _cents(b["l_extendedprice"])
+        disc_c = _cents(b["l_discount"])
+        rev = pc.multiply(
+            price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c)
+        )
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"].cast(pa.int64()),
+                "s_nationkey": pa.array(
+                    [v for v in snk if v is not None], pa.int64()
+                ),
+                "rev_e4": rev,
+            }
+        )
+
+    def agg_bucket(m: "pd.DataFrame") -> "pd.DataFrame":
+        m = m[m["c_nationkey"] == m["s_nationkey"]]
+        return (
+            m.groupby("s_nationkey", sort=False)
+            .agg(rev_e4=("rev_e4", "sum"))
+            .reset_index()
+        )
+
+    joined = partitioned_hash_join(
+        ord_nat.map_batches(
+            lambda b: pa.table(
+                {"o_orderkey": b["o_orderkey"], "c_nationkey": b["c_nationkey"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        li.map_batches(l_prep, batch_format="pyarrow"),
+        "o_orderkey",
+        "l_orderkey",
+        num_buckets=32,
+        bucket_post=agg_bucket,
+    )
+    out = (
+        joined.groupby("s_nationkey")
+        .aggregate(Sum("rev_e4", alias_name="revenue_e4"))
+        .take_all()
+    )
+    t = pa.table(
+        {
+            "n_name": pa.array(
+                [asia_nations[int(r["s_nationkey"])] for r in out], pa.string()
+            ),
+            "revenue_e4": pa.array(
+                [int(r["revenue_e4"]) for r in out], pa.int64()
+            ),
+        }
+    )
+    return t.sort_by([("revenue_e4", "descending"), ("n_name", "ascending")])
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_e4 DESC, n_name
+"""
+
+
 SQL_SHIPPING_PRIORITY = """
 SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
        CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
@@ -9592,6 +9755,7 @@ QUERIES = {
     "mime_sniff": q_mime_sniff,
     "warc_revisit": q_warc_revisit,
     "bowtie_components": q_bowtie_components,
+    "local_supplier_volume": q_local_supplier_volume,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -9775,6 +9939,7 @@ ORACLE_SQL = {
     "mime_sniff": SQL_MIME_SNIFF,
     "warc_revisit": SQL_WARC_REVISIT,
     "bowtie_components": SQL_BOWTIE_COMPONENTS,
+    "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,
