@@ -515,6 +515,76 @@ ORDER BY revenue_e4 DESC, n_name
 """
 
 
+def q_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape: customer order-count distribution through a
+    LEFT OUTER join — the gate that catches inner-join shortcuts,
+    because customers with ZERO qualifying orders must survive into
+    the c_count = 0 bucket. Orders are pre-filtered (urgent excluded —
+    the filter belongs to the JOIN side, not a post-join WHERE), the
+    partitioned hash join runs how='left' with the per-customer count
+    fused into the bucket task (count of non-null orderkeys), and the
+    tiny distribution groupby finishes it."""
+    from ..stages.joins import partitioned_hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: pa.table({"c_custkey": b["c_custkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority"])
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.invert(pc.equal(b["o_orderpriority"], pa.scalar("1-URGENT")))
+        )
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+            }
+        )
+
+    def agg_bucket(m: "pd.DataFrame") -> "pd.DataFrame":
+        # bucket owns every row of its custkeys; count() skips the
+        # NaN orderkeys unmatched LEFT rows carry -> exact c_count 0
+        r = (
+            m.groupby("c_custkey", sort=False)["o_orderkey"]
+            .count()
+            .reset_index(name="c_count")
+        )
+        return r[["c_custkey", "c_count"]]
+
+    per_cust = partitioned_hash_join(
+        cust,
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        "c_custkey",
+        "o_custkey",
+        num_buckets=32,
+        how="left",
+        bucket_post=agg_bucket,
+    )
+    return (
+        per_cust.map_batches(
+            lambda b: pa.table(
+                {"c_count": b["c_count"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("c_count")
+        .aggregate(Count(alias_name="custdist"))
+    )
+
+
+SQL_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) c_orders
+GROUP BY c_count
+"""
+
+
 SQL_SHIPPING_PRIORITY = """
 SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
        CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
@@ -9756,6 +9826,7 @@ QUERIES = {
     "warc_revisit": q_warc_revisit,
     "bowtie_components": q_bowtie_components,
     "local_supplier_volume": q_local_supplier_volume,
+    "customer_distribution": q_customer_distribution,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -9940,6 +10011,7 @@ ORACLE_SQL = {
     "warc_revisit": SQL_WARC_REVISIT,
     "bowtie_components": SQL_BOWTIE_COMPONENTS,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+    "customer_distribution": SQL_CUSTOMER_DISTRIBUTION,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,

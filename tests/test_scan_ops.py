@@ -118,3 +118,37 @@ def test_pack_sequences_spans_bins(ray_session, tmp_path):
     assert list(df["bin_start"]) == [0, 0, 1]
     assert list(df["bin_end"]) == [0, 1, 1]
     assert list(df["bin_offset"]) == [0, 300, 88]
+
+
+def test_customer_distribution_keeps_zero_bucket(ray_session, tmp_path):
+    """Q13 LEFT-join gate: a customer with no qualifying orders (none
+    at all, or only urgent ones filtered at the JOIN) lands in the
+    c_count = 0 bucket instead of vanishing."""
+    import pyarrow.parquet as pq
+
+    from louis_crawler_legacy_ray.pipelines.queries import (
+        q_customer_distribution,
+    )
+
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2, 3, 4], pa.int64())}),
+        f"{sf}/customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+                "o_custkey": pa.array([1, 1, 3], pa.int64()),
+                "o_orderpriority": pa.array(
+                    ["2-HIGH", "5-LOW", "1-URGENT"], pa.string()
+                ),
+            }
+        ),
+        f"{sf}/orders.parquet",
+    )
+    out = q_customer_distribution(sf)
+    got = {r["c_count"]: r["custdist"] for r in out.take_all()}
+    # cust 1 -> 2 orders; cust 3 -> only urgent (filtered) -> 0;
+    # cust 2, 4 -> no orders -> 0
+    assert got == {2: 1, 0: 3}
