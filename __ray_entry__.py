@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bowtie_components",  # new in r4 (Broder bowtie: SCC ids + in/out/tendril classes vs the giant SCC)
         "local_supplier_volume",  # new in r4 (TPC-H Q5: 6-table join, exact-int revenue by nation)
         "customer_distribution",  # new in r4 (TPC-H Q13: LEFT join order-count histogram, zero bucket kept)
+        "crawl_conditional_get",  # new in r4 (If-None-Match revisit: TTL expire + fp store -> 304/200 classify)
         "spam_mass",  # new in r4 (Gyöngyi mass estimation: pagerank - normalized trustrank)
         "wet_export",  # new in r4 (Common Crawl WET conversion records: extract -> text -> WET -> parse)
         "wat_export",  # new in r4 (Common Crawl WAT metadata-JSON records roundtrip)

@@ -7858,6 +7858,142 @@ LIMIT 200
 """
 
 
+def _condget_v2_corpus(sf_dir: str) -> str:
+    """Second-visit snapshot of the single-site corpus for the
+    conditional-GET gate: pages with md5_number_lower(url) % 3 == 0
+    gain a comment suffix (content changed; links untouched so the
+    schedule is identical), everything else is byte-identical."""
+    key = f"{sf_dir}|condget2"
+    if key in _PAGES_CACHE:
+        return _PAGES_CACHE[key]
+    tag = hashlib.blake2b(key.encode(), digest_size=6).hexdigest()
+    out = f"/tmp/louis_pages_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        import pyarrow.dataset as pads
+
+        from ..stages.dedup import _md5_u64_lower
+
+        t = pads.dataset(pages_corpus_dir(sf_dir), format="parquet").to_table()
+        htmls = [
+            (h or b"") + b"<!-- v2 -->" if _md5_u64_lower(u) % 3 == 0 else h
+            for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist())
+        ]
+        t = t.set_column(
+            t.schema.get_field_index("html"), "html", pa.array(htmls, pa.binary())
+        )
+        tmp = f"{out}.build-{os.getpid()}"
+        write_pages_parquet(t, tmp, rows_per_file=4096)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    _PAGES_CACHE[key] = out
+    return out
+
+
+def q_crawl_conditional_get(sf_dir: str):
+    """Conditional-GET revisit (RFC 9110 If-None-Match / Heritrix
+    duplicate-reduction): pass 1 crawls the corpus and keeps a
+    fingerprint store of every fetched payload; all TTLs lapse
+    (Frontier.expire on the cuckoo seen-front — same machinery as
+    crawl_ttl_recrawl); pass 2 re-crawls the SECOND-visit snapshot and
+    every re-fetch is classified against the store — unchanged digest
+    -> 304 (no re-extract, the archive keeps its copy), changed -> 200.
+    Links are unchanged so both schedules are the same BFS, and the
+    oracle states pass-2 statuses analytically from the planted
+    md5(url) % 3 change rule. Returns (pass, url, depth, status)."""
+    from ..stages.dedup import _md5_u64_lower  # noqa: F401 (rule doc)
+    from .crawl import CrawlConfig, Frontier, pages_expand, run_frontier
+
+    corpus = pages_corpus_dir(sf_dir)
+    v2 = _condget_v2_corpus(sf_dir)
+    docs = _docs_table(sf_dir)
+    lang0, src0 = docs["lang"][0].as_py(), docs["source"][0].as_py()
+    seg0 = "fra" if lang0 == "fr" else lang0
+    seed = f"{SITE}/{seg0}/{src0}/doc0"
+    cfg = CrawlConfig(n_shards=4, max_depth=6, max_rounds=16, mode="cuckoo")
+    frontier = Frontier(cfg)
+    try:
+        r1 = run_frontier(
+            pages_expand(corpus, cfg, None, 0), [seed], cfg, frontier=frontier
+        )
+        fetched = r1.order["url"].to_pylist()
+        frontier.expire(fetched)
+        r2 = run_frontier(
+            pages_expand(v2, cfg, None, 0), [seed], cfg, frontier=frontier
+        )
+    finally:
+        frontier.release()
+
+    # fingerprint stores: one distributed pass per snapshot (fetch IS
+    # the corpus semi-join in this engine); gate-scale dict broadcast,
+    # the 100 TB path is a partitioned url join of the two fp tables
+    def fp_rows(b: pa.Table) -> pa.Table:
+        fps = [
+            int.from_bytes(hashlib.md5(h or b"").digest()[8:], "little")
+            - (1 << 63)
+            for h in b["html"].to_pylist()
+        ]
+        return pa.table({"url": b["url"], "fp": pa.array(fps, pa.int64())})
+
+    def fp_dict(path: str) -> dict:
+        d: dict = {}
+        for b in (
+            ray.data.read_parquet(path, columns=["url", "html"])
+            .map_batches(fp_rows, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ):
+            d.update(zip(b["url"].to_pylist(), b["fp"].to_pylist()))
+        return d
+
+    fp1, fp2 = fp_dict(corpus), fp_dict(v2)
+
+    def rows(res, p: int, status_of) -> pa.Table:
+        t = res.order
+        urls = t["url"].to_pylist()
+        return pa.table(
+            {
+                "pass": pa.array([p] * t.num_rows, pa.int32()),
+                "url": t["url"],
+                "depth": t["depth"],
+                "status": pa.array([status_of(u) for u in urls], pa.string()),
+            }
+        )
+
+    return pa.concat_tables(
+        [
+            rows(r1, 1, lambda u: "200"),
+            rows(r2, 2, lambda u: "304" if fp2[u] == fp1[u] else "200"),
+        ]
+    )
+
+
+SQL_CRAWL_CONDITIONAL_GET = (
+    "WITH RECURSIVE "
+    + _SQL_PAGE_CTE.replace("WITH ", "", 1)
+    + f""",
+edges AS (
+  SELECT url AS src, '{SITE}' || c1_path AS dst FROM pg
+  UNION ALL SELECT url, '{SITE}' || c2_path FROM pg),
+walk(url, depth) AS (
+  SELECT url, 0 FROM pg WHERE doc_id = 0
+  UNION ALL
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.url
+  WHERE w.depth < 6),
+reach AS (SELECT url, CAST(min(depth) AS INTEGER) AS depth FROM walk GROUP BY url)
+SELECT CAST(1 AS INTEGER) AS pass, url, depth, '200' AS status FROM reach
+UNION ALL
+SELECT 2, url, depth,
+       CASE WHEN md5_number_lower(url) % 3 = 0 THEN '200' ELSE '304' END
+FROM reach
+"""
+)
+
+
 def q_crawl_recrawl_scheduled(sf_dir: str):
     """Recrawl-scheduled crawl: the adaptive scheduler's priorities
     drive the frontier. Four synthetic snapshots of the MULTI-host
@@ -9827,6 +9963,7 @@ QUERIES = {
     "bowtie_components": q_bowtie_components,
     "local_supplier_volume": q_local_supplier_volume,
     "customer_distribution": q_customer_distribution,
+    "crawl_conditional_get": q_crawl_conditional_get,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -10012,6 +10149,7 @@ ORACLE_SQL = {
     "bowtie_components": SQL_BOWTIE_COMPONENTS,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "customer_distribution": SQL_CUSTOMER_DISTRIBUTION,
+    "crawl_conditional_get": SQL_CRAWL_CONDITIONAL_GET,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,
