@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume",  # new in r4 (TPC-H Q5: 6-table join, exact-int revenue by nation)
         "customer_distribution",  # new in r4 (TPC-H Q13: LEFT join order-count histogram, zero bucket kept)
         "crawl_conditional_get",  # new in r4 (If-None-Match revisit: TTL expire + fp store -> 304/200 classify)
+        "triangle_counts",  # new in r4 (node-iterator triangle counting, planted wedge closures)
         "spam_mass",  # new in r4 (Gyöngyi mass estimation: pagerank - normalized trustrank)
         "wet_export",  # new in r4 (Common Crawl WET conversion records: extract -> text -> WET -> parse)
         "wat_export",  # new in r4 (Common Crawl WAT metadata-JSON records roundtrip)

@@ -9606,6 +9606,67 @@ FROM sk
 SQL_HYPERBALL_MD5 = _hyperball_sql()
 
 
+def q_triangle_counts(sf_dir: str):
+    """Per-node triangle counts (clustering-coefficient numerator)
+    over the symmetrized multihost page graph plus planted sibling
+    edges ((2d+1, 2d+2) for d % 25 == 0 — the raw heap graph closes
+    almost no triangles, so the planted wedge-closures make the gate
+    discriminating). Node-iterator counting against one broadcast
+    sorted CSR; the oracle enumerates ordered triangles with a 3-way
+    self-join and folds membership per node."""
+    from ..stages.graph import triangle_counts
+
+    edges, nodes, _ = _mh_int_graph(sf_dir)
+    n = _docs_table(sf_dir).num_rows
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids % 25 == 0]
+        return pa.table(
+            {
+                "src": pa.array((2 * ids + 1) % n),
+                "dst": pa.array((2 * ids + 2) % n),
+            }
+        )
+
+    sib = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return triangle_counts(edges.union(sib), nodes)
+
+
+SQL_TRIANGLE_COUNTS = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+dir AS (
+  SELECT CAST(doc_id AS BIGINT) AS s,
+         CAST((2 * doc_id + 1) % nn.n AS BIGINT) AS d
+  FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (2 * doc_id + 2) % nn.n FROM documents, nn
+  UNION ALL
+  SELECT (2 * doc_id + 1) % nn.n, (2 * doc_id + 2) % nn.n
+  FROM documents, nn WHERE doc_id % 25 = 0),
+und AS (
+  SELECT DISTINCT s AS x, d AS y FROM dir WHERE s <> d
+  UNION
+  SELECT d, s FROM dir WHERE s <> d),
+tri AS (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM und e1
+  JOIN und e2 ON e2.x = e1.y
+  JOIN und e3 ON e3.x = e1.x AND e3.y = e2.y
+  WHERE e1.x < e1.y AND e1.y < e2.y),
+mem AS (
+  SELECT a AS v FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri),
+cnt AS (SELECT v, count(*) AS t FROM mem GROUP BY v)
+SELECT CAST(d.doc_id AS BIGINT) AS node,
+       CAST(coalesce(cnt.t, 0) AS BIGINT) AS triangles
+FROM documents d LEFT JOIN cnt ON cnt.v = d.doc_id
+"""
+
+
 def q_bowtie_components(sf_dir: str):
     """Bowtie decomposition of the web graph (Broder et al. 2000 —
     the SCC/IN/OUT/tendril structure every crawl-coverage analysis
@@ -9964,6 +10025,7 @@ QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "customer_distribution": q_customer_distribution,
     "crawl_conditional_get": q_crawl_conditional_get,
+    "triangle_counts": q_triangle_counts,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -10150,6 +10212,7 @@ ORACLE_SQL = {
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "customer_distribution": SQL_CUSTOMER_DISTRIBUTION,
     "crawl_conditional_get": SQL_CRAWL_CONDITIONAL_GET,
+    "triangle_counts": SQL_TRIANGLE_COUNTS,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,

@@ -387,3 +387,32 @@ def test_bowtie_components_hand_graph(ray_session):
         6: (5, "tendril"),
         7: (7, "tendril"),
     }
+
+
+def test_triangle_counts_hand_graph(ray_session):
+    """triangle_counts: K4 minus one edge has 2 triangles; nodes on
+    the missing edge join 1 each, the shared diagonal nodes 2 each;
+    directed duplicates, reverse edges and self-loops don't inflate."""
+    import ray.data as rd
+
+    from louis_crawler_legacy_ray.stages.graph import triangle_counts
+
+    # K4 on {0,1,2,3} minus edge (0,3); noisy input: both directions
+    # for (0,1), a self-loop, an isolated node 9
+    e = [(0, 1), (1, 0), (0, 2), (1, 2), (1, 3), (2, 3), (2, 2)]
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in e], pa.int64()),
+                "dst": pa.array([b for _, b in e], pa.int64()),
+            }
+        )
+    )
+    nodes = rd.from_arrow(
+        pa.table({"node": pa.array([0, 1, 2, 3, 9], pa.int64())})
+    )
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(edges, nodes).take_all()
+    }
+    assert got == {0: 1, 1: 2, 2: 2, 3: 1, 9: 0}
