@@ -60,6 +60,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_distribution",  # new in r4 (TPC-H Q13: LEFT join order-count histogram, zero bucket kept)
         "crawl_conditional_get",  # new in r4 (If-None-Match revisit: TTL expire + fp store -> 304/200 classify)
         "triangle_counts",  # new in r4 (node-iterator triangle counting, planted wedge closures)
+        "k_core",  # new in r4 (Seidman coreness: delta-peeling, planted K4 link farms)
+        "distance_histogram",  # new in r4 (exact bounded distance distribution — the table HyperBall sketches)
+        "temperature_resample",  # new in r4 (XLM-R sqrt-temperature language resampling, data-derived quotas)
         "spam_mass",  # new in r4 (Gyöngyi mass estimation: pagerank - normalized trustrank)
         "wet_export",  # new in r4 (Common Crawl WET conversion records: extract -> text -> WET -> parse)
         "wat_export",  # new in r4 (Common Crawl WAT metadata-JSON records roundtrip)

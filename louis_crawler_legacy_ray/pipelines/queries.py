@@ -9922,6 +9922,155 @@ def q_bpe_encode(sf_dir: str):
 # registry
 # --------------------------------------------------------------------------
 
+def q_k_core(sf_dir: str):
+    """k-core membership (k=3) of the multihost page graph plus
+    planted K4 link farms (Seidman 1983 coreness — the density peel
+    webgraph/spam studies run first; a symmetrized crawl TREE has an
+    EMPTY 2-core, so the planted cliques on {d..d+3} for
+    doc_id % 50 == 0 are what the peel must isolate). Delta-peeling
+    over the edge Dataset: per round one Count groupby finds nodes
+    below k, only that small delta is broadcast, edges drop map-side
+    (stages/graph.py:k_core). Oracle: bounded recursive-CTE edge
+    peeling — the recursive term re-derives per-endpoint degrees
+    with window counts over the previous iteration's edge set."""
+    from ..stages.graph import k_core
+
+    edges, nodes, _ = _mh_int_graph(sf_dir)
+    n = _docs_table(sf_dir).num_rows
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids % 50 == 0]
+        srcs, dsts = [], []
+        for i, j in ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)):
+            srcs.append((ids + i) % n)
+            dsts.append((ids + j) % n)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(srcs)),
+                "dst": pa.array(np.concatenate(dsts)),
+            }
+        )
+
+    farm = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return k_core(edges.union(farm), nodes, k=3)
+
+
+SQL_K_CORE = """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+dir AS (
+  SELECT CAST(doc_id AS BIGINT) AS s,
+         CAST((2 * doc_id + 1) % nn.n AS BIGINT) AS d
+  FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (2 * doc_id + 2) % nn.n FROM documents, nn
+  UNION ALL
+  SELECT CAST((doc_id + p.i) % nn.n AS BIGINT),
+         CAST((doc_id + p.j) % nn.n AS BIGINT)
+  FROM documents, nn,
+       (VALUES (0,1),(0,2),(0,3),(1,2),(1,3),(2,3)) p(i, j)
+  WHERE doc_id % 50 = 0),
+und AS (
+  SELECT DISTINCT s AS x, d AS y FROM dir WHERE s <> d
+  UNION
+  SELECT d, s FROM dir WHERE s <> d),
+es(it, x, y) AS (
+  SELECT 0, x, y FROM und
+  UNION
+  SELECT it, x, y FROM (
+    SELECT e.it + 1 AS it, e.x AS x, e.y AS y,
+           count(*) OVER (PARTITION BY e.x) AS dx,
+           count(*) OVER (PARTITION BY e.y) AS dy
+    FROM es e WHERE e.it < 24
+  ) WHERE dx >= 3 AND dy >= 3),
+core AS (
+  SELECT x AS v, count(*) AS core_deg FROM es WHERE it = 24 GROUP BY x)
+SELECT CAST(d.doc_id AS BIGINT) AS node,
+       CAST(coalesce(core.core_deg, 0) AS BIGINT) AS core_deg
+FROM documents d LEFT JOIN core ON core.v = d.doc_id
+"""
+
+
+def q_distance_histogram(sf_dir: str):
+    """Exact shortest-path distance distribution (ordered pairs per
+    distance, depth-capped at 8) of the symmetrized multihost page
+    graph — the table behind Broder et al. 2000's "effective
+    diameter" numbers and the quantity HyperBall (hyperball_md5)
+    sketches. Per-root BFS against one broadcast CSR, per-block
+    distance counters, one 8-row groupby
+    (stages/graph.py:distance_histogram). Oracle: bounded recursive
+    walk closure, min walk length per pair, counts per distance."""
+    from ..stages.graph import distance_histogram
+
+    edges, nodes, _ = _mh_int_graph(sf_dir)
+    return distance_histogram(edges, nodes, max_depth=8)
+
+
+SQL_DISTANCE_HISTOGRAM = """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+dir AS (
+  SELECT CAST(doc_id AS BIGINT) AS s,
+         CAST((2 * doc_id + 1) % nn.n AS BIGINT) AS d
+  FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (2 * doc_id + 2) % nn.n FROM documents, nn),
+und AS (
+  SELECT DISTINCT s AS x, d AS y FROM dir WHERE s <> d
+  UNION
+  SELECT d, s FROM dir WHERE s <> d),
+walk(root, node, t) AS (
+  SELECT x, x, 0 FROM (SELECT DISTINCT x FROM und)
+  UNION
+  SELECT w.root, e.y, w.t + 1
+  FROM walk w JOIN und e ON e.x = w.node
+  WHERE w.t < 8),
+dist AS (
+  SELECT root, node, min(t) AS d FROM walk
+  WHERE node <> root GROUP BY root, node),
+hist AS (SELECT d, count(*) AS pairs FROM dist WHERE d >= 1 GROUP BY d)
+SELECT CAST(g.d AS BIGINT) AS d,
+       CAST(coalesce(hist.pairs, 0) AS BIGINT) AS pairs
+FROM (SELECT UNNEST(generate_series(1, 8)) AS d) g
+LEFT JOIN hist ON hist.d = g.d
+"""
+
+
+def q_temperature_resample(sf_dir: str):
+    """Temperature-based language resampling (XLM-R / mT5: stratum
+    quota proportional to n_lang^alpha, alpha=0.5) over the skewed
+    documents.lang histogram — the head language is sampled at a
+    LOWER rate than the tail, which fixed-weight domain_mix cannot
+    express. Quotas are floor(4 * sqrt(n_lang)) (sqrt is IEEE-exact,
+    so both engines derive identical integer quotas from the data);
+    selection is the multiplicative-hash rank of quota_mix
+    (stages/sample.py:temperature_resample)."""
+    from ..stages.sample import temperature_resample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return temperature_resample(docs, key_col="lang", id_col="doc_id", coeff=4)
+
+
+SQL_TEMPERATURE_RESAMPLE = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+q AS (
+  SELECT lang,
+         CAST(floor(4 * sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS quota
+  FROM c),
+ranked AS (
+  SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (CAST(doc_id AS BIGINT) * 2654435761) % 4294967296,
+                    doc_id) AS rn
+  FROM documents)
+SELECT r.lang, r.doc_id
+FROM ranked r JOIN q USING (lang)
+WHERE r.rn <= q.quota
+"""
+
+
 QUERIES = {
     # relational / reference operator mappings
     "q1_pricing_summary": q_q1_pricing_summary,
@@ -10026,6 +10175,9 @@ QUERIES = {
     "customer_distribution": q_customer_distribution,
     "crawl_conditional_get": q_crawl_conditional_get,
     "triangle_counts": q_triangle_counts,
+    "k_core": q_k_core,
+    "distance_histogram": q_distance_histogram,
+    "temperature_resample": q_temperature_resample,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -10213,6 +10365,9 @@ ORACLE_SQL = {
     "customer_distribution": SQL_CUSTOMER_DISTRIBUTION,
     "crawl_conditional_get": SQL_CRAWL_CONDITIONAL_GET,
     "triangle_counts": SQL_TRIANGLE_COUNTS,
+    "k_core": SQL_K_CORE,
+    "distance_histogram": SQL_DISTANCE_HISTOGRAM,
+    "temperature_resample": SQL_TEMPERATURE_RESAMPLE,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,

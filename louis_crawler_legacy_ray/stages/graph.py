@@ -1116,3 +1116,199 @@ def triangle_counts(
         )
 
     return nodes.map_batches(count_block, batch_format="pyarrow")
+
+
+def k_core(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    k: int = 3,
+    node_col: str = "node",
+    max_iters: int = 32,
+) -> ray.data.Dataset:
+    """k-core decomposition membership (Seidman 1983; the density
+    filter webgraph studies run before SCC/community analysis — a
+    node's coreness separates link-farm cores from the tree-like
+    crawl fringe). The k-core is the maximal subgraph where every
+    node has degree >= k; computed by DELTA PEELING: per round,
+    count degrees over the surviving undirected edge set (one
+    Count groupby), collect only the nodes that fall BELOW k (the
+    peel delta — a small set after round one), broadcast that delta
+    via ``ray.put`` and drop its incident edges map-side. The edge
+    table is never collected to the driver; per-round driver state
+    is O(|delta|), and rounds are bounded by ``max_iters`` (raises
+    if the fixpoint is not reached — the SQL oracle iterates the
+    same bounded count, so parity requires convergence).
+
+    ``edges``: directed int64 (src, dst) rows (self-loops dropped,
+    symmetrized + deduped internally). Returns one row per input
+    node: (node_col, core_deg) with core_deg = the node's degree
+    inside the k-core, 0 for peeled / isolated nodes.
+    """
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([s, d])),
+                "b": pa.array(np.concatenate([d, s])),
+            }
+        )
+
+    und = (
+        edges.map_batches(sym, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+
+    for _ in range(max_iters):
+        deg = und.groupby("a").aggregate(Count(alias_name="deg"))
+        low = deg.map_batches(
+            lambda b, _k=k: b.filter(pc.less(b["deg"], _k)),
+            batch_format="pyarrow",
+        )
+        # the peel delta: nodes dropping out this round. Small by
+        # construction after the first round (only neighbors of the
+        # previous delta can newly fall below k), so a broadcast set
+        # is the right exchange; the survivors stay distributed.
+        peel = np.sort(
+            np.concatenate(
+                [
+                    blk["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    for blk in low.iter_batches(batch_format="pyarrow")
+                ]
+                or [np.array([], np.int64)]
+            )
+        )
+        if peel.size == 0:
+            break
+        peel_ref = ray.put(peel)
+
+        def drop(blk: pa.Table, _ref=peel_ref) -> pa.Table:
+            p = ray.get(_ref)
+            a = blk["a"].to_numpy(zero_copy_only=False)
+            b = blk["b"].to_numpy(zero_copy_only=False)
+            keep = ~(
+                (p[np.searchsorted(p, a).clip(0, p.size - 1)] == a)
+                | (p[np.searchsorted(p, b).clip(0, p.size - 1)] == b)
+            )
+            return blk.filter(pa.array(keep))
+
+        und = und.map_batches(drop, batch_format="pyarrow").materialize()
+    else:
+        raise RuntimeError(
+            f"k_core did not converge within {max_iters} peeling rounds"
+        )
+
+    core_deg = und.groupby("a").aggregate(Count(alias_name="core_deg"))
+
+    def zeros(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": b[node_col].cast(pa.int64()),
+                "core_deg": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        core_deg.union(nodes.map_batches(zeros, batch_format="pyarrow"))
+        .groupby("a")
+        .aggregate(_Sum("core_deg", alias_name="core_deg"))
+        .map_batches(
+            lambda b: b.rename_columns([node_col, "core_deg"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def distance_histogram(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    node_col: str = "node",
+    max_depth: int = 12,
+) -> ray.data.Dataset:
+    """Exact shortest-path distance distribution of the UNDIRECTED
+    graph, bounded at ``max_depth`` (the ordered-pair counts behind
+    the "effective diameter" / average-distance numbers of Broder
+    et al. 2000 and the Common Crawl graph releases; HyperBall —
+    see hyperball_md5 — is the sketched estimate of exactly this
+    table). Per-root BFS against one broadcast sorted-CSR adjacency
+    (the harmonic_centrality broadcast planner shape; graphs over
+    HARMONIC_BROADCAST_EDGES take the frontier-delta shuffle BFS
+    instead), each block pre-folds its roots' distances into ONE
+    per-distance counter, so the shuffle carries max_depth rows per
+    block. Returns exactly max_depth rows (d, pairs), d = 1..max_depth,
+    pairs = |{(u,v): u != v, dist(u,v) = d}| (ordered pairs).
+    """
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([s, d])),
+                "b": pa.array(np.concatenate([d, s])),
+            }
+        )
+
+    und = (
+        edges.map_batches(sym, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    srcs, dsts = [], []
+    for blk in und.iter_batches(batch_format="pyarrow"):
+        srcs.append(blk["a"].to_numpy(zero_copy_only=False).astype(np.int64))
+        dsts.append(blk["b"].to_numpy(zero_copy_only=False).astype(np.int64))
+    a = np.concatenate(srcs) if srcs else np.array([], np.int64)
+    bb = np.concatenate(dsts) if dsts else np.array([], np.int64)
+    vocab = np.unique(np.concatenate([a, bb]))
+    order = np.lexsort((bb, a))
+    a_ix = np.searchsorted(vocab, a[order])
+    b_ix = np.searchsorted(vocab, bb[order])
+    starts = np.searchsorted(a_ix, np.arange(len(vocab)))
+    ends = np.searchsorted(a_ix, np.arange(len(vocab)) + 1)
+    adj_ref = ray.put((vocab, b_ix, starts, ends))
+
+    def bfs_fold(blk: pa.Table) -> pa.Table:
+        vocab, nbr, starts, ends = ray.get(adj_ref)
+        nv = len(vocab)
+        hist = np.zeros(max_depth + 1, np.int64)
+        dist = np.empty(nv, np.int64)
+        for root in blk[node_col].to_pylist():
+            pos = int(np.searchsorted(vocab, int(root)))
+            if pos >= nv or vocab[pos] != int(root):
+                continue  # isolated: contributes no pairs
+            dist.fill(-1)
+            dist[pos] = 0
+            frontier = [pos]
+            for depth in range(1, max_depth + 1):
+                nxt = []
+                for u in frontier:
+                    for j in range(starts[u], ends[u]):
+                        v = nbr[j]
+                        if dist[v] < 0:
+                            dist[v] = depth
+                            nxt.append(v)
+                            hist[depth] += 1
+                if not nxt:
+                    break
+                frontier = nxt
+        ds_ = np.arange(1, max_depth + 1, dtype=np.int64)
+        return pa.table({"d": pa.array(ds_), "pairs": pa.array(hist[1:])})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        nodes.map_batches(bfs_fold, batch_format="pyarrow")
+        .groupby("d")
+        .aggregate(_Sum("pairs", alias_name="pairs"))
+    )

@@ -189,3 +189,44 @@ def quota_mix(
         .groupby(key_col)
         .map_groups(final, batch_format="pandas")
     )
+
+
+def temperature_resample(
+    ds,
+    key_col: str,
+    id_col: str,
+    coeff: int = 4,
+):
+    """Temperature-based domain/language resampling (the XLM-R / mT5
+    multilingual recipe: sample stratum d with probability
+    proportional to n_d^alpha, alpha < 1, to up-weight the tail
+    without drowning the head). alpha is fixed at 0.5 so the quota
+    is ``floor(coeff * sqrt(n_d))`` — sqrt is IEEE-exact (correctly
+    rounded), so both engines and the DuckDB oracle compute the SAME
+    integer quota from the same counts; no float-threshold hash risk.
+
+    Unlike :func:`quota_mix` the quotas are DERIVED FROM THE DATA:
+    one Count groupby produces the per-stratum histogram (one row
+    per stratum — driver-tiny at any corpus size), quotas follow,
+    and selection reuses the quota_mix multiplicative-hash rank so
+    the sample is a pure function of the table. Scale shape: the
+    count groupby is combiner-pruned by Ray Data, the selection
+    shuffle is output-sized (see quota_mix).
+    """
+    import math
+
+    from ray.data.aggregate import Count as _Count
+
+    counts = {}
+    for blk in (
+        ds.groupby(key_col)
+        .aggregate(_Count(alias_name="_n"))
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for kv, nv in zip(blk[key_col].to_pylist(), blk["_n"].to_pylist()):
+            counts[kv] = int(nv)
+    quotas = {
+        kv: int(math.floor(coeff * math.sqrt(float(nv))))
+        for kv, nv in counts.items()
+    }
+    return quota_mix(ds, key_col=key_col, id_col=id_col, quotas=quotas)
