@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_conditional_get",  # new in r4 (If-None-Match revisit: TTL expire + fp store -> 304/200 classify)
         "triangle_counts",  # new in r4 (node-iterator triangle counting, planted wedge closures)
         "k_core",  # new in r4 (Seidman coreness: delta-peeling, planted K4 link farms)
+        "lpa_communities",  # new in r4 (deterministic sync label propagation, 5 rounds, self-votes)
         "distance_histogram",  # new in r4 (exact bounded distance distribution — the table HyperBall sketches)
         "temperature_resample",  # new in r4 (XLM-R sqrt-temperature language resampling, data-derived quotas)
         "spam_mass",  # new in r4 (Gyöngyi mass estimation: pagerank - normalized trustrank)

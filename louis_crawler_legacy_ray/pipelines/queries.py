@@ -10037,6 +10037,81 @@ LEFT JOIN hist ON hist.d = g.d
 """
 
 
+def q_lpa_communities(sf_dir: str):
+    """Label-propagation communities (Raghavan et al. 2007) over the
+    multihost page graph plus planted K4 link farms (doc_id % 25 == 0)
+    — the near-linear community pass run on webgraphs where modularity
+    methods can't scale, made deterministic: self-loop votes, most-
+    frequent-then-smallest label, exactly 5 synchronous rounds on both
+    engines (no convergence test — the classic bipartite oscillation
+    cannot desync the oracle). Per round one label attach (broadcast/
+    shuffle planner) + one (node, label) Count groupby + one per-node
+    argmax (stages/graph.py:label_propagation)."""
+    from ..stages.graph import label_propagation
+
+    edges, nodes, _ = _mh_int_graph(sf_dir)
+    n = _docs_table(sf_dir).num_rows
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids % 25 == 0]
+        srcs, dsts = [], []
+        for i, j in ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)):
+            srcs.append((ids + i) % n)
+            dsts.append((ids + j) % n)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(srcs)),
+                "dst": pa.array(np.concatenate(dsts)),
+            }
+        )
+
+    farm = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return label_propagation(edges.union(farm), nodes, rounds=5)
+
+
+SQL_LPA_COMMUNITIES = """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+dir AS (
+  SELECT CAST(doc_id AS BIGINT) AS s,
+         CAST((2 * doc_id + 1) % nn.n AS BIGINT) AS d
+  FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (2 * doc_id + 2) % nn.n FROM documents, nn
+  UNION ALL
+  SELECT CAST((doc_id + p.i) % nn.n AS BIGINT),
+         CAST((doc_id + p.j) % nn.n AS BIGINT)
+  FROM documents, nn,
+       (VALUES (0,1),(0,2),(0,3),(1,2),(1,3),(2,3)) p(i, j)
+  WHERE doc_id % 25 = 0),
+vs AS (SELECT CAST(doc_id AS BIGINT) AS v FROM documents),
+und AS (
+  SELECT DISTINCT s AS x, d AS y FROM dir WHERE s <> d
+  UNION
+  SELECT d, s FROM dir WHERE s <> d
+  UNION
+  SELECT v, v FROM vs),
+lab(it, node, lbl) AS (
+  SELECT 0, v, v FROM vs
+  UNION
+  SELECT it, node, lbl FROM (
+    SELECT q2.it, q2.node, q2.lbl,
+           row_number() OVER (
+             PARTITION BY q2.it, q2.node
+             ORDER BY q2.c DESC, q2.lbl ASC) AS rk
+    FROM (
+      SELECT l.it + 1 AS it, e.y AS node, l.lbl AS lbl,
+             count(*) OVER (PARTITION BY e.y, l.lbl) AS c
+      FROM lab l JOIN und e ON e.x = l.node
+      WHERE l.it < 5
+    ) q2
+  ) WHERE rk = 1)
+SELECT node, lbl AS community FROM lab WHERE it = 5
+"""
+
+
 def q_temperature_resample(sf_dir: str):
     """Temperature-based language resampling (XLM-R / mT5: stratum
     quota proportional to n_lang^alpha, alpha=0.5) over the skewed
@@ -10176,6 +10251,7 @@ QUERIES = {
     "crawl_conditional_get": q_crawl_conditional_get,
     "triangle_counts": q_triangle_counts,
     "k_core": q_k_core,
+    "lpa_communities": q_lpa_communities,
     "distance_histogram": q_distance_histogram,
     "temperature_resample": q_temperature_resample,
     "reciprocal_links": q_reciprocal_links,
@@ -10366,6 +10442,7 @@ ORACLE_SQL = {
     "crawl_conditional_get": SQL_CRAWL_CONDITIONAL_GET,
     "triangle_counts": SQL_TRIANGLE_COUNTS,
     "k_core": SQL_K_CORE,
+    "lpa_communities": SQL_LPA_COMMUNITIES,
     "distance_histogram": SQL_DISTANCE_HISTOGRAM,
     "temperature_resample": SQL_TEMPERATURE_RESAMPLE,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,

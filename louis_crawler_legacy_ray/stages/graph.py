@@ -1312,3 +1312,89 @@ def distance_histogram(
         .groupby("d")
         .aggregate(_Sum("pairs", alias_name="pairs"))
     )
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    rounds: int = 5,
+    node_col: str = "node",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007 — the near-linear community pass webgraph pipelines run
+    where modularity methods don't scale), made DETERMINISTIC: every
+    node votes with its neighbors' labels PLUS its own (self-loop
+    vote — so isolated nodes keep their label and labels are sticky),
+    the new label is the most frequent vote with ties broken by the
+    SMALLEST label, and exactly ``rounds`` synchronous rounds run on
+    both engines (no convergence test, so the classic bipartite
+    oscillation cannot desync the oracle).
+
+    Per round: one label attach onto the undirected edge list (the
+    pagerank broadcast-vs-shuffle planner — broadcast under
+    BROADCAST_SCORE_ROWS, partitioned hash join above), one
+    (node, label) Count groupby, one per-node argmax. Labels stay a
+    Dataset end-to-end. Returns (node_col, community)."""
+    import pandas as pd
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([s, d])),
+                "b": pa.array(np.concatenate([d, s])),
+            }
+        )
+
+    loops = nodes.map_batches(
+        lambda b: pa.table(
+            {
+                "a": b[node_col].cast(pa.int64()),
+                "b": b[node_col].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    und = (
+        edges.map_batches(sym, batch_format="pyarrow")
+        .union(loops)
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+
+    n_nodes = nodes.count()
+    lab = nodes.map_batches(
+        lambda b: pa.table(
+            {
+                "v": b[node_col].cast(pa.int64()),
+                "lbl": b[node_col].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c", "lbl"], ascending=[False, True]).head(1)
+        return pd.DataFrame(
+            {"v": g["b"].to_numpy(np.int64), "lbl": g["lbl"].to_numpy(np.int64)}
+        )
+
+    for _ in range(rounds):
+        votes = _with_scores(und, lab, "a", "lbl", num_buckets, n_rows=n_nodes)
+        counts = votes.groupby(["b", "lbl"]).aggregate(Count(alias_name="c"))
+        lab = counts.groupby("b").map_groups(
+            pick, batch_format="pandas"
+        ).materialize()
+
+    return lab.map_batches(
+        lambda b: pa.table(
+            {node_col: b["v"], "community": b["lbl"]}
+        ),
+        batch_format="pyarrow",
+    )

@@ -126,3 +126,37 @@ def test_temperature_resample_quotas(ray_session):
     # selection = smallest hashes within the stratum
     big = np.array(sorted(range(64), key=lambda i: (sample_hash(np.array([i]))[0], i)))
     assert sorted(by_key["big"]) == sorted(int(x) for x in big[:16])
+
+
+def test_label_propagation_two_cliques(ray_session):
+    """LPA on two K4s joined by one bridge edge: each clique converges
+    to its own min label; the bridge does not merge them (3 internal
+    votes beat 1 external). Self-votes keep the isolated node 8 at its
+    own label."""
+    from louis_crawler_legacy_ray.stages.graph import label_propagation
+
+    k4a = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    k4b = [(4, 5), (4, 6), (4, 7), (5, 6), (5, 7), (6, 7)]
+    e = k4a + k4b + [(3, 4)]
+    out = label_propagation(_edges(e), _nodes(9), rounds=5).take_all()
+    got = {r["node"]: r["community"] for r in out}
+    assert got[8] == 8
+    assert {got[i] for i in (0, 1, 2, 3)} == {0}
+    assert {got[i] for i in (4, 5, 6, 7)} == {4}
+
+
+def test_label_propagation_deterministic_rounds(ray_session):
+    """A 2-path under exactly one round: ends adopt the middle-vs-self
+    min; reruns produce identical labels (determinism across block
+    layouts)."""
+    from louis_crawler_legacy_ray.stages.graph import label_propagation
+
+    e = [(0, 1), (1, 2)]
+    a = {r["node"]: r["community"]
+         for r in label_propagation(_edges(e), _nodes(3), rounds=1).take_all()}
+    b = {r["node"]: r["community"]
+         for r in label_propagation(
+             _edges(e).repartition(3), _nodes(3), rounds=1).take_all()}
+    assert a == b
+    # each node votes {self, neighbors}: all counts 1 -> min label wins
+    assert a == {0: 0, 1: 0, 2: 1}
