@@ -10112,6 +10112,44 @@ SELECT node, lbl AS community FROM lab WHERE it = 5
 """
 
 
+def q_kmv_distinct_users(sf_dir: str):
+    """KMV / bottom-k distinct users per event type (Bar-Yossef et al.
+    2002; Beyer et al. 2007 estimator) — the order-statistics twin of
+    the HLL gate (hll_md5_distinct), fully oracled: md5-parity hashes,
+    k smallest distinct per group, exact answer below k, ONE IEEE
+    division above it. At sf0.001 (15 users/type) the exact arm runs;
+    at sf0.01 (150 users/type) the estimator arm runs — both gate
+    scales exercise a different branch
+    (stages/sketches.py:kmv_distinct)."""
+    from ..stages.sketches import kmv_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return kmv_distinct(ev, key_col="event_type", val_col="user_id", k=16)
+
+
+SQL_KMV_DISTINCT_USERS = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 2147483648
+              AS BIGINT) + 1 AS hv
+  FROM events),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h),
+kept AS (SELECT * FROM r WHERE rn <= 16),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS k_used,
+         CAST(max(hv) AS BIGINT) AS kth_hash
+  FROM kept GROUP BY event_type)
+SELECT event_type, k_used, kth_hash,
+       CASE WHEN k_used < 16 THEN CAST(k_used AS DOUBLE)
+            ELSE (15.0 * 2147483648.0) / CAST(kth_hash AS DOUBLE)
+       END AS est
+FROM agg
+"""
+
+
 def q_temperature_resample(sf_dir: str):
     """Temperature-based language resampling (XLM-R / mT5: stratum
     quota proportional to n_lang^alpha, alpha=0.5) over the skewed
@@ -10254,6 +10292,7 @@ QUERIES = {
     "lpa_communities": q_lpa_communities,
     "distance_histogram": q_distance_histogram,
     "temperature_resample": q_temperature_resample,
+    "kmv_distinct_users": q_kmv_distinct_users,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -10445,6 +10484,7 @@ ORACLE_SQL = {
     "lpa_communities": SQL_LPA_COMMUNITIES,
     "distance_histogram": SQL_DISTANCE_HISTOGRAM,
     "temperature_resample": SQL_TEMPERATURE_RESAMPLE,
+    "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,

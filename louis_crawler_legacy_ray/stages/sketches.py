@@ -934,3 +934,85 @@ def cms_term_counts(
             "est": pa.array([s.query(t) for t in out_terms], pa.int64()),
         }
     )
+
+
+KMV_K = 16
+KMV_MOD = 1 << 31  # hash domain after fold; small enough for exact BIGINT SQL
+
+
+def kmv_distinct(
+    ds,
+    key_col: str,
+    val_col: str,
+    k: int = KMV_K,
+):
+    """KMV / bottom-k distinct-count sketch (Bar-Yossef et al. 2002;
+    Beyer et al. 2007's unbiased (k-1)/h_k estimator) — the
+    order-statistics alternative to HLL (hll_md5_distinct): keep the
+    k SMALLEST distinct value hashes per group; if fewer than k exist
+    the sketch IS the exact answer, else estimate
+    (k-1) * M / h_k with ONE IEEE division (every upstream quantity an
+    exact integer, so the float hash-matches the DuckDB oracle
+    bit-for-bit — the hll_md5 est_raw discipline).
+
+    Hash = DuckDB-parity md5 fold (``md5_number_lower % 2^31 + 1``;
+    +1 keeps h_k nonzero). Scale shape: per-block partials keep at
+    most k distinct hashes per group (a combiner — the shuffle
+    carries k x groups x blocks rows, never the corpus), the final
+    per-group bottom-k runs over partials only; bottom-k sets are
+    trivially mergeable so a tree fold works when groups are few and
+    blocks are many. Returns
+    (key_col, k_used:int64, kth_hash:int64, est:double).
+    """
+    import pandas as pd
+
+    from .dedup import _md5_u64_lower
+
+    def _hash_vals(vals) -> np.ndarray:
+        hs = {
+            _md5_u64_lower(str(v)) % KMV_MOD + 1 for v in set(vals)
+        }
+        return np.sort(np.fromiter(hs, np.int64, len(hs)))
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                key_col: b[key_col].to_pandas(),
+                val_col: b[val_col].to_pandas(),
+            }
+        )
+        keys, hs = [], []
+        for kv, g in df.groupby(key_col, sort=False):
+            bot = _hash_vals(g[val_col].tolist())[:k]
+            keys.extend([kv] * len(bot))
+            hs.extend(bot.tolist())
+        return pa.table(
+            {
+                key_col: pa.array(keys),
+                "hv": pa.array(hs, pa.int64()),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        hv = np.sort(np.unique(g["hv"].to_numpy(np.int64)))[:k]
+        k_used = int(hv.size)
+        kth = int(hv[-1])
+        est = (
+            float(k_used)
+            if k_used < k
+            else (float(k - 1) * float(KMV_MOD)) / float(kth)
+        )
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "k_used": np.array([k_used], np.int64),
+                "kth_hash": np.array([kth], np.int64),
+                "est": [est],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(finish, batch_format="pandas")
+    )

@@ -160,3 +160,27 @@ def test_label_propagation_deterministic_rounds(ray_session):
     assert a == b
     # each node votes {self, neighbors}: all counts 1 -> min label wins
     assert a == {0: 0, 1: 0, 2: 1}
+
+
+def test_kmv_distinct_exact_and_estimate(ray_session):
+    """KMV bottom-k: a group with fewer than k distinct values reports
+    the EXACT count; a dense group estimates within 40% (k=16 has
+    ~25% relative stddev); results are block-layout invariant."""
+    import ray.data as rd
+
+    from louis_crawler_legacy_ray.stages.sketches import kmv_distinct
+
+    n_dense = 400
+    keys = ["small"] * 30 + ["dense"] * n_dense
+    vals = [i % 7 for i in range(30)] + list(range(n_dense))
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.int64())})
+    for parts in (1, 7):
+        ds = rd.from_arrow(t).repartition(parts)
+        rows = {
+            r["k"]: r
+            for r in kmv_distinct(ds, key_col="k", val_col="v", k=16).take_all()
+        }
+        assert rows["small"]["k_used"] == 7
+        assert rows["small"]["est"] == 7.0
+        assert rows["dense"]["k_used"] == 16
+        assert abs(rows["dense"]["est"] - n_dense) / n_dense < 0.4
