@@ -10112,6 +10112,112 @@ SELECT node, lbl AS community FROM lab WHERE it = 5
 """
 
 
+def q_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth curve (Herdan/Heaps: V(n) ~ K·n^b
+    — THE corpus statistic for sizing tokenizer vocabularies and
+    judging dedup effectiveness: a deduped corpus keeps growing, a
+    template-heavy one plateaus): distinct-term count as the corpus
+    accrues in doc_id order, bucketed by 50 docs. first-occurrence =
+    one Min groupby over per-block (term, min doc) combiner partials
+    (stages/textstats.py:term_first_doc_partial — order-free, so
+    block layout can't change it); per-bucket new-term and token
+    counts are output-sized; the cumulative fold runs over the tiny
+    bucket table only. Columns: (bucket, new_terms, cum_terms,
+    cum_tokens), all exact int64."""
+    from ray.data.aggregate import Min as _Min
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    firsts = docs.map_batches(
+        ts.term_first_doc_partial, batch_format="pyarrow"
+    ).groupby("term").aggregate(_Min("fd", alias_name="fd"))
+
+    def fd_bucket(b: pa.Table) -> pa.Table:
+        fd = b["fd"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(fd // 50),
+                "one": pa.array(np.ones(len(fd), np.int64)),
+            }
+        )
+
+    new_terms = (
+        firsts.map_batches(fd_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("one", alias_name="new_terms"))
+    )
+
+    def tok_bucket(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = np.array(
+            [
+                len(ts._VOCAB_RE.findall((t or "").lower()))
+                for t in b["text"].to_pylist()
+            ],
+            np.int64,
+        )
+        return pa.table({"bucket": pa.array(ids // 50), "toks": pa.array(toks)})
+
+    tokens = (
+        docs.map_batches(tok_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("toks", alias_name="toks"))
+    )
+
+    # the bucket tables are output-sized (corpus/50 rows); the
+    # cumulative fold is a driver-side walk over THAT, never the corpus
+    nt = {
+        r["bucket"]: r["new_terms"]
+        for b in new_terms.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    tk = {
+        r["bucket"]: r["toks"]
+        for b in tokens.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    buckets = sorted(tk)
+    out, ct, cx = [], 0, 0
+    for bkt in buckets:
+        n = int(nt.get(bkt, 0))
+        ct += n
+        cx += int(tk.get(bkt, 0))
+        out.append((bkt, n, ct, cx))
+    return pa.table(
+        {
+            "bucket": pa.array([r[0] for r in out], pa.int64()),
+            "new_terms": pa.array([r[1] for r in out], pa.int64()),
+            "cum_terms": pa.array([r[2] for r in out], pa.int64()),
+            "cum_tokens": pa.array([r[3] for r in out], pa.int64()),
+        }
+    )
+
+
+SQL_VOCAB_GROWTH = """
+WITH w AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ws
+  FROM documents),
+tokb AS (
+  SELECT CAST(doc_id // 50 AS BIGINT) AS bucket,
+         CAST(sum(len(ws)) AS BIGINT) AS toks
+  FROM w GROUP BY 1),
+fd AS (
+  SELECT term, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(ws) AS term FROM w) GROUP BY term),
+nb AS (
+  SELECT CAST(first_doc // 50 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS new_terms
+  FROM fd GROUP BY 1)
+SELECT tokb.bucket,
+       CAST(coalesce(nb.new_terms, 0) AS BIGINT) AS new_terms,
+       CAST(sum(coalesce(nb.new_terms, 0))
+            OVER (ORDER BY tokb.bucket) AS BIGINT) AS cum_terms,
+       CAST(sum(tokb.toks) OVER (ORDER BY tokb.bucket) AS BIGINT)
+         AS cum_tokens
+FROM tokb LEFT JOIN nb USING (bucket)
+"""
+
+
 def q_kmv_distinct_users(sf_dir: str):
     """KMV / bottom-k distinct users per event type (Bar-Yossef et al.
     2002; Beyer et al. 2007 estimator) — the order-statistics twin of
@@ -10293,6 +10399,7 @@ QUERIES = {
     "distance_histogram": q_distance_histogram,
     "temperature_resample": q_temperature_resample,
     "kmv_distinct_users": q_kmv_distinct_users,
+    "vocab_growth": q_vocab_growth,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -10485,6 +10592,7 @@ ORACLE_SQL = {
     "distance_histogram": SQL_DISTANCE_HISTOGRAM,
     "temperature_resample": SQL_TEMPERATURE_RESAMPLE,
     "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
+    "vocab_growth": SQL_VOCAB_GROWTH,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,

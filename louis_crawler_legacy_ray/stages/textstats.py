@@ -843,3 +843,27 @@ def bm25_topk(
         )
 
     return cands.map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def term_first_doc_partial(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Partial (combiner) first-occurrence table for one batch:
+    term -> min doc id within the block. Feeding a Min groupby these
+    partials is the Heaps'-law scale shape — the shuffle carries one
+    row per distinct term per block, never per-token rows, and Min is
+    order-free so block layout cannot change the answer."""
+    first: dict = {}
+    ids = batch[id_col].to_pylist()
+    for i, t in zip(ids, batch[text_col].to_pylist()):
+        for term in set(_VOCAB_RE.findall((t or "").lower())):
+            prev = first.get(term)
+            if prev is None or i < prev:
+                first[term] = i
+    keys = list(first.keys())
+    return pa.table(
+        {
+            "term": pa.array(keys, pa.string()),
+            "fd": pa.array([first[k] for k in keys], pa.int64()),
+        }
+    )
