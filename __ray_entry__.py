@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_resample",  # new in r4 (XLM-R sqrt-temperature language resampling, data-derived quotas)
         "kmv_distinct_users",  # new in r4 (KMV bottom-k distinct sketch, exact-below-k arm + estimator arm)
         "vocab_growth",  # new in r4 (Heaps'-law vocabulary growth curve via first-occurrence Min groupby)
+        "degree_distribution",  # new in r4 (log2-bucket in/out-degree histogram, the webgraph power-law table)
         "spam_mass",  # new in r4 (Gyöngyi mass estimation: pagerank - normalized trustrank)
         "wet_export",  # new in r4 (Common Crawl WET conversion records: extract -> text -> WET -> parse)
         "wat_export",  # new in r4 (Common Crawl WAT metadata-JSON records roundtrip)

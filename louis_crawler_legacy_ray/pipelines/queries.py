@@ -10112,6 +10112,129 @@ SELECT node, lbl AS community FROM lab WHERE it = 5
 """
 
 
+def q_degree_distribution(sf_dir: str):
+    """In/out-degree distribution of the multihost page graph in log2
+    buckets — the first table every webgraph study publishes (Broder
+    et al. 2000's power-law evidence; the shape that tells a crawler
+    where the hub mass lives). Two Count groupbys (per-node degree),
+    then one tiny (direction, bucket) groupby over per-block bucket
+    partials; the shuffle carries O(buckets) rows per block. Exact
+    int64 counts; bucket b holds nodes with degree in [2^b, 2^(b+1));
+    zero-degree nodes land in bucket -1. The raw heap graph is
+    degree-uniform (a 2-row histogram — no gate), so hub edges are
+    planted (every even doc -> doc 0, every 3rd -> doc 1, every
+    5th -> doc 2): the hubs land in high log2 buckets and the tail
+    spreads, the power-law shape the table exists to show."""
+    from ray.data.aggregate import Sum as _Sum
+
+    edges, nodes, _ = _mh_int_graph(sf_dir)
+
+    def hubs(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs, dsts = [], []
+        for mod, hub in ((2, 0), (3, 1), (5, 2)):
+            sel = ids[(ids % mod == 0) & (ids != hub)]
+            srcs.append(sel)
+            dsts.append(np.full(sel.size, hub, np.int64))
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(srcs)),
+                "dst": pa.array(np.concatenate(dsts)),
+            }
+        )
+
+    edges = edges.union(
+        _read(sf_dir, "documents", ["doc_id"]).map_batches(
+            hubs, batch_format="pyarrow"
+        )
+    )
+
+    def count_side(col: str, label: str):
+        deg = edges.groupby(col).aggregate(Count(alias_name="deg"))
+
+        def bucketize(b: pa.Table) -> pa.Table:
+            d = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bk = np.floor(np.log2(np.maximum(d, 1))).astype(np.int64)
+            return pa.table(
+                {
+                    "direction": pa.array([label] * len(bk)),
+                    "bucket": pa.array(bk),
+                    "n": pa.array(np.ones(len(bk), np.int64)),
+                }
+            )
+
+        counted = deg.map_batches(bucketize, batch_format="pyarrow")
+
+        # nodes with zero degree on this side: total - counted
+        def zero_row(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "direction": pa.array([label] * b.num_rows),
+                    "bucket": pa.array(np.full(b.num_rows, -1, np.int64)),
+                    "n": pa.array(np.ones(b.num_rows, np.int64)),
+                }
+            )
+
+        def minus_one(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "direction": pa.array([label] * b.num_rows),
+                    "bucket": pa.array(np.full(b.num_rows, -1, np.int64)),
+                    "n": pa.array(np.full(b.num_rows, -1, np.int64)),
+                }
+            )
+
+        # all nodes at -1, minus one for each node that HAS degree
+        return counted.union(
+            nodes.map_batches(zero_row, batch_format="pyarrow"),
+            deg.map_batches(minus_one, batch_format="pyarrow"),
+        )
+
+    parts = count_side("src", "out").union(count_side("dst", "in"))
+    out = (
+        parts.groupby(["direction", "bucket"])
+        .aggregate(_Sum("n", alias_name="nodes"))
+    )
+    return out.map_batches(
+        lambda b: b.filter(pc.greater(b["nodes"], 0)),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DEGREE_DISTRIBUTION = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+dir AS (
+  SELECT CAST(doc_id AS BIGINT) AS s,
+         CAST((2 * doc_id + 1) % nn.n AS BIGINT) AS d
+  FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (2 * doc_id + 2) % nn.n FROM documents, nn
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(h.hub AS BIGINT)
+  FROM documents, (VALUES (2, 0), (3, 1), (5, 2)) h(m, hub)
+  WHERE doc_id % h.m = 0 AND doc_id <> h.hub),
+outd AS (SELECT s AS v, count(*) AS deg FROM dir GROUP BY s),
+ind AS (SELECT d AS v, count(*) AS deg FROM dir GROUP BY d),
+b AS (
+  SELECT 'out' AS direction,
+         CAST(floor(log2(greatest(o.deg, 1))) AS BIGINT) AS bucket
+  FROM documents dd LEFT JOIN outd o ON o.v = dd.doc_id
+  WHERE o.v IS NOT NULL
+  UNION ALL
+  SELECT 'out', -1 FROM documents dd
+  WHERE NOT EXISTS (SELECT 1 FROM outd o WHERE o.v = dd.doc_id)
+  UNION ALL
+  SELECT 'in',
+         CAST(floor(log2(greatest(i.deg, 1))) AS BIGINT)
+  FROM documents dd JOIN ind i ON i.v = dd.doc_id
+  UNION ALL
+  SELECT 'in', -1 FROM documents dd
+  WHERE NOT EXISTS (SELECT 1 FROM ind i WHERE i.v = dd.doc_id))
+SELECT direction, bucket, CAST(count(*) AS BIGINT) AS nodes
+FROM b GROUP BY direction, bucket
+"""
+
+
 def q_vocab_growth(sf_dir: str):
     """Heaps'-law vocabulary growth curve (Herdan/Heaps: V(n) ~ K·n^b
     — THE corpus statistic for sizing tokenizer vocabularies and
@@ -10400,6 +10523,7 @@ QUERIES = {
     "temperature_resample": q_temperature_resample,
     "kmv_distinct_users": q_kmv_distinct_users,
     "vocab_growth": q_vocab_growth,
+    "degree_distribution": q_degree_distribution,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -10593,6 +10717,7 @@ ORACLE_SQL = {
     "temperature_resample": SQL_TEMPERATURE_RESAMPLE,
     "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
     "vocab_growth": SQL_VOCAB_GROWTH,
+    "degree_distribution": SQL_DEGREE_DISTRIBUTION,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,
