@@ -10413,6 +10413,120 @@ WHERE r.rn <= q.quota
 """
 
 
+def q_graph_compress(sf_dir: str):
+    """Boldi–Vigna WebGraph gap-encoding cost accounting (Boldi &
+    Vigna 2004, "The WebGraph Framework I") over the REAL extract
+    path: per page, sort the deduped successor list, take the BV
+    gaps — first gap = zigzag(d1 − src) (ν-coding of a possibly
+    negative offset), remaining gaps = d_i − d_{i−1} − 1 — and charge
+    each gap its γ-code bit cost (2·⌊log2(g+1)⌋+1) and LEB128 varint
+    byte cost (⌊log2(max(g,1))⌋//7 + 1). This is the sizing table a
+    webgraph store publishes before choosing codes: the mass of tiny
+    'rest' gaps (locality — consecutive doc ids link near each other)
+    vs the heavy 'first' offsets is exactly what makes BV compression
+    work on web graphs and fail on random ones.
+
+    Scale shape: gaps are computed INSIDE the per-page extract batch
+    (every out-edge of a page lives in its source row — no shuffle at
+    all to form adjacency), per-block partials aggregate to O(kinds ×
+    buckets) rows, one tiny groupby Sum finishes. Exact int64
+    throughout; bucket exponents come from np.frexp (exact), the
+    oracle's floor(log2()) agrees for every value below 2^53."""
+    from ray.data.aggregate import Sum as _Sum
+
+    _, _, pages = _mh_int_graph(sf_dir)
+
+    def _uid(u: str) -> int:
+        return int(u.rsplit("doc", 1)[1])
+
+    def gap_partials(b: pa.Table) -> pa.Table:
+        items = extract_batch(b)
+        firsts: list[int] = []
+        rests: list[int] = []
+        for src, links in zip(
+            items["url"].to_pylist(), items["links"].to_pylist()
+        ):
+            sid = _uid(src)
+            succ = sorted({_uid(x) for x in links})
+            if not succ:
+                continue
+            x = succ[0] - sid
+            firsts.append(2 * x if x >= 0 else -2 * x - 1)
+            for prev, cur in zip(succ, succ[1:]):
+                rests.append(cur - prev - 1)
+
+        kinds, buckets, ns, gbits, vbytes = [], [], [], [], []
+        for kind, vals in (("first", firsts), ("rest", rests)):
+            if not vals:
+                continue
+            v = np.asarray(vals, np.int64)
+            # exact integer exponent: frexp(n) = (m, e) with m in
+            # [0.5, 1) => floor(log2(n)) = e - 1 for every int n >= 1
+            bucket = (np.frexp((v + 1).astype(np.float64))[1] - 1).astype(
+                np.int64
+            )
+            vb = (
+                np.frexp(np.maximum(v, 1).astype(np.float64))[1] - 1
+            ).astype(np.int64) // 7 + 1
+            uniq, inv = np.unique(bucket, return_inverse=True)
+            kinds.extend([kind] * uniq.size)
+            buckets.extend(uniq.tolist())
+            ns.extend(np.bincount(inv).astype(np.int64).tolist())
+            gbits.extend(
+                np.bincount(inv, weights=(2 * bucket + 1))
+                .astype(np.int64)
+                .tolist()
+            )
+            vbytes.extend(np.bincount(inv, weights=vb).astype(np.int64).tolist())
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "bucket": pa.array(buckets, pa.int64()),
+                "n_gaps": pa.array(ns, pa.int64()),
+                "gamma_bits": pa.array(gbits, pa.int64()),
+                "varint_bytes": pa.array(vbytes, pa.int64()),
+            }
+        )
+
+    partials = pages.map_batches(gap_partials, batch_format="pyarrow")
+    return partials.groupby(["kind", "bucket"]).aggregate(
+        _Sum("n_gaps", alias_name="n_gaps"),
+        _Sum("gamma_bits", alias_name="gamma_bits"),
+        _Sum("varint_bytes", alias_name="varint_bytes"),
+    )
+
+
+SQL_GRAPH_COMPRESS = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT CAST(doc_id AS BIGINT) AS s,
+           CAST((2 * doc_id + 1) % nn.n AS BIGINT) AS d
+    FROM documents, nn
+    UNION ALL
+    SELECT doc_id, (2 * doc_id + 2) % nn.n FROM documents, nn)),
+g AS (
+  SELECT s, d,
+         row_number() OVER (PARTITION BY s ORDER BY d) AS rn,
+         lag(d) OVER (PARTITION BY s ORDER BY d) AS pd
+  FROM e),
+vals AS (
+  SELECT CASE WHEN rn = 1 THEN 'first' ELSE 'rest' END AS kind,
+         CASE WHEN rn = 1 THEN
+                (CASE WHEN d >= s THEN 2 * (d - s) ELSE 2 * (s - d) - 1 END)
+              ELSE d - pd - 1 END AS v
+  FROM g)
+SELECT kind,
+       CAST(floor(log2(v + 1)) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(2 * CAST(floor(log2(v + 1)) AS BIGINT) + 1) AS BIGINT)
+         AS gamma_bits,
+       CAST(sum(CAST(floor(log2(greatest(v, 1))) AS BIGINT) // 7 + 1)
+         AS BIGINT) AS varint_bytes
+FROM vals GROUP BY kind, bucket
+"""
+
+
 QUERIES = {
     # relational / reference operator mappings
     "q1_pricing_summary": q_q1_pricing_summary,
@@ -10524,6 +10638,7 @@ QUERIES = {
     "kmv_distinct_users": q_kmv_distinct_users,
     "vocab_growth": q_vocab_growth,
     "degree_distribution": q_degree_distribution,
+    "graph_compress": q_graph_compress,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -10718,6 +10833,7 @@ ORACLE_SQL = {
     "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
     "vocab_growth": SQL_VOCAB_GROWTH,
     "degree_distribution": SQL_DEGREE_DISTRIBUTION,
+    "graph_compress": SQL_GRAPH_COMPRESS,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,

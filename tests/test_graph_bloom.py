@@ -416,3 +416,26 @@ def test_triangle_counts_hand_graph(ray_session):
         for r in triangle_counts(edges, nodes).take_all()
     }
     assert got == {0: 1, 1: 2, 2: 2, 3: 1, 9: 0}
+
+
+def test_graph_compress_invariants(ray_session):
+    """graph_compress: per-row gamma identity (gamma_bits ==
+    (2*bucket+1) * n_gaps — every gap in bucket b costs exactly
+    2b+1 gamma bits), exactly one 'first' gap per page with
+    out-links, and total gaps == total edges of the extracted
+    multihost graph."""
+    from louis_crawler_legacy_ray.pipelines.queries import (
+        _mh_int_graph,
+        q_graph_compress,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_graph_compress(sf).to_pandas()
+    assert ((2 * out["bucket"] + 1) * out["n_gaps"] == out["gamma_bits"]).all()
+    assert (out["varint_bytes"] >= out["n_gaps"]).all()
+
+    edges, _, _ = _mh_int_graph(sf)
+    n_edges = edges.count()
+    n_srcs = edges.unique("src")
+    assert out["n_gaps"].sum() == n_edges
+    assert out.loc[out["kind"] == "first", "n_gaps"].sum() == len(n_srcs)
