@@ -10527,6 +10527,151 @@ FROM vals GROUP BY kind, bucket
 """
 
 
+def q_salsa_scores(sf_dir: str):
+    """SALSA authority scores (Lempel & Moran 2000, "SALSA: the
+    stochastic approach for link-structure analysis") over the hubbed
+    multihost page graph — the TKC-effect-free alternative to HITS
+    that powered web search authority ranking. SALSA's authority
+    chain has a CLOSED-FORM stationary distribution: within each
+    connected component C of the co-citation support graph,
+    pi(a) = (|C|/|A|) * (d_in(a) / sum_{a' in C} d_in(a')) — no
+    power iteration needed, which is why it scales where HITS can't.
+
+    Pipeline: per-page successor lists (tree links from the REAL
+    extract path + the same planted hub edges as degree_distribution,
+    derived per-source arithmetically) yield in-degree rows and
+    consecutive co-citation pairs with NO shuffle; one Count groupby
+    for d_in; Dataset-native min-label connected components over the
+    support pairs; two partitioned hash joins attach component stats.
+    All-exact output: score_ppm = floor(comp_size * d_in * 1e6 /
+    (n_auth * comp_din)) — a single integer division of exact int64
+    terms, bit-identical to the DuckDB recursive-CTE oracle."""
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.dedup import connected_components
+    from ..stages.joins import partitioned_hash_join
+
+    _, _, pages = _mh_int_graph(sf_dir)
+
+    def _uid(u: str) -> int:
+        return int(u.rsplit("doc", 1)[1])
+
+    HUBS = ((2, 0), (3, 1), (5, 2))
+
+    def _succ(b: pa.Table):
+        items = extract_batch(b)
+        for src, links in zip(
+            items["url"].to_pylist(), items["links"].to_pylist()
+        ):
+            sid = _uid(src)
+            succ = {_uid(x) for x in links}
+            succ.update(h for m, h in HUBS if sid % m == 0 and sid != h)
+            yield sid, sorted(succ)
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for sid, succ in _succ(b):
+            srcs.extend([sid] * len(succ))
+            dsts.extend(succ)
+        return pa.table(
+            {
+                "src": pa.array(srcs, pa.int64()),
+                "dst": pa.array(dsts, pa.int64()),
+            }
+        )
+
+    def pair_rows(b: pa.Table) -> pa.Table:
+        a_, b_ = [], []
+        for _sid, succ in _succ(b):
+            a_.extend(succ[:-1])
+            b_.extend(succ[1:])
+        return pa.table(
+            {
+                "doc_a": pa.array(a_, pa.int64()),
+                "doc_b": pa.array(b_, pa.int64()),
+            }
+        )
+
+    edges = pages.map_batches(edge_rows, batch_format="pyarrow")
+    pairs = pages.map_batches(pair_rows, batch_format="pyarrow")
+
+    din = (
+        edges.groupby("dst")
+        .aggregate(_Count(alias_name="d_in"))
+        .map_batches(
+            lambda b: b.rename_columns(["node", "d_in"]),
+            batch_format="pyarrow",
+        )
+    )
+    auth = din.select_columns(["node"])
+    n_auth = auth.count()
+
+    labels = connected_components(pairs, auth, id_col="node")
+    lab_din = partitioned_hash_join(din, labels, "node", "node")
+    comp = lab_din.groupby("cluster_id").aggregate(
+        _Count(alias_name="comp_size"), _Sum("d_in", alias_name="comp_din")
+    )
+    joined = partitioned_hash_join(lab_din, comp, "cluster_id", "cluster_id")
+
+    def score(b: pa.Table) -> pa.Table:
+        cs = b["comp_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        di = b["d_in"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cd = b["comp_din"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ppm = (cs * di * 1_000_000) // (n_auth * cd)
+        return pa.table(
+            {
+                "node": b["node"].cast(pa.int64()),
+                "d_in": pa.array(di),
+                "cluster_id": b["cluster_id"].cast(pa.int64()),
+                "comp_size": pa.array(cs),
+                "comp_din": pa.array(cd),
+                "score_ppm": pa.array(ppm),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
+SQL_SALSA_SCORES = """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT CAST(doc_id AS BIGINT) AS s,
+           CAST((2 * doc_id + 1) % nn.n AS BIGINT) AS d
+    FROM documents, nn
+    UNION ALL
+    SELECT doc_id, (2 * doc_id + 2) % nn.n FROM documents, nn
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), CAST(h.hub AS BIGINT)
+    FROM documents, (VALUES (2, 0), (3, 1), (5, 2)) h(m, hub)
+    WHERE doc_id % h.m = 0 AND doc_id <> h.hub)),
+din AS (SELECT d AS node, CAST(count(*) AS BIGINT) AS d_in FROM e GROUP BY d),
+na AS (SELECT count(*) AS n_auth FROM din),
+succ AS (
+  SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY d) AS rn FROM e),
+prs AS (
+  SELECT a.d AS doc_a, b.d AS doc_b
+  FROM succ a JOIN succ b ON a.s = b.s AND b.rn = a.rn + 1),
+ue AS (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION ALL SELECT doc_b, doc_a FROM prs),
+reach(node, label) AS (
+  SELECT node, node FROM din
+  UNION
+  SELECT CAST(ue.dst AS BIGINT), r.label FROM reach r JOIN ue ON ue.src = r.node),
+cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+comp AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS comp_size,
+         CAST(sum(d.d_in) AS BIGINT) AS comp_din
+  FROM cc JOIN din d USING (node) GROUP BY cluster_id)
+SELECT d.node, d.d_in, c.cluster_id, p.comp_size, p.comp_din,
+       CAST((p.comp_size * d.d_in * 1000000)
+            // (na.n_auth * p.comp_din) AS BIGINT) AS score_ppm
+FROM din d JOIN cc c USING (node) JOIN comp p USING (cluster_id), na
+"""
+
+
 QUERIES = {
     # relational / reference operator mappings
     "q1_pricing_summary": q_q1_pricing_summary,
@@ -10639,6 +10784,7 @@ QUERIES = {
     "vocab_growth": q_vocab_growth,
     "degree_distribution": q_degree_distribution,
     "graph_compress": q_graph_compress,
+    "salsa_scores": q_salsa_scores,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -10834,6 +10980,7 @@ ORACLE_SQL = {
     "vocab_growth": SQL_VOCAB_GROWTH,
     "degree_distribution": SQL_DEGREE_DISTRIBUTION,
     "graph_compress": SQL_GRAPH_COMPRESS,
+    "salsa_scores": SQL_SALSA_SCORES,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,

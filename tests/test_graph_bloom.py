@@ -439,3 +439,22 @@ def test_graph_compress_invariants(ray_session):
     n_srcs = edges.unique("src")
     assert out["n_gaps"].sum() == n_edges
     assert out.loc[out["kind"] == "first", "n_gaps"].sum() == len(n_srcs)
+
+
+def test_salsa_scores_invariants(ray_session):
+    """salsa_scores: cluster_id is the component min node, per-node
+    scores are monotone in d_in within a component, and each
+    component's scores sum to ~comp_size/n_auth (floor slack only)."""
+    from louis_crawler_legacy_ray.pipelines.queries import q_salsa_scores
+
+    out = q_salsa_scores("/root/testdata/sf0.001").to_pandas()
+    n_auth = len(out)
+    for cid, g in out.groupby("cluster_id"):
+        assert g["node"].min() == cid
+        assert (g["comp_size"] == len(g)).all()
+        assert (g["comp_din"] == g["d_in"].sum()).all()
+        # exact stationary mass of the component, scaled to ppm
+        mass = len(g) * 1_000_000 / n_auth
+        assert mass - len(g) <= g["score_ppm"].sum() <= mass
+        srt = g.sort_values(["d_in", "score_ppm"])
+        assert srt["score_ppm"].is_monotonic_increasing
