@@ -10672,6 +10672,109 @@ FROM din d JOIN cc c USING (node) JOIN comp p USING (cluster_id), na
 """
 
 
+def q_cdx_shards(sf_dir: str):
+    """CDX index shard publishing (the Common Crawl / Internet
+    Archive cdx-[00..NN] layout): assign every SURT-keyed URL record
+    to one of 16 balanced, contiguous key-range shards and publish
+    the shard manifest (count + inclusive key range per shard) — the
+    table a ZipNum/CDXJ reader uses to binary-search the right shard.
+
+    Scale shape — this is the range-partitioner build, done without
+    a driver-side sort: (1) splitter discovery: one Min/Max aggregate
+    gives the global lexicographic extremes, whose longest common
+    prefix P every key provably shares (any key diverging from P
+    below min or above max couldn't be between them), so the 7 bytes
+    AFTER P are an order-preserving int64 bucket; (2) the existing
+    distributed prefix-sum (stages/scan.py — per-bucket totals are
+    the only driver rows) turns bucket-local cumsums into exact
+    global ranks; (3) shard = floor(rank * S / N) and one tiny
+    groupby emits the manifest. No full materialization anywhere;
+    the skew assumption (bucket granularity = 7 post-prefix bytes)
+    is the documented partitioning assumption."""
+    import ray.data as _rd
+    from ray.data.aggregate import Count as _Count
+
+    from ..functions.urls import surt as _surt
+    from ..stages.scan import prefix_sum
+
+    S = 16
+    corpus = multihost_corpus_dir(sf_dir)
+
+    def key(b: pa.Table) -> pa.Table:
+        urls = b["url"].to_pylist()
+        return pa.table(
+            {
+                "surt": pa.array([_surt(u) for u in urls], pa.string()),
+                "url": b["url"],
+                "one": pa.array(np.ones(len(urls), np.int64)),
+            }
+        )
+
+    keys = _rd.read_parquet(corpus, columns=["url"]).map_batches(
+        key, batch_format="pyarrow"
+    )
+    ext = keys.aggregate(
+        Min("surt", alias_name="lo"), Max("surt", alias_name="hi")
+    )
+    lo, hi = ext["lo"], ext["hi"]
+    lcp = len(os.path.commonprefix([lo, hi]))
+    n_total = keys.count()
+
+    def bucket_fn(b: pa.Table) -> pa.Array:
+        out = np.zeros(b.num_rows, np.int64)
+        for i, s in enumerate(b["surt"].to_pylist()):
+            tail = s[lcp : lcp + 7].encode()
+            v = 0
+            for j in range(7):
+                v = (v << 8) | (tail[j] if j < len(tail) else 0)
+            out[i] = v
+        return pa.array(out)
+
+    ranked = prefix_sum(
+        keys, order_cols=["surt", "url"], val_col="one", bucket_fn=bucket_fn
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        rk = b["prefix_excl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "shard_id": pa.array(rk * S // n_total),
+                "surt": b["surt"],
+            }
+        )
+
+    return (
+        ranked.map_batches(assign, batch_format="pyarrow")
+        .groupby("shard_id")
+        .aggregate(
+            _Count(alias_name="n_records"),
+            Min("surt", alias_name="lo_key"),
+            Max("surt", alias_name="hi_key"),
+        )
+    )
+
+
+SQL_CDX_SHARDS = (
+    _SQL_MH_CTE
+    + """,
+ks AS (
+  SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+           || ')/' || substr(url, 7 + length(host) + 2) AS surt,
+         url
+  FROM pg),
+tot AS (SELECT count(*) AS n FROM ks),
+r AS (
+  SELECT surt,
+         row_number() OVER (ORDER BY surt, url) - 1 AS rk
+  FROM ks)
+SELECT CAST((r.rk * 16) // tot.n AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_records,
+       min(r.surt) AS lo_key, max(r.surt) AS hi_key
+FROM r, tot GROUP BY 1
+"""
+)
+
+
 QUERIES = {
     # relational / reference operator mappings
     "q1_pricing_summary": q_q1_pricing_summary,
@@ -10785,6 +10888,7 @@ QUERIES = {
     "degree_distribution": q_degree_distribution,
     "graph_compress": q_graph_compress,
     "salsa_scores": q_salsa_scores,
+    "cdx_shards": q_cdx_shards,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -10981,6 +11085,7 @@ ORACLE_SQL = {
     "degree_distribution": SQL_DEGREE_DISTRIBUTION,
     "graph_compress": SQL_GRAPH_COMPRESS,
     "salsa_scores": SQL_SALSA_SCORES,
+    "cdx_shards": SQL_CDX_SHARDS,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,

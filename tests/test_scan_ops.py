@@ -152,3 +152,21 @@ def test_customer_distribution_keeps_zero_bucket(ray_session, tmp_path):
     # cust 1 -> 2 orders; cust 3 -> only urgent (filtered) -> 0;
     # cust 2, 4 -> no orders -> 0
     assert got == {2: 1, 0: 3}
+
+
+def test_cdx_shards_balance_and_ranges(ray_session):
+    """cdx_shards: 16 shards, sizes differ by <= 1, ranges are
+    disjoint and ordered by shard id, totals cover every record."""
+    from louis_crawler_legacy_ray.pipelines.queries import q_cdx_shards
+
+    out = (
+        q_cdx_shards("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("shard_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["shard_id"]) == list(range(16))
+    sizes = out["n_records"]
+    assert sizes.max() - sizes.min() <= 1
+    for i in range(1, 16):
+        assert out.loc[i - 1, "hi_key"] <= out.loc[i, "lo_key"]
