@@ -10775,6 +10775,97 @@ FROM r, tot GROUP BY 1
 )
 
 
+def q_feed_discovery(sf_dir: str):
+    """RSS/Atom feed discovery (sources/feeds.py): each corpus host
+    publishes TWO feeds — an RSS 2.0 channel carrying its 10 most
+    recently modified EVEN-doc pages (RFC-822 pubDates) and an Atom
+    feed carrying its 10 most recent ODD-doc pages (ISO-8601
+    updated) — and the engine parses both wire formats distributed
+    into normalized (host, fmt, url, pub_date) seed rows, the
+    fresh-page discovery channel a polling crawler feeds its frontier
+    from. Recency rule is the corpus lastmod convention (2024-01-01 +
+    doc_id%365 days); ties break by url. XML synthesis is one
+    groupby(host).map_groups (a feed is host-sized); the parse —
+    including the locale-free RFC-822 month-name decode — is a
+    stateless flat map, so the only shuffle is the host grouping."""
+    import datetime as _dt
+
+    import ray.data as _rd
+
+    from ..sources.feeds import feed_items, rfc822_date
+
+    corpus = multihost_corpus_dir(sf_dir)
+    base = _dt.date(2024, 1, 1)
+
+    def host_rows(b: pa.Table) -> pa.Table:
+        urls = b["url"].to_pylist()
+        return pa.table(
+            {
+                "host": pa.array(
+                    [u.split("//", 1)[1].split("/", 1)[0] for u in urls],
+                    pa.string(),
+                ),
+                "url": b["url"],
+                "doc_id": pa.array(
+                    [int(u.rsplit("doc", 1)[1]) for u in urls], pa.int64()
+                ),
+            }
+        )
+
+    def build_feeds(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(day=g["doc_id"] % 365).sort_values(
+            ["day", "url"], ascending=[False, True]
+        )
+        host = g["host"].iloc[0]
+        rss = ['<rss version="2.0"><channel><title>', host, "</title>"]
+        even = g[g["doc_id"] % 2 == 0].head(10)
+        for u, d in zip(even["url"], even["day"]):
+            pub = rfc822_date(base + _dt.timedelta(days=int(d)))
+            rss.append(f"<item><link>{u}</link><pubDate>{pub}</pubDate></item>")
+        rss.append("</channel></rss>")
+        atom = ['<feed xmlns="http://www.w3.org/2005/Atom">']
+        odd = g[g["doc_id"] % 2 == 1].head(10)
+        for u, d in zip(odd["url"], odd["day"]):
+            iso = (base + _dt.timedelta(days=int(d))).isoformat()
+            atom.append(
+                f'<entry><link href="{u}"/><updated>{iso}T00:00:00Z</updated></entry>'
+            )
+        atom.append("</feed>")
+        return pd.DataFrame(
+            {
+                "host": [host, host],
+                "xml": ["".join(rss), "".join(atom)],
+            }
+        )
+
+    feeds = (
+        _rd.read_parquet(corpus, columns=["url"])
+        .map_batches(host_rows, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(build_feeds, batch_format="pandas")
+    )
+    return feed_items(feeds).sort(["host", "fmt", "url"])
+
+
+SQL_FEED_DISCOVERY = (
+    _SQL_MH_CTE
+    + """,
+ranked AS (
+  SELECT host, url, doc_id,
+         strftime(DATE '2024-01-01' + (doc_id % 365) * INTERVAL 1 DAY,
+                  '%Y-%m-%d') AS pub_date,
+         row_number() OVER (
+           PARTITION BY host, doc_id % 2
+           ORDER BY doc_id % 365 DESC, url) AS rn
+  FROM pg)
+SELECT host, CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS fmt,
+       url, pub_date
+FROM ranked WHERE rn <= 10
+ORDER BY host, fmt, url
+"""
+)
+
+
 QUERIES = {
     # relational / reference operator mappings
     "q1_pricing_summary": q_q1_pricing_summary,
@@ -10889,6 +10980,7 @@ QUERIES = {
     "graph_compress": q_graph_compress,
     "salsa_scores": q_salsa_scores,
     "cdx_shards": q_cdx_shards,
+    "feed_discovery": q_feed_discovery,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -11086,6 +11178,7 @@ ORACLE_SQL = {
     "graph_compress": SQL_GRAPH_COMPRESS,
     "salsa_scores": SQL_SALSA_SCORES,
     "cdx_shards": SQL_CDX_SHARDS,
+    "feed_discovery": SQL_FEED_DISCOVERY,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,

@@ -127,3 +127,32 @@ def test_priority_scores_from_seeds_defaults(ray_session):
         "http://a/none": 50,
         "http://a/bad": 50,
     }
+
+
+def test_feed_parser_known_answers():
+    """parse_feed: RFC-822 month decode, Atom href extraction, and
+    unknown-root tolerance pinned on literal wire-format inputs."""
+    from louis_crawler_legacy_ray.sources.feeds import parse_feed, rfc822_date
+    import datetime
+
+    rss = (
+        '<rss version="2.0"><channel><title>h</title>'
+        "<item><link>http://h/a</link>"
+        "<pubDate>Tue, 31 Dec 2024 00:00:00 GMT</pubDate></item>"
+        "</channel></rss>"
+    )
+    assert parse_feed("h", rss) == [
+        {"host": "h", "fmt": "rss", "url": "http://h/a", "pub_date": "2024-12-31"}
+    ]
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        '<entry><link href="http://h/b"/>'
+        "<updated>2024-02-29T00:00:00Z</updated></entry></feed>"
+    )
+    assert parse_feed("h", atom) == [
+        {"host": "h", "fmt": "atom", "url": "http://h/b", "pub_date": "2024-02-29"}
+    ]
+    assert parse_feed("h", "<html>not a feed</html>") == []
+    # rfc822_date is its own inverse through the parser's decode
+    d = datetime.date(2026, 8, 20)
+    assert rfc822_date(d) == "Thu, 20 Aug 2026 00:00:00 GMT"
