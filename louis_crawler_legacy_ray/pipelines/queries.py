@@ -10866,6 +10866,89 @@ ORDER BY host, fmt, url
 )
 
 
+def q_change_rate_classes(sf_dir: str):
+    """Change-rate estimation for revisit scheduling (Cho & GM,
+    "Estimating Frequency of Change" — stages/recrawl.py:
+    change_rate_classes): 6 deterministic snapshots of the documents
+    table, change rule ``doc_id % (t+1) == 0`` (X varies 0..5 across
+    the corpus, content gains ' r<cum>' per change) with OBSERVATION
+    GAPS — docs with ``doc_id % 13 == 4`` are absent from snapshots 2
+    and 3, so their observed-interval count drops from 5 to 2 and the
+    estimator must count only the pairs it saw (the paper's X/n
+    discipline). The engine recovers everything from content
+    fingerprints; the oracle computes n and X analytically from the
+    rule and buckets with the same exact integer cross-
+    multiplications (see the stage docstring for the lambda-hat
+    threshold derivation)."""
+    from ..stages.recrawl import change_rate_classes
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    k = 6
+
+    def snapshots(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        parts = []
+        cum = np.zeros(len(ids), np.int64)
+        for t in range(k):
+            if t >= 1:
+                cum = cum + (ids % (t + 1) == 0)
+            if t in (2, 3):
+                keep = ids % 13 != 4
+            else:
+                keep = np.ones(len(ids), bool)
+            content = pc.binary_join_element_wise(
+                b["text"].cast(pa.string()),
+                pa.array([f" r{c}" for c in cum], pa.string()),
+                "",
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": b["doc_id"].cast(pa.int64()),
+                        "snap": pa.array(
+                            np.full(len(ids), t, np.int64), pa.int64()
+                        ),
+                        "content": content,
+                    }
+                ).filter(pa.array(keep))
+            )
+        return pa.concat_tables(parts)
+
+    obs = docs.map_batches(snapshots, batch_format="pyarrow")
+    return change_rate_classes(obs, n_snaps=k, key_col="doc_id")
+
+
+SQL_CHANGE_RATE_CLASSES = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+prs AS (
+  SELECT d.doc_id, t.t,
+         CASE WHEN d.doc_id % 13 = 4 AND t.t IN (2, 3, 4) THEN 0
+              ELSE 1 END AS seen
+  FROM d, (SELECT unnest([1, 2, 3, 4, 5]) AS t) t),
+st AS (
+  SELECT doc_id,
+         CAST(sum(seen) AS BIGINT) AS n_intervals,
+         CAST(sum(CASE WHEN seen = 1 AND doc_id % (t + 1) = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x_changes
+  FROM prs GROUP BY doc_id),
+cl AS (
+  SELECT doc_id, n_intervals, x_changes,
+         CAST(CASE
+           WHEN 4 * (2 * (n_intervals - x_changes) + 1)
+                  <= 2 * n_intervals + 1 THEN 3
+           WHEN 2 * (2 * (n_intervals - x_changes) + 1)
+                  <= 2 * n_intervals + 1 THEN 2
+           WHEN 4 * (2 * (n_intervals - x_changes) + 1)
+                  <= 3 * (2 * n_intervals + 1) THEN 1
+           ELSE 0 END AS BIGINT) AS freq_class
+  FROM st)
+SELECT doc_id, n_intervals, x_changes, freq_class,
+       CAST(CASE freq_class WHEN 3 THEN 1 WHEN 2 THEN 2
+            WHEN 1 THEN 4 ELSE 8 END AS BIGINT) AS revisit_rounds
+FROM cl
+"""
+
+
 QUERIES = {
     # relational / reference operator mappings
     "q1_pricing_summary": q_q1_pricing_summary,
@@ -10981,6 +11064,7 @@ QUERIES = {
     "salsa_scores": q_salsa_scores,
     "cdx_shards": q_cdx_shards,
     "feed_discovery": q_feed_discovery,
+    "change_rate_classes": q_change_rate_classes,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -11179,6 +11263,7 @@ ORACLE_SQL = {
     "salsa_scores": SQL_SALSA_SCORES,
     "cdx_shards": SQL_CDX_SHARDS,
     "feed_discovery": SQL_FEED_DISCOVERY,
+    "change_rate_classes": SQL_CHANGE_RATE_CLASSES,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,

@@ -230,3 +230,91 @@ def freshness_metrics(
         )
 
     return merged.map_batches(classify, batch_format="pyarrow")
+
+
+def change_rate_classes(
+    obs: ray.data.Dataset,
+    n_snaps: int,
+    key_col: str = "url",
+    snap_col: str = "snap",
+    content_col: str = "content",
+    fp_col: str | None = None,
+) -> ray.data.Dataset:
+    """Cho & Garcia-Molina change-FREQUENCY estimation ("Estimating
+    Frequency of Change", TOIT 2003): per key, the bias-reduced
+    Poisson-rate estimator lambda-hat = -ln r-hat with survival ratio
+    r-hat = (n - X + 0.5) / (n + 0.5), where n counts OBSERVED
+    consecutive-snapshot intervals and X the changes seen in them.
+
+    The revisit class is the estimator bucketed at
+    lambda-hat in {ln(4/3), ln 2, ln 4} — but because -ln is monotone,
+    the buckets are decided by EXACT integer cross-multiplications on
+    the rational r-hat = (2(n-X)+1)/(2n+1) against 3/4, 1/2, 1/4, so
+    the engine and the DuckDB oracle agree bit-for-bit with no
+    transcendental function evaluated anywhere:
+
+      class 3 (hot,  lambda >= ln4):    4*(2(n-X)+1) <=     2n+1
+      class 2 (warm, lambda >= ln2):    2*(2(n-X)+1) <=     2n+1
+      class 1 (cool, lambda >= ln4/3):  4*(2(n-X)+1) <= 3*(2n+1)
+      class 0 (cold) otherwise
+
+    revisit_rounds = 2^(3 - class) — hot pages repoll every round,
+    cold every 8th: the proportional-to-rate schedule the paper shows
+    beats uniform revisiting. Same scale shape as recrawl_priorities:
+    fingerprints never leave the map task, one groupby(key) merges the
+    window, classification is stateless vectorized numpy."""
+    if not 2 <= n_snaps <= MAX_SNAPS:
+        raise ValueError(f"n_snaps must be in [2, {MAX_SNAPS}], got {n_snaps}")
+    hcols = [f"__h{t}" for t in range(n_snaps)]
+
+    def pivot(batch: pa.Table) -> pa.Table:
+        snaps = batch[snap_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if fp_col is not None:
+            fps = batch[fp_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        else:
+            fps = content_fp64(batch[content_col].to_pylist())
+        cols: dict = {key_col: batch[key_col]}
+        for t in range(n_snaps):
+            mask = snaps != t
+            cols[hcols[t]] = pa.array(fps, pa.int64(), mask=mask)
+        return pa.table(cols)
+
+    merged = (
+        obs.map_batches(pivot, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(*[Min(h, alias_name=h, ignore_nulls=True) for h in hcols])
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        hs, present = [], []
+        for h in hcols:
+            col = batch[h].combine_chunks().cast(pa.int64())
+            present.append(pc.is_valid(col).to_numpy(zero_copy_only=False))
+            hs.append(col.fill_null(0).to_numpy(zero_copy_only=False))
+        n_int = np.zeros(n, np.int64)
+        x_chg = np.zeros(n, np.int64)
+        for t in range(1, n_snaps):
+            pair = present[t] & present[t - 1]
+            n_int += pair
+            x_chg += pair & (hs[t] != hs[t - 1])
+        # exact rational bucketing of r-hat = (2(n-X)+1) / (2n+1)
+        num = 2 * (n_int - x_chg) + 1
+        den = 2 * n_int + 1
+        cls = np.zeros(n, np.int64)
+        cls = np.where(4 * num <= 3 * den, 1, cls)
+        cls = np.where(2 * num <= den, 2, cls)
+        cls = np.where(4 * num <= den, 3, cls)
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "n_intervals": pa.array(n_int, pa.int64()),
+                "x_changes": pa.array(x_chg, pa.int64()),
+                "freq_class": pa.array(cls, pa.int64()),
+                "revisit_rounds": pa.array(
+                    np.int64(1) << (3 - cls), pa.int64()
+                ),
+            }
+        )
+
+    return merged.map_batches(classify, batch_format="pyarrow")

@@ -137,3 +137,34 @@ def test_freshness_metrics_direct(ray_session):
     assert out.loc[2, "fresh"] and out.loc[2, "age"] == 0
     assert out.loc[3, "fresh"] and out.loc[3, "age"] == 0
     assert out.loc[4, "fresh"] and out.loc[4, "age"] == 0
+
+
+def test_change_rate_classes_hand_window(ray_session):
+    """change_rate_classes: hand-built 4-snapshot window pins the
+    estimator. Key a changes every interval (X=3,n=3 -> hot, revisit
+    1); key b never changes (X=0,n=3 -> cold, revisit 8); key c has a
+    gap at snapshot 1 so only the (2,3) pair is observed and its one
+    change gives X=1,n=1 -> r-hat=1/3 <= 1/2 -> warm, revisit 2."""
+    import ray.data
+
+    from louis_crawler_legacy_ray.stages.recrawl import change_rate_classes
+
+    rows = []
+    for t in range(4):
+        rows.append({"url": "a", "snap": t, "content": f"v{t}"})
+        rows.append({"url": "b", "snap": t, "content": "same"})
+        if t != 1:
+            rows.append(
+                {"url": "c", "snap": t, "content": "x" if t < 3 else "y"}
+            )
+    obs = ray.data.from_items(rows)
+    out = {
+        r["url"]: r
+        for r in change_rate_classes(obs, n_snaps=4).take_all()
+    }
+    assert (out["a"]["n_intervals"], out["a"]["x_changes"]) == (3, 3)
+    assert (out["a"]["freq_class"], out["a"]["revisit_rounds"]) == (3, 1)
+    assert (out["b"]["n_intervals"], out["b"]["x_changes"]) == (3, 0)
+    assert (out["b"]["freq_class"], out["b"]["revisit_rounds"]) == (0, 8)
+    assert (out["c"]["n_intervals"], out["c"]["x_changes"]) == (1, 1)
+    assert (out["c"]["freq_class"], out["c"]["revisit_rounds"]) == (2, 2)
