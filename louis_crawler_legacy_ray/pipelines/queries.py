@@ -10949,6 +10949,127 @@ FROM cl
 """
 
 
+def q_crawl_adaptive_recrawl(sf_dir: str):
+    """Adaptive recrawl composition — the Cho-GM change-rate
+    estimator DRIVING the TTL machinery (the closed loop the paper
+    proposes): pass-1 full crawl; a 4-snapshot fingerprint history of
+    the crawled pages (change rule doc_id % (t+1) == 0, t=1..3, so
+    X in 0..3) feeds stages/recrawl.py:change_rate_classes; exactly
+    the pages the ESTIMATOR observed changing (freq_class >= 1,
+    i.e. X >= 1 at n = 3 — a 3/4 density that keeps the expired
+    subgraph supercritical, so pass 2 genuinely propagates) expire
+    from the cuckoo seen-front via Frontier.expire(); pass 2 then
+    re-reaches a page only through a path of expired pages. The
+    expire set resolves from the fingerprint-recovered classes —
+    only the oracle uses the arithmetic shortcut (X >= 1 iff any of
+    doc%2, doc%3, doc%4 is 0)."""
+    import ray.data as _rd
+
+    from ..stages.recrawl import change_rate_classes
+    from .crawl import CrawlConfig, Frontier, pages_expand, run_frontier
+
+    corpus = pages_corpus_dir(sf_dir)
+    k = 4
+
+    def snapshots(b: pa.Table) -> pa.Table:
+        ids = np.array(
+            [int(u.rsplit("doc", 1)[1]) for u in b["url"].to_pylist()],
+            np.int64,
+        )
+        parts = []
+        cum = np.zeros(len(ids), np.int64)
+        for t in range(k):
+            if t >= 1:
+                cum = cum + (ids % (t + 1) == 0)
+            content = pc.binary_join_element_wise(
+                b["html"].cast(pa.string()),
+                pa.array([f" r{c}" for c in cum], pa.string()),
+                "",
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "url": b["url"],
+                        "snap": pa.array(
+                            np.full(len(ids), t, np.int64), pa.int64()
+                        ),
+                        "content": content,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    obs = _rd.read_parquet(corpus, columns=["url", "html"]).map_batches(
+        snapshots, batch_format="pyarrow"
+    )
+    hot_warm = {
+        r["url"]
+        for r in change_rate_classes(obs, n_snaps=k)
+        .filter(lambda r: r["freq_class"] >= 1)
+        .take_all()
+    }
+
+    docs = _docs_table(sf_dir)
+    lang0, src0 = docs["lang"][0].as_py(), docs["source"][0].as_py()
+    seg0 = "fra" if lang0 == "fr" else lang0
+    seed = f"{SITE}/{seg0}/{src0}/doc0"
+    cfg = CrawlConfig(n_shards=4, max_depth=6, max_rounds=16, mode="cuckoo")
+    frontier = Frontier(cfg)
+    try:
+        expand = pages_expand(corpus, cfg, None, 0)
+        r1 = run_frontier(expand, [seed], cfg, frontier=frontier)
+        expired = [u for u in r1.order["url"].to_pylist() if u in hot_warm]
+        n = frontier.expire(expired)
+        assert n == len(expired), (n, len(expired))
+        r2 = run_frontier(expand, [seed], cfg, frontier=frontier)
+    finally:
+        frontier.release()
+
+    def tag(res, p):
+        t = res.order
+        return t.append_column(
+            "pass", pa.array([p] * t.num_rows, pa.int32())
+        ).select(["pass", "round", "depth", "url"])
+
+    return pa.concat_tables([tag(r1, 1), tag(r2, 2)])
+
+
+SQL_CRAWL_ADAPTIVE_RECRAWL = (
+    "WITH RECURSIVE "
+    + _SQL_PAGE_CTE.replace("WITH ", "", 1)
+    + f""",
+edges AS (
+  SELECT url AS src, '{SITE}' || c1_path AS dst FROM pg
+  UNION ALL SELECT url, '{SITE}' || c2_path FROM pg),
+walk(url, depth) AS (
+  SELECT url, 0 FROM pg WHERE doc_id = 0
+  UNION ALL
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.url
+  WHERE w.depth < 6),
+walk2(url, depth) AS (
+  -- pass 2: only pages the estimator saw change (X >= 1 of the
+  -- three change rules doc%2, doc%3, doc%4) were expired, so the
+  -- re-crawl propagates only through them
+  SELECT url, 0 FROM pg WHERE doc_id = 0
+  UNION ALL
+  SELECT e.dst, w.depth + 1
+  FROM walk2 w JOIN edges e ON e.src = w.url
+  JOIN pg pd ON pd.url = e.dst
+  WHERE w.depth < 6
+    AND (CASE WHEN pd.doc_id % 2 = 0 THEN 1 ELSE 0 END
+       + CASE WHEN pd.doc_id % 3 = 0 THEN 1 ELSE 0 END
+       + CASE WHEN pd.doc_id % 4 = 0 THEN 1 ELSE 0 END) >= 1)
+SELECT CAST(1 AS INTEGER) AS pass, CAST(min(depth) AS INTEGER) AS round,
+       CAST(min(depth) AS INTEGER) AS depth, url
+FROM walk GROUP BY url
+UNION ALL
+SELECT CAST(2 AS INTEGER), CAST(min(depth) AS INTEGER),
+       CAST(min(depth) AS INTEGER), url
+FROM walk2 GROUP BY url
+"""
+)
+
+
 QUERIES = {
     # relational / reference operator mappings
     "q1_pricing_summary": q_q1_pricing_summary,
@@ -11065,6 +11186,7 @@ QUERIES = {
     "cdx_shards": q_cdx_shards,
     "feed_discovery": q_feed_discovery,
     "change_rate_classes": q_change_rate_classes,
+    "crawl_adaptive_recrawl": q_crawl_adaptive_recrawl,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -11264,6 +11386,7 @@ ORACLE_SQL = {
     "cdx_shards": SQL_CDX_SHARDS,
     "feed_discovery": SQL_FEED_DISCOVERY,
     "change_rate_classes": SQL_CHANGE_RATE_CLASSES,
+    "crawl_adaptive_recrawl": SQL_CRAWL_ADAPTIVE_RECRAWL,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,
