@@ -49,6 +49,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from louis_crawler_legacy_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
     first = [  # oracled but never driver-gated through round 3
+        "graph_compress",  # new in r4-final (Boldi-Vigna gap-encoding cost accounting, no-shuffle adjacency)
+        "salsa_scores",  # new in r4-final (closed-form SALSA authority ranking, co-citation components)
+        "cdx_shards",  # new in r4-final (balanced SURT key-range sharding via distributed prefix-sum ranks)
+        "feed_discovery",  # new in r4-final (RSS 2.0 + Atom parse into recency-ranked seeds)
+        "change_rate_classes",  # new in r4-final (Cho-GM lambda-hat estimator, exact rational buckets)
+        "crawl_adaptive_recrawl",  # new in r4-final (estimator-driven TTL expire -> pass-2 crawl)
         "hll_md5_distinct",  # new in r4 (fully-oracled HyperLogLog: md5-parity registers, integer harmonic sum)
         "lsh_components",  # new in r4 (MinHash->LSH->connected-components cluster ids under one oracle)
         "harmonic_centrality",  # new in r4 (Boldi-Vigna centrality: frontier-delta multi-source BFS, exact 1/d sums)
