@@ -11070,6 +11070,128 @@ FROM walk2 GROUP BY url
 )
 
 
+def q_sitemap_index(sf_dir: str):
+    """Nested ``<sitemapindex>`` resolution (sitemaps.org: a site over
+    50k urls MUST shard into child sitemaps behind an index) — the
+    recursive half of the protocol that q_sitemap_seeds' flat urlset
+    doesn't exercise. Each host publishes 3 child sitemaps (urls
+    sharded by doc_id%3, lastmod = 2024-01-01 + doc_id%365 days) and
+    one index referencing them; the engine parses the index level
+    distributed (kind='sitemap' rows), FETCHES the referenced child
+    documents as a partitioned hash join against the sitemap store
+    (the fetch-and-ingest driver loop, expressed as a join — at scale
+    the store is the fetched-pages corpus, same join), and parses the
+    child level carrying provenance (host, child shard) through to
+    the leaf rows. Oracle recomputes the closed form."""
+    import datetime as _dt
+
+    import ray.data as _rd
+
+    from ..sources.sitemaps import parse_sitemap, sitemap_seeds
+    from ..stages.joins import partitioned_hash_join
+
+    corpus = multihost_corpus_dir(sf_dir)
+    base = _dt.date(2024, 1, 1)
+
+    def host_rows(b: pa.Table) -> pa.Table:
+        urls = b["url"].to_pylist()
+        return pa.table(
+            {
+                "host": pa.array(
+                    [u.split("//", 1)[1].split("/", 1)[0] for u in urls],
+                    pa.string(),
+                ),
+                "url": b["url"],
+                "doc_id": pa.array(
+                    [int(u.rsplit("doc", 1)[1]) for u in urls], pa.int64()
+                ),
+            }
+        )
+
+    def build_site(g: pd.DataFrame) -> pd.DataFrame:
+        host = g["host"].iloc[0]
+        sm_urls, xmls = [], []
+        for j in range(3):
+            part = g[g["doc_id"] % 3 == j].sort_values("url")
+            doc = ['<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">']
+            for u, d in zip(part["url"], part["doc_id"]):
+                lm = (base + _dt.timedelta(days=int(d) % 365)).isoformat()
+                doc.append(f"<url><loc>{u}</loc><lastmod>{lm}</lastmod></url>")
+            doc.append("</urlset>")
+            sm_urls.append(f"http://{host}/sitemap{j}.xml")
+            xmls.append("".join(doc))
+        idx = ['<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">']
+        for su in sm_urls:
+            idx.append(f"<sitemap><loc>{su}</loc></sitemap>")
+        idx.append("</sitemapindex>")
+        sm_urls.append(f"http://{host}/sitemap_index.xml")
+        xmls.append("".join(idx))
+        return pd.DataFrame({"sm_url": sm_urls, "xml": xmls})
+
+    site = (
+        _rd.read_parquet(corpus, columns=["url"])
+        .map_batches(host_rows, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(build_site, batch_format="pandas")
+    )
+    is_index = lambda b: b.filter(  # noqa: E731
+        pc.match_substring(b["sm_url"], "sitemap_index")
+    )
+    store = site.map_batches(
+        lambda b: b.filter(
+            pc.invert(pc.match_substring(b["sm_url"], "sitemap_index"))
+        ),
+        batch_format="pyarrow",
+    )
+    refs = (
+        sitemap_seeds(site.map_batches(is_index, batch_format="pyarrow"))
+        .filter(lambda r: r["kind"] == "sitemap")
+        .map_batches(
+            lambda b: pa.table({"sm_url": b["url"]}), batch_format="pyarrow"
+        )
+    )
+    fetched = partitioned_hash_join(refs, store, "sm_url", "sm_url")
+
+    def parse_children(b: pa.Table) -> pa.Table:
+        hosts, childs, urls, mods = [], [], [], []
+        for sm_url, xml in zip(
+            b["sm_url"].to_pylist(), b["xml"].to_pylist()
+        ):
+            kind, entries = parse_sitemap(xml, strict=True)
+            assert kind == "urlset", (kind, sm_url)
+            host = sm_url.split("//", 1)[1].split("/", 1)[0]
+            child = int(sm_url.rsplit("sitemap", 1)[1].split(".")[0])
+            for loc, lastmod, _p, _c in entries:
+                hosts.append(host)
+                childs.append(child)
+                urls.append(loc)
+                mods.append(lastmod)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "child": pa.array(childs, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "lastmod": pa.array(mods, pa.string()),
+            }
+        )
+
+    return fetched.map_batches(
+        parse_children, batch_format="pyarrow"
+    ).sort(["host", "child", "url"])
+
+
+SQL_SITEMAP_INDEX = (
+    _SQL_MH_CTE
+    + """
+SELECT host, CAST(doc_id % 3 AS BIGINT) AS child, url,
+       strftime(DATE '2024-01-01' + (doc_id % 365) * INTERVAL 1 DAY,
+                '%Y-%m-%d') AS lastmod
+FROM pg
+ORDER BY host, child, url
+"""
+)
+
+
 QUERIES = {
     # relational / reference operator mappings
     "q1_pricing_summary": q_q1_pricing_summary,
@@ -11187,6 +11309,7 @@ QUERIES = {
     "feed_discovery": q_feed_discovery,
     "change_rate_classes": q_change_rate_classes,
     "crawl_adaptive_recrawl": q_crawl_adaptive_recrawl,
+    "sitemap_index": q_sitemap_index,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -11387,6 +11510,7 @@ ORACLE_SQL = {
     "feed_discovery": SQL_FEED_DISCOVERY,
     "change_rate_classes": SQL_CHANGE_RATE_CLASSES,
     "crawl_adaptive_recrawl": SQL_CRAWL_ADAPTIVE_RECRAWL,
+    "sitemap_index": SQL_SITEMAP_INDEX,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,
