@@ -281,6 +281,11 @@ def run_bench() -> dict:
         timed("bowtie_components", Q.q_bowtie_components)
         timed("lsh_components", Q.q_lsh_components)
         timed("warc_revisit", Q.q_warc_revisit)
+        timed("graph_compress", Q.q_graph_compress)
+        timed("cdx_shards", Q.q_cdx_shards)
+        timed("feed_discovery", Q.q_feed_discovery)
+        timed("change_rate_classes", Q.q_change_rate_classes)
+        timed("salsa_scores", Q.q_salsa_scores)
 
     result = {
         "metric": "crawl+extract seconds over synthetic pages corpus "
