@@ -11192,6 +11192,88 @@ ORDER BY host, child, url
 )
 
 
+def q_coverage_estimate(sf_dir: str):
+    """Capture-recapture web-size estimation (Lawrence & Giles 1998 /
+    Bharat & Broder 1998 — two independent crawlers each sample the
+    web; the overlap of their catches estimates the population no
+    single crawler saw): crawler A keeps urls with
+    md5_number_lower(url) % 5 < 2, crawler B keeps
+    md5_number_lower('b|' || url) % 7 < 3 (independent hash families),
+    and the Lincoln-Petersen estimator N-hat = n1*n2/m (one IEEE
+    division of exact int64 counts) plus the bias-corrected Chapman
+    estimator (n1+1)(n2+1)//(m+1) - 1 (exact integer) recover the
+    corpus size. Scale shape: membership is decided per block, the
+    shuffle carries THREE int64 partial counters per block, nothing
+    else — the estimator is one tiny global aggregate over any corpus
+    size."""
+    import ray.data as _rd
+    from ray.data.aggregate import Sum as _Sum
+
+    corpus = multihost_corpus_dir(sf_dir)
+
+    def partials(b: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        a = np.zeros(b.num_rows, bool)
+        bb = np.zeros(b.num_rows, bool)
+        for i, u in enumerate(b["url"].to_pylist()):
+            ha = int.from_bytes(_h.md5(u.encode()).digest()[8:16], "little")
+            hb = int.from_bytes(
+                _h.md5(f"b|{u}".encode()).digest()[8:16], "little"
+            )
+            a[i] = ha % 5 < 2
+            bb[i] = hb % 7 < 3
+        return pa.table(
+            {
+                "n1": pa.array([int(a.sum())], pa.int64()),
+                "n2": pa.array([int(bb.sum())], pa.int64()),
+                "m": pa.array([int((a & bb).sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        _rd.read_parquet(corpus, columns=["url"])
+        .map_batches(partials, batch_format="pyarrow")
+        .aggregate(
+            _Sum("n1", alias_name="n1"),
+            _Sum("n2", alias_name="n2"),
+            _Sum("m", alias_name="m"),
+        )
+    )
+    n1, n2, m = int(agg["n1"]), int(agg["n2"]), int(agg["m"])
+    return pa.table(
+        {
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "m": pa.array([m], pa.int64()),
+            "chapman_est": pa.array(
+                [(n1 + 1) * (n2 + 1) // (m + 1) - 1], pa.int64()
+            ),
+            "lp_est": pa.array([n1 * n2 / m], pa.float64()),
+        }
+    )
+
+
+SQL_COVERAGE_ESTIMATE = (
+    _SQL_MH_CTE
+    + """,
+f AS (
+  SELECT md5_number_lower(url) % 5 < 2 AS a,
+         md5_number_lower('b|' || url) % 7 < 3 AS b
+  FROM pg),
+c AS (
+  SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS m
+  FROM f)
+SELECT n1, n2, m,
+       CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS chapman_est,
+       CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(m AS DOUBLE) AS lp_est
+FROM c
+"""
+)
+
+
 QUERIES = {
     # relational / reference operator mappings
     "q1_pricing_summary": q_q1_pricing_summary,
@@ -11310,6 +11392,7 @@ QUERIES = {
     "change_rate_classes": q_change_rate_classes,
     "crawl_adaptive_recrawl": q_crawl_adaptive_recrawl,
     "sitemap_index": q_sitemap_index,
+    "coverage_estimate": q_coverage_estimate,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -11511,6 +11594,7 @@ ORACLE_SQL = {
     "change_rate_classes": SQL_CHANGE_RATE_CLASSES,
     "crawl_adaptive_recrawl": SQL_CRAWL_ADAPTIVE_RECRAWL,
     "sitemap_index": SQL_SITEMAP_INDEX,
+    "coverage_estimate": SQL_COVERAGE_ESTIMATE,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,

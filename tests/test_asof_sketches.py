@@ -391,3 +391,19 @@ def test_hll_md5_registers_and_estimate(ray_session):
 
     # dense group: raw estimator within ~3 sigma of 1.04/sqrt(64)
     assert abs(rows["a"]["est_raw"] - n) / n < 0.4
+
+
+def test_coverage_estimate_recovers_corpus_size(ray_session):
+    """coverage_estimate: both estimators land within 20% of the true
+    500-page corpus (independent ~40%/~43% samples make the overlap
+    large enough for Lincoln-Petersen to be tight), and the Chapman
+    integer estimator equals its closed form from the counts."""
+    from louis_crawler_legacy_ray.pipelines.queries import q_coverage_estimate
+
+    out = q_coverage_estimate("/root/testdata/sf0.001").to_pandas().iloc[0]
+    n1, n2, m = int(out["n1"]), int(out["n2"]), int(out["m"])
+    assert m > 0
+    assert out["chapman_est"] == (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    true_n = 500
+    assert abs(out["lp_est"] - true_n) / true_n < 0.2
+    assert abs(out["chapman_est"] - true_n) / true_n < 0.2
