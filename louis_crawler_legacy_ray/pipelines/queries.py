@@ -11274,6 +11274,91 @@ FROM c
 )
 
 
+def q_zipf_buckets(sf_dir: str):
+    """Frequency-of-frequencies table in log2 buckets — the lexical
+    twin of degree_distribution and the standard Zipf/Estoup evidence
+    plot (how many terms occur [2^b, 2^(b+1)) times; Zipfian corpora
+    put ~half the vocabulary in bucket 0 = hapax legomena, the
+    statistic LNRE vocabulary models and Good-Turing smoothing start
+    from). Two shuffles, both combiner-pruned: per-block term-Counter
+    partials -> one term-keyed Sum groupby (distinct terms only, never
+    per-token rows), then per-block bucket partials -> one O(buckets)
+    groupby carrying term and token subtotals. Exact int64; bucket
+    exponents via np.frexp (exact), hapax_share is derivable from the
+    rows rather than emitted as a float. The raw heap text is
+    frequency-UNIFORM (a 2-bucket table — no gate), so a 1/k Zipfian
+    overlay is planted: term z_k occurs once in every k-th document
+    (k = 1..64), giving the exact harmonic frequency spectrum the
+    table exists to show."""
+    from ray.data.aggregate import Sum as _Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    partials = docs.map_batches(ts.vocab_partial_batch, batch_format="pyarrow")
+
+    def zipf_overlay(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        terms, tfs, dfs = [], [], []
+        for k in range(1, 65):
+            c = int((ids % k == 0).sum())
+            if c:
+                terms.append(f"z{k}")
+                tfs.append(c)
+                dfs.append(c)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "total_tf": pa.array(tfs, pa.int64()),
+                "df": pa.array(dfs, pa.int64()),
+            }
+        )
+
+    partials = partials.union(
+        docs.map_batches(zipf_overlay, batch_format="pyarrow")
+    )
+    tf = partials.groupby("term").aggregate(
+        _Sum("total_tf", alias_name="tf")
+    )
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        f = b["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = (np.frexp(f.astype(np.float64))[1] - 1).astype(np.int64)
+        uniq, inv = np.unique(bk, return_inverse=True)
+        return pa.table(
+            {
+                "bucket": pa.array(uniq),
+                "n_terms": pa.array(np.bincount(inv).astype(np.int64)),
+                "tokens": pa.array(
+                    np.bincount(inv, weights=f).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        tf.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            _Sum("n_terms", alias_name="n_terms"),
+            _Sum("tokens", alias_name="tokens"),
+        )
+    )
+
+
+SQL_ZIPF_BUCKETS = """
+WITH t AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+  UNION ALL
+  SELECT 'z' || k.k
+  FROM documents, (SELECT unnest(generate_series(1, 64)) AS k) k
+  WHERE doc_id % k.k = 0),
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS f FROM t GROUP BY term)
+SELECT CAST(floor(log2(f)) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(f) AS BIGINT) AS tokens
+FROM tf GROUP BY bucket
+"""
+
+
 QUERIES = {
     # relational / reference operator mappings
     "q1_pricing_summary": q_q1_pricing_summary,
@@ -11393,6 +11478,7 @@ QUERIES = {
     "crawl_adaptive_recrawl": q_crawl_adaptive_recrawl,
     "sitemap_index": q_sitemap_index,
     "coverage_estimate": q_coverage_estimate,
+    "zipf_buckets": q_zipf_buckets,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -11595,6 +11681,7 @@ ORACLE_SQL = {
     "crawl_adaptive_recrawl": SQL_CRAWL_ADAPTIVE_RECRAWL,
     "sitemap_index": SQL_SITEMAP_INDEX,
     "coverage_estimate": SQL_COVERAGE_ESTIMATE,
+    "zipf_buckets": SQL_ZIPF_BUCKETS,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,
