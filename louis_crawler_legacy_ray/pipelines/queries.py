@@ -11359,6 +11359,113 @@ FROM tf GROUP BY bucket
 """
 
 
+def q_postings_compress(sf_dir: str):
+    """Inverted-index compression sizing (Zobel & Moffat 2006,
+    "Inverted files for text search engines" — the d-gap accounting
+    an index store runs before choosing codes, the IR twin of
+    graph_compress): per term, sort the postings (doc ids), take
+    d-gaps (first gap = doc_id + 1 so every value is >= 1, rest =
+    delta), and charge each gap its Elias-gamma bit cost
+    (2*floor(log2(g))+1 for g >= 1) and LEB128 varint byte cost.
+    Frequent terms have DENSE postings -> tiny gaps -> few bits/gap;
+    rare terms cost ~log2(N) bits/gap — the df-bucketed table shows
+    exactly that trade, which is why gamma-coded indexes fit in a
+    fraction of the raw id array. Shuffle shape: per-block (term,
+    doc) partials -> ONE term-keyed groupby whose reducer computes the
+    gap costs for its own postings (a group owns its term's full
+    list), then an O(buckets) groupby — no second wide exchange.
+    The uniform heap vocabulary clusters in 1-2 df buckets, so the
+    zipf_buckets overlay is planted here too (term z_k posted in
+    every k-th doc, k=1..64): df spans the bucket range AND the gap
+    structure varies with k — z_1's gaps are all 1 (the dense-list
+    best case), z_64's are 64 (the sparse tail)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    partials = docs.map_batches(
+        ts.inverted_partial_batch, batch_format="pyarrow"
+    )
+
+    def zipf_postings(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        terms, dids = [], []
+        for k in range(1, 65):
+            sel = ids[ids % k == 0]
+            terms.extend([f"z{k}"] * sel.size)
+            dids.extend(sel.tolist())
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "doc_id": pa.array(dids, pa.int64()),
+            }
+        )
+
+    partials = partials.select_columns(["term", "doc_id"]).union(
+        docs.map_batches(zipf_postings, batch_format="pyarrow")
+    )
+
+    def gap_costs(g: pd.DataFrame) -> pd.DataFrame:
+        # np.unique also guards a text token colliding with an overlay
+        # term (duplicate (term, doc) would fabricate a zero gap)
+        ids = np.unique(g["doc_id"].to_numpy(np.int64))
+        gaps = np.diff(ids, prepend=np.int64(-1))  # first gap = id+1
+        e = (np.frexp(gaps.astype(np.float64))[1] - 1).astype(np.int64)
+        df = len(ids)
+        return pd.DataFrame(
+            {
+                "df_bucket": [
+                    int(np.frexp(np.float64(df))[1] - 1)
+                ],
+                "n_terms": [1],
+                "n_postings": [df],
+                "gamma_bits": [int((2 * e + 1).sum())],
+                "varint_bytes": [int((e // 7 + 1).sum())],
+            }
+        )
+
+    per_term = partials.groupby("term").map_groups(
+        gap_costs, batch_format="pandas"
+    )
+    return per_term.groupby("df_bucket").aggregate(
+        _Sum("n_terms", alias_name="n_terms"),
+        _Sum("n_postings", alias_name="n_postings"),
+        _Sum("gamma_bits", alias_name="gamma_bits"),
+        _Sum("varint_bytes", alias_name="varint_bytes"),
+    )
+
+
+SQL_POSTINGS_COMPRESS = """
+WITH t AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'z' || k.k
+    FROM documents, (SELECT unnest(generate_series(1, 64)) AS k) k
+    WHERE doc_id % k.k = 0)),
+g AS (
+  SELECT term,
+         CAST(doc_id AS BIGINT)
+           - CAST(coalesce(lag(doc_id) OVER (
+               PARTITION BY term ORDER BY doc_id), -1) AS BIGINT) AS gap
+  FROM t),
+costs AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(2 * CAST(floor(log2(gap)) AS BIGINT) + 1) AS BIGINT)
+           AS gbits,
+         CAST(sum(CAST(floor(log2(gap)) AS BIGINT) // 7 + 1) AS BIGINT)
+           AS vbytes
+  FROM g GROUP BY term)
+SELECT CAST(floor(log2(df)) AS BIGINT) AS df_bucket,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS n_postings,
+       CAST(sum(gbits) AS BIGINT) AS gamma_bits,
+       CAST(sum(vbytes) AS BIGINT) AS varint_bytes
+FROM costs GROUP BY df_bucket
+"""
+
+
 QUERIES = {
     # relational / reference operator mappings
     "q1_pricing_summary": q_q1_pricing_summary,
@@ -11479,6 +11586,7 @@ QUERIES = {
     "sitemap_index": q_sitemap_index,
     "coverage_estimate": q_coverage_estimate,
     "zipf_buckets": q_zipf_buckets,
+    "postings_compress": q_postings_compress,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -11682,6 +11790,7 @@ ORACLE_SQL = {
     "sitemap_index": SQL_SITEMAP_INDEX,
     "coverage_estimate": SQL_COVERAGE_ESTIMATE,
     "zipf_buckets": SQL_ZIPF_BUCKETS,
+    "postings_compress": SQL_POSTINGS_COMPRESS,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,
