@@ -11466,6 +11466,135 @@ FROM costs GROUP BY df_bucket
 """
 
 
+def q_robots_sitemaps(sf_dir: str):
+    """robots.txt ``Sitemap:`` discovery (the REP extension directive
+    sitemaps.org designates as THE discovery channel — a crawler that
+    only walks links never finds an unlinked sitemap): each host's
+    robots.txt carries two Sitemap: directives pointing at its url
+    shards (doc_id%2), buried between Disallow noise, a foreign-field
+    line, mixed-case keys and a BOM-ish comment — the robustness the
+    state/politeness.py:sitemaps_in_robots kernel claims; discovery
+    parses the robots bodies distributed, the referenced sitemaps are
+    FETCHED via a partitioned hash join against the sitemap store,
+    and the urlset parse carries (host, shard) provenance to the leaf
+    rows (same join-expressed fetch loop as q_sitemap_index)."""
+    import datetime as _dt
+
+    import ray.data as _rd
+
+    from ..sources.sitemaps import parse_sitemap
+    from ..state.politeness import sitemaps_in_robots
+    from ..stages.joins import partitioned_hash_join
+
+    corpus = multihost_corpus_dir(sf_dir)
+    base = _dt.date(2024, 1, 1)
+
+    def host_rows(b: pa.Table) -> pa.Table:
+        urls = b["url"].to_pylist()
+        return pa.table(
+            {
+                "host": pa.array(
+                    [u.split("//", 1)[1].split("/", 1)[0] for u in urls],
+                    pa.string(),
+                ),
+                "url": b["url"],
+                "doc_id": pa.array(
+                    [int(u.rsplit("doc", 1)[1]) for u in urls], pa.int64()
+                ),
+            }
+        )
+
+    def build_site(g: pd.DataFrame) -> pd.DataFrame:
+        host = g["host"].iloc[0]
+        sm_urls, xmls = [], []
+        for j in range(2):
+            part = g[g["doc_id"] % 2 == j].sort_values("url")
+            doc = ['<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">']
+            for u, d in zip(part["url"], part["doc_id"]):
+                lm = (base + _dt.timedelta(days=int(d) % 365)).isoformat()
+                doc.append(f"<url><loc>{u}</loc><lastmod>{lm}</lastmod></url>")
+            doc.append("</urlset>")
+            sm_urls.append(f"http://{host}/maps/part{j}.xml")
+            xmls.append("".join(doc))
+        robots = "\n".join(
+            [
+                "# synthetic robots",
+                "User-agent: *",
+                "Disallow: /private/",
+                f"SITEMAP: {sm_urls[0]}",
+                "Crawl-delay: 2",
+                "Unknown-field: ignored",
+                f"sitemap:   {sm_urls[1]}",
+                "Disallow: /tmp/",
+            ]
+        )
+        sm_urls.append(f"http://{host}/robots.txt")
+        xmls.append(robots)
+        return pd.DataFrame({"sm_url": sm_urls, "xml": xmls})
+
+    site = (
+        _rd.read_parquet(corpus, columns=["url"])
+        .map_batches(host_rows, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(build_site, batch_format="pandas")
+    )
+    store = site.map_batches(
+        lambda b: b.filter(
+            pc.invert(pc.match_substring(b["sm_url"], "robots.txt"))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def discover(b: pa.Table) -> pa.Table:
+        refs = []
+        for sm_url, body in zip(
+            b["sm_url"].to_pylist(), b["xml"].to_pylist()
+        ):
+            if sm_url.endswith("robots.txt"):
+                refs.extend(sitemaps_in_robots(body))
+        return pa.table({"sm_url": pa.array(refs, pa.string())})
+
+    refs = site.map_batches(discover, batch_format="pyarrow")
+    fetched = partitioned_hash_join(refs, store, "sm_url", "sm_url")
+
+    def parse_children(b: pa.Table) -> pa.Table:
+        hosts, childs, urls, mods = [], [], [], []
+        for sm_url, xml in zip(b["sm_url"].to_pylist(), b["xml"].to_pylist()):
+            kind, entries = parse_sitemap(xml, strict=True)
+            assert kind == "urlset", (kind, sm_url)
+            host = sm_url.split("//", 1)[1].split("/", 1)[0]
+            child = int(sm_url.rsplit("part", 1)[1].split(".")[0])
+            for loc, lastmod, _p, _c in entries:
+                hosts.append(host)
+                childs.append(child)
+                urls.append(loc)
+                mods.append(lastmod)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "shard": pa.array(childs, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "lastmod": pa.array(mods, pa.string()),
+            }
+        )
+
+    return fetched.map_batches(
+        parse_children, batch_format="pyarrow"
+    ).sort(["host", "shard", "url"])
+
+
+SQL_ROBOTS_SITEMAPS = (
+    _SQL_MH_CTE
+    + """
+SELECT host, CAST(doc_id % 2 AS BIGINT) AS shard, url,
+       strftime(DATE '2024-01-01' + (doc_id % 365) * INTERVAL 1 DAY,
+                '%Y-%m-%d') AS lastmod
+FROM pg
+ORDER BY host, shard, url
+"""
+)
+
+
 QUERIES = {
     # relational / reference operator mappings
     "q1_pricing_summary": q_q1_pricing_summary,
@@ -11587,6 +11716,7 @@ QUERIES = {
     "coverage_estimate": q_coverage_estimate,
     "zipf_buckets": q_zipf_buckets,
     "postings_compress": q_postings_compress,
+    "robots_sitemaps": q_robots_sitemaps,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -11791,6 +11921,7 @@ ORACLE_SQL = {
     "coverage_estimate": SQL_COVERAGE_ESTIMATE,
     "zipf_buckets": SQL_ZIPF_BUCKETS,
     "postings_compress": SQL_POSTINGS_COMPRESS,
+    "robots_sitemaps": SQL_ROBOTS_SITEMAPS,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,
