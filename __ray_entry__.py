@@ -50,6 +50,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     first = [  # oracled but never driver-gated through round 3
         "graph_compress",  # new in r4-final (Boldi-Vigna gap-encoding cost accounting, no-shuffle adjacency)
+        "sitemap_index",  # new in r4-final (nested sitemapindex resolve, child fetch as a partitioned join)
+        "coverage_estimate",  # new in r4-final (Lincoln-Petersen/Chapman capture-recapture web-size estimate)
+        "zipf_buckets",  # new in r4-final (log2 frequency-of-frequencies spectrum, planted harmonic tail)
+        "postings_compress",  # new in r4-final (Elias-gamma/varint d-gap sizing of the inverted index)
+        "robots_sitemaps",  # new in r4-final (robots.txt Sitemap: discovery -> fetch-join -> urlset parse)
         "salsa_scores",  # new in r4-final (closed-form SALSA authority ranking, co-citation components)
         "cdx_shards",  # new in r4-final (balanced SURT key-range sharding via distributed prefix-sum ranks)
         "feed_discovery",  # new in r4-final (RSS 2.0 + Atom parse into recency-ranked seeds)
