@@ -10603,6 +10603,8 @@ def q_salsa_scores(sf_dir: str):
             lambda b: b.rename_columns(["node", "d_in"]),
             batch_format="pyarrow",
         )
+        .materialize()  # consumed 4x (auth, count, CC seed, join) —
+        # without this each consumer re-runs the extract+groupby
     )
     auth = din.select_columns(["node"])
     n_auth = auth.count()

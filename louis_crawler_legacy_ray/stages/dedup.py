@@ -693,7 +693,18 @@ def connected_components(
             ),
             batch_format="pyarrow",
         ).sum("c")
-        labels = new.select_columns([id_col, "label"]).materialize()
+        # clamp the label table's block count before it feeds the next
+        # iteration: the union+groupby otherwise roughly DOUBLES blocks
+        # every round (measured 3 -> 7 -> 15 -> ... -> 127 in 6 rounds
+        # on a 5k-node chain), so by iteration ~10 per-round wall time
+        # is pure task-launch overhead (5s -> 177s observed). One cheap
+        # split/coalesce repartition keeps every round O(num_buckets)
+        # tasks regardless of diameter.
+        labels = (
+            new.select_columns([id_col, "label"])
+            .repartition(num_buckets)
+            .materialize()
+        )
         if not changed:
             break
 

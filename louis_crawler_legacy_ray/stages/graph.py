@@ -749,8 +749,20 @@ def _all_pairs_bfs_shuffle(
             t = b.filter(pc.is_null(b["old"]))
             return pa.table({"root": t["root"], "node": t["node"], "d": t["d"]})
 
-        frontier = merged.map_batches(fresh, batch_format="pyarrow").materialize()
-        dist = merged.select_columns(["root", "node", "d"]).materialize()
+        # clamp block counts before the next round: union+groupby
+        # roughly doubles blocks per iteration (see dedup.py
+        # connected_components), and a 15-round BFS would otherwise
+        # end at ~2^15 blocks of task-launch overhead
+        frontier = (
+            merged.map_batches(fresh, batch_format="pyarrow")
+            .repartition(32)
+            .materialize()
+        )
+        dist = (
+            merged.select_columns(["root", "node", "d"])
+            .repartition(32)
+            .materialize()
+        )
 
     return dist
 
@@ -870,6 +882,7 @@ def hyperball_md5(
             regs.union(pulled)
             .groupby(["node", "j"])
             .aggregate(_Max("reg", alias_name="reg"))
+            .repartition(32)  # block-count clamp (see dedup.py CC note)
             .materialize()
         )
 
@@ -1198,7 +1211,11 @@ def k_core(
             )
             return blk.filter(pa.array(keep))
 
-        und = und.map_batches(drop, batch_format="pyarrow").materialize()
+        und = (
+            und.map_batches(drop, batch_format="pyarrow")
+            .repartition(32)  # block-count clamp across peel rounds
+            .materialize()
+        )
     else:
         raise RuntimeError(
             f"k_core did not converge within {max_iters} peeling rounds"
