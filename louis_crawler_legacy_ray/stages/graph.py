@@ -1405,9 +1405,12 @@ def label_propagation(
     for _ in range(rounds):
         votes = _with_scores(und, lab, "a", "lbl", num_buckets, n_rows=n_nodes)
         counts = votes.groupby(["b", "lbl"]).aggregate(Count(alias_name="c"))
-        lab = counts.groupby("b").map_groups(
-            pick, batch_format="pandas"
-        ).materialize()
+        lab = (
+            counts.groupby("b")
+            .map_groups(pick, batch_format="pandas")
+            .repartition(32)  # block-count clamp (see dedup.py CC note)
+            .materialize()
+        )
 
     return lab.map_batches(
         lambda b: pa.table(
