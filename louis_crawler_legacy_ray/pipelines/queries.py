@@ -11597,6 +11597,102 @@ ORDER BY host, shard, url
 )
 
 
+def q_frontier_wait_times(sf_dir: str):
+    """Frontier queue-wait telemetry under throttling (the Mercator
+    back-queue starvation statistic: how many rounds a discovered URL
+    sits in pending before its host's token bucket serves it —
+    uniform-BFS waits are all 0, so this table only exists because
+    politeness binds): runs the exact multihost token-bucket gate
+    (7 hosts x refill 2 / burst 4), derives each fetched URL's
+    discovery round as min(fetch round of its link parents) via one
+    partitioned join of the REAL extracted edge set against the
+    (url, round) order, and histograms wait = fetch - discovery - 1.
+    Seeds (round 0, no discovering parent) are excluded. Scale shape:
+    the order table is round-streamed parquet at 10^10 (here the gate
+    corpus's in-memory order), edges join it partitioned, the
+    histogram is O(max wait) rows."""
+    import ray.data as _rd
+    from ray.data.aggregate import Count as _Count
+
+    from ..stages.joins import partitioned_hash_join
+    from .crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=6,
+        max_rounds=96,
+        per_host_budget=2,
+        politeness="token_bucket",
+    )
+    corpus = multihost_corpus_dir(sf_dir)
+    res = run_crawl(corpus, [_mh_seed(sf_dir)], cfg)
+    ord_tbl = res.order.select(["round", "url"])
+
+    pages = _rd.read_parquet(corpus, columns=["url", "html"])
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        items = extract_batch(b)
+        srcs, dsts = [], []
+        for src, links in zip(
+            items["url"].to_pylist(), items["links"].to_pylist()
+        ):
+            for d in dict.fromkeys(links):
+                srcs.append(src)
+                dsts.append(d)
+        return pa.table(
+            {
+                "src": pa.array(srcs, pa.string()),
+                "dst": pa.array(dsts, pa.string()),
+            }
+        )
+
+    edges = pages.map_batches(edge_rows, batch_format="pyarrow")
+    ord_src = _rd.from_arrow(
+        ord_tbl.rename_columns(["parent_round", "src"])
+    )
+    ord_dst = _rd.from_arrow(ord_tbl.rename_columns(["round", "dst"]))
+
+    j = partitioned_hash_join(edges, ord_src, "src", "src")
+    minp = j.groupby("dst").aggregate(
+        Min("parent_round", alias_name="parent_round")
+    )
+    j2 = partitioned_hash_join(minp, ord_dst, "dst", "dst")
+
+    def waits(b: pa.Table) -> pa.Table:
+        r = b["round"].cast(pa.int64())
+        p = b["parent_round"].cast(pa.int64())
+        t = pa.table(
+            {"round": r, "wait": pc.subtract(pc.subtract(r, p), 1)}
+        )
+        return t.filter(pc.greater(t["round"], 0))
+
+    return (
+        j2.map_batches(waits, batch_format="pyarrow")
+        .groupby("wait")
+        .aggregate(_Count(alias_name="n_urls"))
+    )
+
+
+SQL_FRONTIER_WAIT_TIMES = (
+    _SQL_MH_BUDGET_SIM
+    + """,
+ord AS (
+  SELECT CAST(min(round) - 1 AS INTEGER) AS round, url
+  FROM sim WHERE done AND url <> '' GROUP BY url),
+d2 AS (
+  SELECT o.url, o.round, min(p.round) AS parent_round
+  FROM ord o
+  JOIN edges e ON e.dst = o.url
+  JOIN ord p ON p.url = e.src
+  WHERE o.round > 0
+  GROUP BY o.url, o.round)
+SELECT CAST(round - parent_round - 1 AS BIGINT) AS wait,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM d2 GROUP BY 1
+"""
+)
+
+
 QUERIES = {
     # relational / reference operator mappings
     "q1_pricing_summary": q_q1_pricing_summary,
@@ -11719,6 +11815,7 @@ QUERIES = {
     "zipf_buckets": q_zipf_buckets,
     "postings_compress": q_postings_compress,
     "robots_sitemaps": q_robots_sitemaps,
+    "frontier_wait_times": q_frontier_wait_times,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -11924,6 +12021,7 @@ ORACLE_SQL = {
     "zipf_buckets": SQL_ZIPF_BUCKETS,
     "postings_compress": SQL_POSTINGS_COMPRESS,
     "robots_sitemaps": SQL_ROBOTS_SITEMAPS,
+    "frontier_wait_times": SQL_FRONTIER_WAIT_TIMES,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,
