@@ -55,11 +55,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_buckets",  # new in r4-final (log2 frequency-of-frequencies spectrum, planted harmonic tail)
         "postings_compress",  # new in r4-final (Elias-gamma/varint d-gap sizing of the inverted index)
         "robots_sitemaps",  # new in r4-final (robots.txt Sitemap: discovery -> fetch-join -> urlset parse)
+        "frontier_wait_times",  # new in r4-final (queue-wait histogram under the token-bucket gate)
+        "crawl_adaptive_recrawl",  # new in r4-final (estimator-driven TTL expire -> pass-2 crawl)
         "salsa_scores",  # new in r4-final (closed-form SALSA authority ranking, co-citation components)
         "cdx_shards",  # new in r4-final (balanced SURT key-range sharding via distributed prefix-sum ranks)
         "feed_discovery",  # new in r4-final (RSS 2.0 + Atom parse into recency-ranked seeds)
         "change_rate_classes",  # new in r4-final (Cho-GM lambda-hat estimator, exact rational buckets)
-        "crawl_adaptive_recrawl",  # new in r4-final (estimator-driven TTL expire -> pass-2 crawl)
         "hll_md5_distinct",  # new in r4 (fully-oracled HyperLogLog: md5-parity registers, integer harmonic sum)
         "lsh_components",  # new in r4 (MinHash->LSH->connected-components cluster ids under one oracle)
         "harmonic_centrality",  # new in r4 (Boldi-Vigna centrality: frontier-delta multi-source BFS, exact 1/d sums)
