@@ -11693,6 +11693,106 @@ FROM d2 GROUP BY 1
 )
 
 
+def q_crawl_feed_seeded(sf_dir: str):
+    """Feed-driven fetch scheduling — the poll loop a news crawler
+    runs (discover fresh URLs from feeds, fetch newest-first under
+    politeness): every host's RSS + Atom feeds (the q_feed_discovery
+    corpus: 10 freshest even-doc items as RSS, 10 freshest odd-doc as
+    Atom) are parsed DISTRIBUTED, each item's recency score = days
+    since 2024-01-01 resolves FROM THE PARSED pub_date (the
+    arithmetic shortcut lives only in the oracle), and a score_desc
+    crawl seeded with every feed URL at depth 0 (max_depth=0 — the
+    feed already lists what to fetch, pure scheduling) drains
+    per-host top-2 by (-score, url). Closed-form ranked-batch oracle
+    like sitemap_priority_crawl's."""
+    import datetime as _dt
+
+    import ray.data as _rd
+
+    from ..sources.feeds import feed_items, rfc822_date
+    from .crawl import CrawlConfig, run_crawl
+
+    corpus = multihost_corpus_dir(sf_dir)
+    base = _dt.date(2024, 1, 1)
+
+    def host_rows(b: pa.Table) -> pa.Table:
+        urls = b["url"].to_pylist()
+        return pa.table(
+            {
+                "host": pa.array(
+                    [u.split("//", 1)[1].split("/", 1)[0] for u in urls],
+                    pa.string(),
+                ),
+                "url": b["url"],
+                "doc_id": pa.array(
+                    [int(u.rsplit("doc", 1)[1]) for u in urls], pa.int64()
+                ),
+            }
+        )
+
+    def build_feeds(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(day=g["doc_id"] % 365).sort_values(
+            ["day", "url"], ascending=[False, True]
+        )
+        host = g["host"].iloc[0]
+        rss = ['<rss version="2.0"><channel><title>', host, "</title>"]
+        even = g[g["doc_id"] % 2 == 0].head(10)
+        for u, d in zip(even["url"], even["day"]):
+            pub = rfc822_date(base + _dt.timedelta(days=int(d)))
+            rss.append(f"<item><link>{u}</link><pubDate>{pub}</pubDate></item>")
+        rss.append("</channel></rss>")
+        atom = ['<feed xmlns="http://www.w3.org/2005/Atom">']
+        odd = g[g["doc_id"] % 2 == 1].head(10)
+        for u, d in zip(odd["url"], odd["day"]):
+            iso = (base + _dt.timedelta(days=int(d))).isoformat()
+            atom.append(
+                f'<entry><link href="{u}"/><updated>{iso}T00:00:00Z</updated></entry>'
+            )
+        atom.append("</feed>")
+        return pd.DataFrame(
+            {"host": [host, host], "xml": ["".join(rss), "".join(atom)]}
+        )
+
+    feeds = (
+        _rd.read_parquet(corpus, columns=["url"])
+        .map_batches(host_rows, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(build_feeds, batch_format="pandas")
+    )
+    scores = {
+        r["url"]: (_dt.date.fromisoformat(r["pub_date"]) - base).days
+        for r in feed_items(feeds).take_all()
+    }
+    cfg = CrawlConfig(
+        n_shards=4,
+        max_depth=0,
+        max_rounds=128,
+        per_host_budget=2,
+        priority="score_desc",
+        priority_scores=scores,
+    )
+    res = run_crawl(corpus, sorted(scores), cfg)
+    return res.order
+
+
+SQL_CRAWL_FEED_SEEDED = (
+    _SQL_MH_CTE
+    + """,
+items AS (
+  SELECT host, url, doc_id % 365 AS day,
+         row_number() OVER (
+           PARTITION BY host, doc_id % 2
+           ORDER BY doc_id % 365 DESC, url) AS rn
+  FROM pg)
+SELECT CAST((row_number() OVER (
+           PARTITION BY host ORDER BY day DESC, url) - 1) // 2
+       AS INTEGER) AS round,
+       CAST(0 AS INTEGER) AS depth, url
+FROM items WHERE rn <= 10
+"""
+)
+
+
 QUERIES = {
     # relational / reference operator mappings
     "q1_pricing_summary": q_q1_pricing_summary,
@@ -11816,6 +11916,7 @@ QUERIES = {
     "postings_compress": q_postings_compress,
     "robots_sitemaps": q_robots_sitemaps,
     "frontier_wait_times": q_frontier_wait_times,
+    "crawl_feed_seeded": q_crawl_feed_seeded,
     "reciprocal_links": q_reciprocal_links,
     "shingle_containment": q_shingle_containment,
     "idn_hosts": q_idn_hosts,
@@ -12022,6 +12123,7 @@ ORACLE_SQL = {
     "postings_compress": SQL_POSTINGS_COMPRESS,
     "robots_sitemaps": SQL_ROBOTS_SITEMAPS,
     "frontier_wait_times": SQL_FRONTIER_WAIT_TIMES,
+    "crawl_feed_seeded": SQL_CRAWL_FEED_SEEDED,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "shingle_containment": SQL_SHINGLE_CONTAINMENT,
     "idn_hosts": SQL_IDN_HOSTS,
