@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_compress",  # new in r4-final (Elias-gamma/varint d-gap sizing of the inverted index)
         "robots_sitemaps",  # new in r4-final (robots.txt Sitemap: discovery -> fetch-join -> urlset parse)
         "frontier_wait_times",  # new in r4-final (queue-wait histogram under the token-bucket gate)
+        "crawl_feed_seeded",  # new in r4-final (feed-poll newest-first fetch scheduling, score_desc)
         "crawl_adaptive_recrawl",  # new in r4-final (estimator-driven TTL expire -> pass-2 crawl)
         "salsa_scores",  # new in r4-final (closed-form SALSA authority ranking, co-citation components)
         "cdx_shards",  # new in r4-final (balanced SURT key-range sharding via distributed prefix-sum ranks)
