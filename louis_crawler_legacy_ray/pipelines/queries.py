@@ -10527,6 +10527,24 @@ FROM vals GROUP BY kind, bucket
 """
 
 
+def _salsa_ppm(cs, di, cd, n_auth: int):
+    """score_ppm = (comp_size * d_in * 1e6) // (n_auth * comp_din) as
+    int64 arrays, overflow-safe: the product wraps int64 once
+    cs*di > ~9.2e12 (plausible at 10^10 pages), so vectorize only when
+    the max-product bound proves safety and otherwise fall back to
+    exact arbitrary-precision Python ints per row."""
+    if len(cs) == 0 or int(cs.max()) * int(di.max()) * 1_000_000 < 2**63:
+        return (cs * di * 1_000_000) // (n_auth * cd)
+    return np.fromiter(
+        (
+            (int(c) * int(d) * 1_000_000) // (n_auth * int(t))
+            for c, d, t in zip(cs, di, cd)
+        ),
+        dtype=np.int64,
+        count=len(cs),
+    )
+
+
 def q_salsa_scores(sf_dir: str):
     """SALSA authority scores (Lempel & Moran 2000, "SALSA: the
     stochastic approach for link-structure analysis") over the hubbed
@@ -10620,7 +10638,7 @@ def q_salsa_scores(sf_dir: str):
         cs = b["comp_size"].to_numpy(zero_copy_only=False).astype(np.int64)
         di = b["d_in"].to_numpy(zero_copy_only=False).astype(np.int64)
         cd = b["comp_din"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ppm = (cs * di * 1_000_000) // (n_auth * cd)
+        ppm = _salsa_ppm(cs, di, cd, n_auth)
         return pa.table(
             {
                 "node": b["node"].cast(pa.int64()),
@@ -11251,7 +11269,11 @@ def q_coverage_estimate(sf_dir: str):
             "chapman_est": pa.array(
                 [(n1 + 1) * (n2 + 1) // (m + 1) - 1], pa.int64()
             ),
-            "lp_est": pa.array([n1 * n2 / m], pa.float64()),
+            # DuckDB yields NULL on division by zero, so a disjoint
+            # sample pair (m = 0) must produce null here, not a crash
+            "lp_est": pa.array(
+                [n1 * n2 / m if m else None], pa.float64()
+            ),
         }
     )
 

@@ -49,9 +49,15 @@ def rfc822_date(d) -> str:
 
 
 def _rfc822_to_iso(s: str) -> str:
-    # 'Mon, 12 Feb 2024 00:00:00 GMT' -> '2024-02-12'
+    # 'Mon, 12 Feb 2024 00:00:00 GMT' -> '2024-02-12'; RFC 822 makes the
+    # leading weekday token OPTIONAL, so '12 Feb 2024 00:00:00 GMT' is
+    # equally legal — index relative to where the day-of-month starts.
     parts = s.split()
-    return f"{int(parts[3]):04d}-{_MONTHS[parts[2]]:02d}-{int(parts[1]):02d}"
+    off = 1 if parts and parts[0].endswith(",") else 0
+    return (
+        f"{int(parts[off + 2]):04d}-{_MONTHS[parts[off + 1]]:02d}"
+        f"-{int(parts[off]):02d}"
+    )
 
 
 def parse_feed(host: str, xml: str) -> list[dict]:
@@ -64,12 +70,16 @@ def parse_feed(host: str, xml: str) -> list[dict]:
             link = _LINK_RE.search(body)
             pub = _PUBDATE_RE.search(body)
             if link and pub:
+                try:
+                    iso = _rfc822_to_iso(pub.group(1).strip())
+                except (ValueError, KeyError, IndexError):
+                    continue  # malformed date: skip the item, not the batch
                 out.append(
                     {
                         "host": host,
                         "fmt": "rss",
                         "url": link.group(1).strip(),
-                        "pub_date": _rfc822_to_iso(pub.group(1).strip()),
+                        "pub_date": iso,
                     }
                 )
     elif "<feed" in xml[:256]:

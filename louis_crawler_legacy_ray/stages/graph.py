@@ -553,6 +553,7 @@ def harmonic_centrality(
     node_col: str = "node",
     max_depth: int = 15,
     scale: int = 360360,
+    num_buckets: int = 32,
 ) -> ray.data.Dataset:
     """Harmonic centrality (Boldi & Vigna 2014 — the ranking Common
     Crawl publishes for its host/domain graphs): H(u) = sum over v != u
@@ -587,7 +588,9 @@ def harmonic_centrality(
             edges, nodes, node_col, max_depth, scale
         )
     else:
-        dist = _all_pairs_bfs_shuffle(edges, nodes, node_col, max_depth)
+        dist = _all_pairs_bfs_shuffle(
+            edges, nodes, node_col, max_depth, num_buckets=num_buckets
+        )
 
         def contrib(b: pa.Table) -> pa.Table:
             t = b.filter(pc.greater(b["d"], 0))
@@ -695,6 +698,7 @@ def _all_pairs_bfs_shuffle(
     nodes: ray.data.Dataset,
     node_col: str,
     max_depth: int,
+    num_buckets: int = 32,
 ) -> ray.data.Dataset:
     """Bulk-synchronous frontier-delta multi-source BFS: per round one
     (frontier x edges) partitioned hash join + one (root, node)
@@ -755,12 +759,12 @@ def _all_pairs_bfs_shuffle(
         # end at ~2^15 blocks of task-launch overhead
         frontier = (
             merged.map_batches(fresh, batch_format="pyarrow")
-            .repartition(32)
+            .repartition(num_buckets)
             .materialize()
         )
         dist = (
             merged.select_columns(["root", "node", "d"])
-            .repartition(32)
+            .repartition(num_buckets)
             .materialize()
         )
 
@@ -780,6 +784,7 @@ def hyperball_md5(
     nodes: ray.data.Dataset,
     node_col: str = "node",
     rounds: int = 4,
+    num_buckets: int = 32,
 ) -> ray.data.Dataset:
     """HyperBall (Boldi & Vigna 2013) with EXACTLY-oracled registers —
     the page-graph-scale answer to harmonic_centrality's all-pairs
@@ -882,7 +887,7 @@ def hyperball_md5(
             regs.union(pulled)
             .groupby(["node", "j"])
             .aggregate(_Max("reg", alias_name="reg"))
-            .repartition(32)  # block-count clamp (see dedup.py CC note)
+            .repartition(num_buckets)  # block-count clamp (dedup.py CC note)
             .materialize()
         )
 
@@ -1137,6 +1142,7 @@ def k_core(
     k: int = 3,
     node_col: str = "node",
     max_iters: int = 32,
+    num_buckets: int = 32,
 ) -> ray.data.Dataset:
     """k-core decomposition membership (Seidman 1983; the density
     filter webgraph studies run before SCC/community analysis — a
@@ -1213,7 +1219,7 @@ def k_core(
 
         und = (
             und.map_batches(drop, batch_format="pyarrow")
-            .repartition(32)  # block-count clamp across peel rounds
+            .repartition(num_buckets)  # block-count clamp across peel rounds
             .materialize()
         )
     else:
@@ -1408,7 +1414,7 @@ def label_propagation(
         lab = (
             counts.groupby("b")
             .map_groups(pick, batch_format="pandas")
-            .repartition(32)  # block-count clamp (see dedup.py CC note)
+            .repartition(num_buckets)  # block-count clamp (dedup.py CC note)
             .materialize()
         )
 
