@@ -1617,6 +1617,94 @@ def lexical_featurize(
     )
 
 
+# stats-driven planner threshold (the graph.py BROADCAST_SCORE_ROWS
+# pattern): a feature matrix at or under this many rows is driver-built
+# and broadcast once; above it lexical_near_pairs switches to the
+# partitioned block x block matmul so the driver never materializes a
+# corpus-sized array. 200k rows x 64 int64 buckets ≈ 100 MiB.
+LEXICAL_BROADCAST_ROWS = 200_000
+
+
+def _lexical_pairs_blockwise(
+    feats: ray.data.Dataset, th_num: int, th_den: int, num_blocks: int = 64
+) -> ray.data.Dataset:
+    """Exact integer-cosine near-pairs WITHOUT any driver-side feature
+    matrix: repartition the (doc_id, vec) table into ``num_blocks``
+    plasma-resident Arrow blocks, then run one task per unordered
+    block pair (i <= j) that pulls just its two blocks and matmuls
+    them. Driver state is O(num_blocks²) index rows + block refs;
+    worker peak is two blocks. Work is inherently quadratic — this is
+    the exact path's scale guard against driver OOM, not a
+    subquadratic algorithm (that's the LSH candidate path)."""
+    import ray as _ray
+
+    blocks = [
+        r
+        for r in feats.repartition(num_blocks).to_arrow_refs()
+    ]
+
+    def to_np(t: pa.Table):
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        M = np.array(t["vec"].to_pylist(), dtype=np.int64)
+        if M.size == 0:
+            M = M.reshape(0, 0)
+        return ids, M
+
+    def pair_block(batch: pa.Table, _blocks=blocks) -> pa.Table:
+        out_a, out_b, out_d, out_na, out_nb = [], [], [], [], []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ta, tb = _ray.get([_blocks[i], _blocks[j]])
+            ai, A = to_np(ta)
+            bi, B = to_np(tb)
+            if ai.size == 0 or bi.size == 0:
+                continue
+            G = A @ B.T
+            na = (A * A).sum(axis=1)
+            nb = (B * B).sum(axis=1)
+            lhs = (th_den * th_den) * (G * G)
+            rhs = (th_num * th_num) * (na[:, None] * nb[None, :])
+            # emit doc_a < doc_b exactly once: between distinct blocks
+            # every qualifying (x, y) appears once in this task (and
+            # once as (y, x), filtered by the id test); within a block
+            # the same test dedups the symmetric/self hits.
+            ok = (lhs >= rhs) & (ai[:, None] < bi[None, :])
+            xi, yj = np.where(ok)
+            out_a.append(ai[xi])
+            out_b.append(bi[yj])
+            out_d.append(G[xi, yj])
+            out_na.append(na[xi])
+            out_nb.append(nb[yj])
+            if i != j:
+                ok2 = (lhs >= rhs) & (bi[None, :] < ai[:, None])
+                xi2, yj2 = np.where(ok2)
+                out_a.append(bi[yj2])
+                out_b.append(ai[xi2])
+                out_d.append(G[xi2, yj2])
+                out_na.append(nb[yj2])
+                out_nb.append(na[xi2])
+
+        def cat(parts):
+            return (
+                np.concatenate(parts) if parts else np.empty(0, np.int64)
+            )
+
+        return pa.table(
+            {
+                "doc_a": pa.array(cat(out_a), pa.int64()),
+                "doc_b": pa.array(cat(out_b), pa.int64()),
+                "dot": pa.array(cat(out_d), pa.int64()),
+                "normsq_a": pa.array(cat(out_na), pa.int64()),
+                "normsq_b": pa.array(cat(out_nb), pa.int64()),
+            }
+        )
+
+    k = len(blocks)
+    idx = ray.data.from_items(
+        [{"i": i, "j": j} for i in range(k) for j in range(i, k)]
+    )
+    return idx.map_batches(pair_block, batch_format="pyarrow", batch_size=4)
+
+
 def lexical_near_pairs(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -1632,24 +1720,47 @@ def lexical_near_pairs(
     could). Emits a < b with the integer witnesses
     (dot, normsq_a, normsq_b).
 
-    Scale shape: the feature matrix is (n_docs x n_buckets) int64 —
-    dimension-sized at gate scale, broadcast once per worker; each
-    corpus block matmuls against it (the cosine_near_pairs exact
-    shape). At 10^10 docs the banded-LSH candidate path
-    (minhash/simhash/cosine_near_pairs_lsh) replaces the broadcast;
-    int64 holds while dot² · th_den² < 2^63 (~100-word docs here)."""
+    Scale shape (stats-driven, the graph.py BROADCAST_SCORE_ROWS
+    planner choice): corpora at or under ``LEXICAL_BROADCAST_ROWS``
+    build the (n_docs x n_buckets) int64 feature matrix ONCE on the
+    driver (dimension-sized at gate scale), ``ray.put`` it once, and
+    matmul every corpus block against it. Larger corpora NEVER
+    materialize the matrix on the driver: the guarded fallback is a
+    partitioned block x block self-matmul over plasma-resident Arrow
+    block refs (driver holds O(K²) index rows, workers hold two
+    blocks at a time) — same exact integer-cosine semantics, same
+    oracle hash. Exact all-pairs is inherently quadratic in work; the
+    subquadratic 10^10 answer remains the banded-LSH candidate path
+    (minhash/simhash/cosine_near_pairs_lsh). int64 holds while
+    dot² · th_den² < 2^63 (~100-word docs here)."""
     feats = ds.map_batches(
         lambda b: lexical_featurize(b, text_col=text_col, n_buckets=n_buckets),
         batch_format="pyarrow",
+    ).materialize()
+    if feats.count() > LEXICAL_BROADCAST_ROWS:
+        return _lexical_pairs_blockwise(feats, th_num, th_den)
+    id_parts, vec_parts = [], []
+    for b in feats.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            id_parts.append(np.asarray(b["doc_id"], dtype=np.int64))
+            vec_parts.append(
+                np.array(b["vec"].to_pylist(), dtype=np.int64)
+            )
+    ids = (
+        np.concatenate(id_parts) if id_parts else np.empty(0, np.int64)
     )
-    rows = feats.take_all()
-    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
-    M = np.array([r["vec"] for r in rows], dtype=np.int64)
+    M = (
+        np.concatenate(vec_parts)
+        if vec_parts
+        else np.empty((0, n_buckets), np.int64)
+    )
     order = np.argsort(ids)
     ids, M = ids[order], M[order]
     nsq = (M * M).sum(axis=1)
+    mat_ref = ray.put((ids, M, nsq))  # ship once per node, not per task
 
     def f(batch: pa.Table) -> pa.Table:
+        ids, M, nsq = ray.get(mat_ref)  # zero-copy from plasma
         bids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
         vb = np.array(batch["vec"].to_pylist(), dtype=np.int64)
         if len(bids) == 0:
@@ -1683,6 +1794,12 @@ def lexical_near_pairs(
     return feats.map_batches(f, batch_format="pyarrow")
 
 
+# stats-driven planner threshold for containment_pairs' shingle-size
+# side: one int per doc, broadcast at or under this many docs, joined
+# via the partitioned hash join above it (graph.py pattern).
+CONTAINMENT_BROADCAST_DOCS = 200_000
+
+
 def containment_pairs(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
@@ -1701,9 +1818,12 @@ def containment_pairs(
     cross-multiplied int64 PER DIRECTION. Returns (doc_a, doc_b,
     inter, size_a, size_b, contains_ab, contains_ba) with a < b.
 
-    Shingle-set sizes are one int per doc — dimension-sized at gate
-    scale, broadcast via ray.put (the partitioned pair-join is the
-    10^10 path, same note as the cosine exact pass)."""
+    Shingle-set sizes are one int per doc — at or under
+    ``CONTAINMENT_BROADCAST_DOCS`` they broadcast once via ray.put;
+    above the guard they NEVER land on the driver: two partitioned
+    hash joins attach size_a/size_b to the candidate pairs (the same
+    stats-driven planner choice as graph.py's BROADCAST_SCORE_ROWS
+    and lexical_near_pairs' matrix guard)."""
     SEP = " "
 
     def shingle_partial(b: pa.Table) -> pa.Table:
@@ -1723,11 +1843,14 @@ def containment_pairs(
             }
         )
 
-    sh = ds.map_batches(shingle_partial, batch_format="pyarrow")
-    sizes = {
-        r[id_col]: r["count()"] for r in sh.groupby(id_col).count().take_all()
-    }
-    size_ref = ray.put(sizes)
+    sh = ds.map_batches(shingle_partial, batch_format="pyarrow").materialize()
+    sizes_ds = sh.groupby(id_col).count()
+    broadcast = ds.count() <= CONTAINMENT_BROADCAST_DOCS
+    if broadcast:
+        sizes = {
+            r[id_col]: r["count()"] for r in sizes_ds.take_all()
+        }
+        size_ref = ray.put(sizes)
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         docs = sorted(g[id_col])
@@ -1742,6 +1865,76 @@ def containment_pairs(
     inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="inter")
     )
+
+    if not broadcast:
+        from .joins import partitioned_hash_join
+
+        sz_a = sizes_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_a": b[id_col].cast(pa.int64()),
+                    "size_a": b["count()"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        sz_b = sizes_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_b": b[id_col].cast(pa.int64()),
+                    "size_b": b["count()"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = partitioned_hash_join(
+            partitioned_hash_join(inter, sz_a, "doc_a", "doc_a"),
+            sz_b,
+            "doc_b",
+            "doc_b",
+        )
+
+        def fin_joined(b: pa.Table) -> pa.Table:
+            cols = [
+                "doc_a",
+                "doc_b",
+                "inter",
+                "size_a",
+                "size_b",
+            ]
+            if "doc_a" not in b.column_names or b.num_rows == 0:
+                return pa.table(
+                    {
+                        "doc_a": pa.array([], pa.int64()),
+                        "doc_b": pa.array([], pa.int64()),
+                        "inter": pa.array([], pa.int64()),
+                        "size_a": pa.array([], pa.int64()),
+                        "size_b": pa.array([], pa.int64()),
+                        "contains_ab": pa.array([], pa.bool_()),
+                        "contains_ba": pa.array([], pa.bool_()),
+                    }
+                )
+            iv = pc.multiply(b["inter"].cast(pa.int64()), pa.scalar(den))
+            cab = pc.greater_equal(
+                iv,
+                pc.multiply(b["size_a"].cast(pa.int64()), pa.scalar(num)),
+            )
+            cba = pc.greater_equal(
+                iv,
+                pc.multiply(b["size_b"].cast(pa.int64()), pa.scalar(num)),
+            )
+            out = pa.table(
+                {
+                    **{c: b[c].cast(pa.int64()) for c in cols},
+                    "contains_ab": cab,
+                    "contains_ba": cba,
+                }
+            )
+            return out.filter(
+                pc.or_(out["contains_ab"], out["contains_ba"])
+            )
+
+        return joined.map_batches(fin_joined, batch_format="pyarrow")
 
     def fin(b: pa.Table) -> pa.Table:
         if "doc_a" not in b.column_names or b.num_rows == 0:

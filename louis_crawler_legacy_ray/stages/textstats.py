@@ -569,7 +569,22 @@ def sharded_postings_group(df):
     )
 
 
-def train_bigram_lm(train_ds: "ray.data.Dataset", text_col: str = "text"):
+# LM fold caps (count pruning, the KenLM `--prune` discipline): the
+# driver folds at most MAX_LM_VOCAB unigram types and MAX_LM_BIGRAMS
+# bigram types — pruned events fall through to the +1/(cu+V) smoothing
+# floor. Gate-scale vocabularies sit far under both caps, so the
+# DuckDB oracle is unaffected; at 100 TB the caps bound the driver
+# fold where the uncapped dicts would be corpus-sized.
+MAX_LM_VOCAB = 1_000_000
+MAX_LM_BIGRAMS = 4_000_000
+
+
+def train_bigram_lm(
+    train_ds: "ray.data.Dataset",
+    text_col: str = "text",
+    max_vocab: int | None = MAX_LM_VOCAB,
+    max_bigrams: int | None = MAX_LM_BIGRAMS,
+):
     """CCNet-style LM training side (Wenzek et al. 2020 train a KenLM
     per language and bucket the corpus by perplexity; the reference has
     no LM stage — this extends its inventory per the task brief). Here
@@ -579,10 +594,16 @@ def train_bigram_lm(train_ds: "ray.data.Dataset", text_col: str = "text"):
     like decontaminate's benchmark n-grams — every scoring task reads
     the same plasma object, nothing is re-shipped per batch.
 
-    Returns (bigram_ref, context_ref, vocab_size). At 100 TB the
-    vocabulary is capped to the top-K heavy hitters before broadcast
-    (rare contexts then fall through to the +1/(0+V) smoothing floor);
-    uncapped here because the test vocab is dimension-sized.
+    Returns (bigram_ref, context_ref, vocab_size). The driver-side
+    fold is BOUNDED: when the distributed type counts exceed
+    ``max_vocab`` / ``max_bigrams``, a distributed sort-by-count +
+    limit keeps only the top-K heavy hitters (ties broken
+    lexicographically for determinism) before anything reaches the
+    driver — standard LM count pruning; pruned events score at the
+    +1/(cu+V) smoothing floor. V stays the UNPRUNED unigram type
+    count so the smoothing denominator is scale-invariant. Pass
+    ``None`` to uncap (oracle-exact for dimension-sized test vocabs,
+    which sit far under the default caps anyway).
     """
     import ray as _ray
     from ray.data.aggregate import Sum
@@ -593,6 +614,7 @@ def train_bigram_lm(train_ds: "ray.data.Dataset", text_col: str = "text"):
         )
         .groupby(["w1", "w2"])
         .aggregate(Sum("cnt", alias_name="c"))
+        .materialize()
     )
     uni = (
         train_ds.map_batches(
@@ -600,10 +622,20 @@ def train_bigram_lm(train_ds: "ray.data.Dataset", text_col: str = "text"):
         )
         .groupby("word")
         .aggregate(Sum("cnt", alias_name="c"))
+        .materialize()
     )
+    n_vocab = uni.count()
+    if max_vocab is not None and n_vocab > max_vocab:
+        uni = uni.sort(
+            ["c", "word"], descending=[True, False]
+        ).limit(max_vocab)
+    if max_bigrams is not None and bi.count() > max_bigrams:
+        bi = bi.sort(
+            ["c", "w1", "w2"], descending=[True, False, False]
+        ).limit(max_bigrams)
     cb = {(r["w1"], r["w2"]): int(r["c"]) for r in bi.iter_rows()}
     cu = {r["word"]: int(r["c"]) for r in uni.iter_rows()}
-    return _ray.put(cb), _ray.put(cu), len(cu)
+    return _ray.put(cb), _ray.put(cu), n_vocab
 
 
 class PerplexityScorer:
