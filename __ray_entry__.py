@@ -48,122 +48,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
     samples is maximally oracle-checkable."""
     from louis_crawler_legacy_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
-    first = [  # oracled but never driver-gated through round 3
-        "graph_compress",  # new in r4-final (Boldi-Vigna gap-encoding cost accounting, no-shuffle adjacency)
-        "sitemap_index",  # new in r4-final (nested sitemapindex resolve, child fetch as a partitioned join)
-        "coverage_estimate",  # new in r4-final (Lincoln-Petersen/Chapman capture-recapture web-size estimate)
-        "zipf_buckets",  # new in r4-final (log2 frequency-of-frequencies spectrum, planted harmonic tail)
-        "postings_compress",  # new in r4-final (Elias-gamma/varint d-gap sizing of the inverted index)
-        "robots_sitemaps",  # new in r4-final (robots.txt Sitemap: discovery -> fetch-join -> urlset parse)
-        "frontier_wait_times",  # new in r4-final (queue-wait histogram under the token-bucket gate)
-        "crawl_feed_seeded",  # new in r4-final (feed-poll newest-first fetch scheduling, score_desc)
-        "crawl_adaptive_recrawl",  # new in r4-final (estimator-driven TTL expire -> pass-2 crawl)
-        "salsa_scores",  # new in r4-final (closed-form SALSA authority ranking, co-citation components)
-        "cdx_shards",  # new in r4-final (balanced SURT key-range sharding via distributed prefix-sum ranks)
-        "feed_discovery",  # new in r4-final (RSS 2.0 + Atom parse into recency-ranked seeds)
-        "change_rate_classes",  # new in r4-final (Cho-GM lambda-hat estimator, exact rational buckets)
-        "hll_md5_distinct",  # new in r4 (fully-oracled HyperLogLog: md5-parity registers, integer harmonic sum)
-        "lsh_components",  # new in r4 (MinHash->LSH->connected-components cluster ids under one oracle)
-        "harmonic_centrality",  # new in r4 (Boldi-Vigna centrality: frontier-delta multi-source BFS, exact 1/d sums)
-        "hyperball_md5",  # new in r4 (HyperBall: HLL registers flowing along edges, oracled ball estimates)
-        "mime_sniff",  # new in r4 (WHATWG magic-byte mime + BOM/meta charset sniffing, known-answer gate)
-        "warc_revisit",  # new in r4 (WARC payload-digest dedup: revisit records through the gzip roundtrip)
-        "bowtie_components",  # new in r4 (Broder bowtie: SCC ids + in/out/tendril classes vs the giant SCC)
-        "local_supplier_volume",  # new in r4 (TPC-H Q5: 6-table join, exact-int revenue by nation)
-        "customer_distribution",  # new in r4 (TPC-H Q13: LEFT join order-count histogram, zero bucket kept)
-        "crawl_conditional_get",  # new in r4 (If-None-Match revisit: TTL expire + fp store -> 304/200 classify)
-        "triangle_counts",  # new in r4 (node-iterator triangle counting, planted wedge closures)
-        "k_core",  # new in r4 (Seidman coreness: delta-peeling, planted K4 link farms)
-        "lpa_communities",  # new in r4 (deterministic sync label propagation, 5 rounds, self-votes)
-        "distance_histogram",  # new in r4 (exact bounded distance distribution — the table HyperBall sketches)
-        "temperature_resample",  # new in r4 (XLM-R sqrt-temperature language resampling, data-derived quotas)
-        "kmv_distinct_users",  # new in r4 (KMV bottom-k distinct sketch, exact-below-k arm + estimator arm)
-        "vocab_growth",  # new in r4 (Heaps'-law vocabulary growth curve via first-occurrence Min groupby)
-        "degree_distribution",  # new in r4 (log2-bucket in/out-degree histogram, the webgraph power-law table)
-        "spam_mass",  # new in r4 (Gyöngyi mass estimation: pagerank - normalized trustrank)
-        "wet_export",  # new in r4 (Common Crawl WET conversion records: extract -> text -> WET -> parse)
-        "wat_export",  # new in r4 (Common Crawl WAT metadata-JSON records roundtrip)
-        "soft404",  # new in r4 (content-side soft-404 detection over the 200-status error-page corpus)
-        "registered_domains",  # new in r4 (PSL eTLD+1 kernel known-answer gate)
-        "boilerplate_strip",  # new in r4 (within-host template-line removal, 1/2-frequency rule)
-        "crawl_domain_budget",  # new in r4 (queue-by-registered-domain politeness via the PSL kernel)
-        "crawl_fairness",  # new in r4 (Jain fairness index over the throttled schedule window)
-        "dust_rules",  # new in r4 (DUST: learn URL rewrite rules from same-content pairs)
-        "lexical_near_pairs",  # new in r4 (exact-int cosine near-dup on hashed term counts)
-        "cms_term_counts",  # new in r4 (Count-Min sketch with md5-parity buckets: fully oracled estimates)
-        "reciprocal_links",  # new in r4 (nepotistic mutual-linking analytics over the host graph)
-        "shingle_containment",  # new in r4 (Broder containment: asymmetric subset-duplication pairs)
-        "idn_hosts",  # new in r4 (RFC 3490 punycode host normalization, known-answer gate)
-        "index_freshness",  # new in r4 (Cho 2003 freshness/age of the index under a refresh schedule)
-        "crawl_from_warc",  # new in r4 (archive-replay: WARC roundtrip feeds the frontier, schedule bit-identical)
-        "crawl_host_discovery",  # new in r4 (frontier-expansion curve: new hosts per round)
-        "curation_v2",  # new in r4 (boilerplate_strip -> Gopher rules composed under ONE oracle)
-        "crawl_relevance_priority",  # new in r4 (focused crawl: content scores steer the frontier)
-        "crawl_pagerank_priority",  # new in r4 (pagerank ranks composed into the capped control plane)
-        "trustrank",  # new in r4 (seed-restricted teleport demotes spam neighborhoods)
-        "hits_scores",  # new in r4 (Kleinberg hub/authority mutual reinforcement)
-        "bm25_topk",  # new in r4 (Okapi BM25 ranked retrieval, rank/doc_id-stable)
-        "search_rank_fusion",  # new in r4 (crawl->index->BM25+PageRank Borda fusion, one oracle)
-        "dedup_span_removal",  # new in r4 (Lee et al. exact-substring removal as a cleaner)
-        "index_delta",  # new in r4 (incremental posting-list maintenance on recrawl)
-        "crawl_ip_groups",  # new in r4 (vhost->server group shared budgets)
-        "crawl_meta_robots",  # new in r4 (page-level noindex/nofollow directives)
-        "canonical_consolidate",  # new in r4 (rel=canonical duplicate grouping)
-        "hreflang_clusters",  # new in r4 (rel-alternate-hreflang language-variant grouping)
-        "crawl_delay_budget",  # new in r4 (robots Crawl-delay politeness)
-        "crawl_traps",  # new in r4 (URL-pattern-explosion trap detection)
-        "crawl_trap_guard",  # new in r4 (deny-pattern quarantine at admission)
-        "crawl_retry_backoff",  # new in r4 (transient-failure exponential backoff)
-        "crawl_metrics_retry",  # new in r4 (retry telemetry vs the same sim)
-        "crawl_capped_budget",  # new in r4 (global k-th-key cap x per-host budgets)
-        "crawl_backlink_priority",  # new in r4 (online backlink-count frontier ordering)
-        "crawl_opic",  # new in r4 (OPIC cash-drain frontier ordering, integer shares)
-        "mirror_hosts",  # new in r4 (mirrored-host detection by content-fp overlap)
-        "sitemap_priority_crawl",  # new in r4 (sitemap <priority> -> score_desc schedule)
-        "robots_wildcards",  # new in r4 (RFC 9309 wildcard/longest-match/Allow-tie matcher)
-        "crawl_robots_rfc",  # new in r4 (RFC matcher inside distributed admission + BFS)
-        "sitemap_recrawl",  # new in r4 (sitemap <changefreq> -> TTL expire -> pass-2)
-        "url_normalize",  # new in r4 (RFC 3986 canonicalization known-answer gate)
-        "crawl_redirects",  # new in r4 (meta-refresh 3xx following at source depth)
-        "crawl_full_policy",  # new in r4 (delay budgets + robots + traps + redirects, one gate)
-        "recrawl_priority",  # new in r4 (adaptive recrawl scheduler)
-        "host_budgets",  # new in r4 (largest-remainder budget apportionment)
-        "surt_index",  # new in r4 (CDX-style SURT-keyed URL index)
-        "warc_roundtrip",  # new in r4 (WARC sink/source fidelity)
-        "sitemap_seeds",  # new in r4 (sitemaps.org seed ingestion)
-        "host_graph",  # new in r4 (host-level webgraph rollup)
-        "crawl_recrawl_scheduled",  # new in r4 (change-rate-driven crawl)
-        "dsir_topk",  # new in r4 (DSIR importance selection)
-        "snapshot_delta",  # new in r4 (incremental recrawl diff)
-        "crawl_priority_indegree",  # new in r4 (importance-ordered crawl)
-        "anchor_texts",  # new in r4 (anchor-text aggregation)
-        "perplexity_buckets",  # new in r4 (CCNet-style LM bucketing)
-        "domain_mix",  # new in r4 (quota domain mixing)
-        "dup_doc_coverage",  # new in r4 (doc-level dup-ngram coverage)
-        "curation_pipeline",  # new in r4 (end-to-end curation oracle)
-        "gopher_quality",  # new in r4 (Gopher rules, exact ints)
-        "rolling_fp_cp",  # new in r4 (codepoint fingerprint companion)
-        "minhash_md5_sigs",  # new in r4 (md5-family LSH signatures)
-        "minhash_md5_pairs",  # new in r4 (md5-family band candidates)
-        "simhash_md5",  # new in r4 (md5-family simhash)
-        "crawl_pages_bfs_budget",  # new in r3 (token-bucket schedule)
-        "crawl_ttl_recrawl",  # new in r3 (cuckoo expire + 2nd pass)
-        "crawl_multihost_budget",  # new in r3 (per-host buckets, 7 hosts)
-        "crawl_multihost_capped",  # new in r3 (distributed global cap)
-        "crawl_metrics_budget",  # new in r3 (throttled telemetry)
-        "bigram_lift_topk",  # new in r3 (collocation lift)
-        "crawl_priority_short",  # new in r3 (priority frontier)
-        "crawl_multihost_domains",  # new in r3 (allowed_domains filter)
-        "crawl_multihost_bfs",  # new in r3 (host-sharded spread)
-        "crawl_robots",  # new in r3 (robots quarantine path)
-        "crawl_salted",  # new in r3 (salting invariance)
-        "decontaminate", "weighted_sample", "tfidf_top_terms",
-        "label_centroids", "kmeans_assign", "semdedup",
-        "percentile_filter", "percentile_rank", "profile_orders",
-        "heavy_hitters", "pii_redact", "repetition_filter",
-        "token_budget_select", "pack_sequences", "shuffle_rank",
-        "pagerank", "bloom_semi_join", "exact_dedup", "ngram_jaccard",
-        "dedup_clusters", "cosine_near_pairs", "embedding_topk",
+    first = [
+        # ROUND-5 ROTATION (VERDICT r4 ask #2): the 47 oracled queries
+        # no round's 50-entry driver sample has ever gated (passes
+        # r1-r4 of CORRECTNESS_*.json subtracted from the catalog),
+        # followed by 3 never-gated rows-only queries that carry
+        # in-pipeline self-check columns (bpe_encode.round_trip_ok,
+        # pq_topk/ivfpq_topk.check_ok) — so CORRECTNESS_r05's 50-entry
+        # prefix certifies exactly the never-before-gated set and
+        # cumulative driver coverage reaches 191/197.
+        "crawl_pagerank_priority",
+        "trustrank",
+        "hits_scores",
+        "bm25_topk",
+        "search_rank_fusion",
+        "dedup_span_removal",
+        "index_delta",
+        "crawl_ip_groups",
+        "crawl_meta_robots",
+        "canonical_consolidate",
+        "hreflang_clusters",
+        "crawl_delay_budget",
+        "crawl_traps",
+        "crawl_trap_guard",
+        "crawl_retry_backoff",
+        "crawl_metrics_retry",
+        "crawl_capped_budget",
+        "crawl_backlink_priority",
+        "crawl_opic",
+        "mirror_hosts",
+        "sitemap_priority_crawl",
+        "robots_wildcards",
+        "crawl_robots_rfc",
+        "sitemap_recrawl",
+        "url_normalize",
+        "crawl_redirects",
+        "crawl_full_policy",
+        "recrawl_priority",
+        "host_budgets",
+        "surt_index",
+        "warc_roundtrip",
+        "sitemap_seeds",
+        "host_graph",
+        "crawl_recrawl_scheduled",
+        "dsir_topk",
+        "snapshot_delta",
+        "crawl_priority_indegree",
+        "anchor_texts",
+        "perplexity_buckets",
+        "domain_mix",
+        "dup_doc_coverage",
+        "curation_pipeline",
+        "gopher_quality",
+        "rolling_fp_cp",
+        "minhash_md5_sigs",
+        "minhash_md5_pairs",
+        "simhash_md5",
+        "bpe_encode",
+        "pq_topk",
+        "ivfpq_topk",
     ]
     out = {k: QUERIES[k] for k in first}
     out.update({k: v for k, v in QUERIES.items() if k not in out and k in ORACLE_SQL})
