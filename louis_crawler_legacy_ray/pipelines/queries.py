@@ -10587,9 +10587,21 @@ def q_salsa_scores(sf_dir: str):
             succ.update(h for m, h in HUBS if sid % m == 0 and sid != h)
             yield sid, sorted(succ)
 
+    def succ_rows(b: pa.Table) -> pa.Table:
+        sids, succs = [], []
+        for sid, succ in _succ(b):
+            sids.append(sid)
+            succs.append(succ)
+        return pa.table(
+            {
+                "sid": pa.array(sids, pa.int64()),
+                "succ": pa.array(succs, pa.list_(pa.int64())),
+            }
+        )
+
     def edge_rows(b: pa.Table) -> pa.Table:
         srcs, dsts = [], []
-        for sid, succ in _succ(b):
+        for sid, succ in zip(b["sid"].to_pylist(), b["succ"].to_pylist()):
             srcs.extend([sid] * len(succ))
             dsts.extend(succ)
         return pa.table(
@@ -10601,7 +10613,7 @@ def q_salsa_scores(sf_dir: str):
 
     def pair_rows(b: pa.Table) -> pa.Table:
         a_, b_ = [], []
-        for _sid, succ in _succ(b):
+        for succ in b["succ"].to_pylist():
             a_.extend(succ[:-1])
             b_.extend(succ[1:])
         return pa.table(
@@ -10611,8 +10623,12 @@ def q_salsa_scores(sf_dir: str):
             }
         )
 
-    edges = pages.map_batches(edge_rows, batch_format="pyarrow")
-    pairs = pages.map_batches(pair_rows, batch_format="pyarrow")
+    # ONE extract pass: the HTML kernel is the expensive stage, so the
+    # successor lists materialize once (narrow int64 list rows) and
+    # both the edge table and the co-citation pairs derive from them
+    succ_ds = pages.map_batches(succ_rows, batch_format="pyarrow").materialize()
+    edges = succ_ds.map_batches(edge_rows, batch_format="pyarrow")
+    pairs = succ_ds.map_batches(pair_rows, batch_format="pyarrow")
 
     din = (
         edges.groupby("dst")
@@ -10628,6 +10644,66 @@ def q_salsa_scores(sf_dir: str):
     n_auth = auth.count()
 
     labels = connected_components(pairs, auth, id_col="node")
+
+    from ..stages.graph import BROADCAST_SCORE_ROWS
+
+    if n_auth <= BROADCAST_SCORE_ROWS:
+        # broadcast arm (graph.py's stats-driven planner): the label
+        # table and the per-component stats are authority-dimensioned
+        # — fold them once (bounded by the guard), ship one plasma
+        # object, and a SINGLE vectorized pass over din attaches
+        # cluster ids, component stats and scores with no further
+        # all-to-all. At sf0.1 this replaces two partitioned joins +
+        # one groupby (~6 s of fixed exchange cost) with ~0.3 s.
+        lab_map: dict[int, int] = {}
+        for blk in labels.iter_batches(batch_format="pyarrow"):
+            lab_map.update(
+                zip(blk["node"].to_pylist(), blk["cluster_id"].to_pylist())
+            )
+        comp_size: dict[int, int] = {}
+        comp_din: dict[int, int] = {}
+        for blk in din.iter_batches(batch_format="pyarrow"):
+            for n, d in zip(
+                blk["node"].to_pylist(), blk["d_in"].to_pylist()
+            ):
+                c = lab_map[n]
+                comp_size[c] = comp_size.get(c, 0) + 1
+                comp_din[c] = comp_din.get(c, 0) + int(d)
+        import ray as _ray
+
+        maps_ref = _ray.put((lab_map, comp_size, comp_din))
+
+        def score_bcast(b: pa.Table) -> pa.Table:
+            import ray as _r
+
+            lab, csz, cdn = _r.get(maps_ref)
+            nodes_np = b["node"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            di = b["d_in"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cid = np.fromiter(
+                (lab[n] for n in nodes_np), np.int64, count=len(nodes_np)
+            )
+            cs = np.fromiter(
+                (csz[c] for c in cid), np.int64, count=len(cid)
+            )
+            cd = np.fromiter(
+                (cdn[c] for c in cid), np.int64, count=len(cid)
+            )
+            ppm = _salsa_ppm(cs, di, cd, n_auth)
+            return pa.table(
+                {
+                    "node": pa.array(nodes_np),
+                    "d_in": pa.array(di),
+                    "cluster_id": pa.array(cid),
+                    "comp_size": pa.array(cs),
+                    "comp_din": pa.array(cd),
+                    "score_ppm": pa.array(ppm),
+                }
+            )
+
+        return din.map_batches(score_bcast, batch_format="pyarrow")
+
     lab_din = partitioned_hash_join(din, labels, "node", "node")
     comp = lab_din.groupby("cluster_id").aggregate(
         _Count(alias_name="comp_size"), _Sum("d_in", alias_name="comp_din")

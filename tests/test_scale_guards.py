@@ -83,6 +83,42 @@ def test_containment_joined_matches_broadcast(ray_session, monkeypatch):
     assert forced == base
 
 
+def test_cc_distributed_matches_local_unionfind(ray_session, monkeypatch):
+    """connected_components' two arms (driver union-find under
+    CC_LOCAL_EDGES vs the distributed min-label + pointer-jumping
+    loop) agree on a multi-component graph with a long chain (the
+    shape pointer jumping exists for)."""
+    import ray.data as rd
+
+    def pairs_ds():
+        # a 40-node chain, a triangle, an isolated pair; ids shuffled
+        # so min-label has to travel the chain
+        chain = [(i + 3, i + 4) for i in range(40)]
+        extra = [(100, 101), (101, 102), (102, 100), (200, 201)]
+        a, b = zip(*(chain + extra))
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array(a, pa.int64()),
+                    "doc_b": pa.array(b, pa.int64()),
+                }
+            )
+        )
+
+    def ids_ds():
+        ids = list(range(3, 45)) + [100, 101, 102, 200, 201, 999]
+        return rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+
+    local = _rows(dedup.connected_components(pairs_ds(), ids_ds()))
+    monkeypatch.setattr(dedup, "CC_LOCAL_EDGES", 0)
+    dist = _rows(dedup.connected_components(pairs_ds(), ids_ds()))
+    assert dist == local
+    # isolated node labels itself; chain collapses to its min id
+    as_map = {dict(r)["doc_id"]: dict(r)["cluster_id"] for r in dist}
+    assert as_map[999] == 999
+    assert as_map[43] == 3 and as_map[201] == 200
+
+
 def test_bigram_lm_cap_bounds_driver_fold(ray_session):
     import ray.data as rd
 
