@@ -166,41 +166,54 @@ def ngram_jaccard_pairs(
 
     Scale shape: the per-doc shingle count rides on every exploded
     shingle row and survives into the pair rows via carry_cols, so the
-    whole computation is ONE pairing shuffle + ONE (doc_a, doc_b)
-    groupby — no sizes table, no driver state."""
+    whole computation is ONE pairing shuffle + ONE pair-hash-bucket
+    groupby with a VECTORIZED per-bucket pandas aggregate — no sizes
+    table, no driver state. The bucketed aggregate replaces a
+    per-group sort-aggregate over ~1 row/group pair keys (the
+    duplicate_ngrams pattern; A/B on the r5 box: 11.2 s -> ~1 s at
+    sf0.1, same 1.13M distinct pairs)."""
+    n_buckets = 64
     sh = explode_shingles(ds, id_col, text_col, k, with_size=True)
 
     pairs = bucketed_self_pairs(
         sh, ["shingle"], id_col, carry_cols=["n_doc"], df_cap=df_cap
     )
-    # every row of a (doc_a, doc_b) group carries the same sizes: Min
-    # recovers them alongside the intersection count
-    inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="inter"),
-        Min("n_doc_a", alias_name="n_a"),
-        Min("n_doc_b", alias_name="n_b"),
-    )
 
-    def finish(batch: pa.Table) -> pa.Table:
-        it = batch["inter"].cast(pa.int64())
-        uni = pc.subtract(
-            pc.add(batch["n_a"].cast(pa.int64()), batch["n_b"].cast(pa.int64())), it
+    def add_bucket(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = ((a * 1_000_003 + d) % n_buckets).astype(np.int32)
+        return b.append_column("bucket", pa.array(bkt))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # every row of a (doc_a, doc_b) group carries the same sizes:
+        # min recovers them alongside the intersection count
+        r = (
+            g.groupby(["doc_a", "doc_b"], sort=False)
+            .agg(
+                inter=("doc_a", "size"),
+                n_a=("n_doc_a", "min"),
+                n_b=("n_doc_b", "min"),
+            )
+            .reset_index()
         )
-        out = pa.table(
+        it = r["inter"].to_numpy(np.int64)
+        uni = r["n_a"].to_numpy(np.int64) + r["n_b"].to_numpy(np.int64) - it
+        keep = it * tau_den >= uni * tau_num
+        return pd.DataFrame(
             {
-                "doc_a": batch["doc_a"],
-                "doc_b": batch["doc_b"],
-                "inter": it,
-                "uni": uni,
+                "doc_a": r["doc_a"].to_numpy(np.int64)[keep],
+                "doc_b": r["doc_b"].to_numpy(np.int64)[keep],
+                "inter": it[keep],
+                "uni": uni[keep],
             }
         )
-        keep = pc.greater_equal(
-            pc.multiply(it, pa.scalar(tau_den, pa.int64())),
-            pc.multiply(uni, pa.scalar(tau_num, pa.int64())),
-        )
-        return out.filter(keep)
 
-    return inter.map_batches(finish, batch_format="pyarrow")
+    return (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 # ------------------------------------------------------------- minhash/LSH
