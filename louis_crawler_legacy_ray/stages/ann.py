@@ -218,30 +218,51 @@ def ivf_topk(
 
 
 # ------------------------------------------------------ int8 quantization
+def _minmax_merge(blobs: list[bytes]) -> bytes:
+    """Tree-fold merge for per-block (lo, hi) calibration partials:
+    each blob is float64 lo‖hi (D inferred from length); elementwise
+    min/max is associative + commutative, so fold order is free."""
+    los, his = [], []
+    for bl in blobs:
+        if not bl:
+            continue
+        arr = np.frombuffer(bl, dtype=np.float64)
+        d = arr.size // 2
+        los.append(arr[:d])
+        his.append(arr[d:])
+    if not los:
+        return b""
+    return np.concatenate(
+        [np.min(los, axis=0), np.max(his, axis=0)]
+    ).tobytes()
+
+
 def embedding_scale(
     ds: ray.data.Dataset, vec_col: str = "embedding"
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-dimension global (min, max) of an embedding column in ONE
-    distributed pass: each block reduces to a 2 x D partial, the
-    driver folds blocks x 2 x D — the calibration step of scalar
-    quantization. Only D-sized rows ever move."""
+    distributed pass: each block reduces to a 2 x D float64 blob and
+    the blobs fold through the stages/fold.py task tree (O(log
+    blocks) depth; the r4 iter_rows fold was O(blocks) sequential
+    object-store reads through the driver). Only D-sized partials
+    ever move; the driver touches one root blob."""
+    from .fold import tree_fold_blobs
+
     def partial(batch: pa.Table) -> pa.Table:
         v = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
-        return pa.table(
-            {
-                "lo": pa.array([v.min(axis=0).tolist()]),
-                "hi": pa.array([v.max(axis=0).tolist()]),
-            }
-        )
+        if v.size == 0:
+            return pa.table({"mm": pa.array([], pa.binary())})
+        blob = np.concatenate([v.min(axis=0), v.max(axis=0)]).tobytes()
+        return pa.table({"mm": pa.array([blob], pa.binary())})
 
-    lo = None
-    hi = None
-    for row in ds.map_batches(partial, batch_format="pyarrow").iter_rows():
-        blo = np.asarray(row["lo"], dtype=np.float64)
-        bhi = np.asarray(row["hi"], dtype=np.float64)
-        lo = blo if lo is None else np.minimum(lo, blo)
-        hi = bhi if hi is None else np.maximum(hi, bhi)
-    return lo, hi
+    root = tree_fold_blobs(
+        ds.map_batches(partial, batch_format="pyarrow"), "mm", _minmax_merge
+    )
+    if not root:
+        return None, None
+    arr = np.frombuffer(root, dtype=np.float64)
+    d = arr.size // 2
+    return arr[:d].copy(), arr[d:].copy()
 
 
 def quantize_embeddings(

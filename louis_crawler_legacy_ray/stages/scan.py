@@ -5,9 +5,10 @@ The classic two-phase parallel scan expressed on Ray Data:
 1. bucket every row by an ORDER-PRESERVING bucket key (range buckets
    over the order column — bucket keys sort in the same order as the
    rows they contain);
-2. one small ``groupby(bucket).sum`` whose result (one row PER BUCKET,
-   not per input row) is pulled to the driver and turned into exclusive
-   per-bucket offsets;
+2. per-block (bucket, total) partials tree-fold through stages/fold.py
+   (O(log blocks) depth, no all-to-all); the single root blob — one
+   entry PER BUCKET, not per input row — becomes exclusive per-bucket
+   offsets on the driver;
 3. one ``groupby(bucket).map_groups`` that sorts each bucket locally
    and emits ``offset[bucket] + local_cumsum``.
 
@@ -31,9 +32,28 @@ import pyarrow as pa
 import ray.data
 
 from . import from_pandas_clean
-from ray.data.aggregate import Sum
 
 BUCKET_COL = "_scan_bucket"
+
+
+def _bucket_totals_merge(blobs: list[bytes]) -> bytes:
+    """Tree-fold merge for per-block (bucket, total) partials: each
+    blob is an int64 [2, n] array (row 0 = sorted bucket ids, row 1 =
+    totals); summing by bucket is associative + commutative."""
+    ks, vs = [], []
+    for bl in blobs:
+        if not bl:
+            continue
+        arr = np.frombuffer(bl, dtype=np.int64).reshape(2, -1)
+        ks.append(arr[0])
+        vs.append(arr[1])
+    if not ks:
+        return b""
+    k = np.concatenate(ks)
+    v = np.concatenate(vs)
+    uniq, inv = np.unique(k, return_inverse=True)
+    sums = np.bincount(inv, weights=v).astype(np.int64)
+    return np.stack([uniq, sums]).tobytes()
 
 
 def prefix_sum(
@@ -54,18 +74,39 @@ def prefix_sum(
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(BUCKET_COL, bucket_fn(batch))
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
 
-    # phase 1: per-bucket totals -> driver (O(n_buckets) rows only)
-    totals = bucketed.groupby(BUCKET_COL).aggregate(
-        Sum(val_col, alias_name="_bsum")
+    # phase 1: per-block bucket-total partials fold through the
+    # stages/fold.py task tree (O(log blocks) depth — replaces the r4
+    # groupby shuffle + O(blocks-linear) driver take_all with no
+    # all-to-all at all); the driver sees ONE root blob of
+    # (bucket, total) pairs, O(n_buckets) which is dimension-sized by
+    # the bucket_fn contract.
+    from .fold import tree_fold_blobs
+
+    def totals_partial(batch: pa.Table) -> pa.Table:
+        bk = batch[BUCKET_COL].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = batch[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if bk.size == 0:
+            return pa.table({"bt": pa.array([], pa.binary())})
+        uniq, inv = np.unique(bk, return_inverse=True)
+        sums = np.bincount(inv, weights=vals).astype(np.int64)
+        return pa.table(
+            {"bt": pa.array([np.stack([uniq, sums]).tobytes()], pa.binary())}
+        )
+
+    root = tree_fold_blobs(
+        bucketed.map_batches(totals_partial, batch_format="pyarrow"),
+        "bt",
+        _bucket_totals_merge,
     )
-    rows = sorted(totals.take_all(), key=lambda r: r[BUCKET_COL])
     offsets: dict[int, int] = {}
     acc = 0
-    for r in rows:
-        offsets[r[BUCKET_COL]] = acc
-        acc += int(r["_bsum"])
+    if root:
+        arr = np.frombuffer(root, dtype=np.int64).reshape(2, -1)
+        for b, s in zip(arr[0], arr[1]):  # merge emits buckets sorted
+            offsets[int(b)] = acc
+            acc += int(s)
 
     # phase 2: within-bucket vectorized cumsum + broadcast offset
     def scan_group(g: pd.DataFrame) -> pd.DataFrame:
