@@ -83,6 +83,19 @@ class ImageDecodeStage:
             hs.append(h)
             cs.append(c)
             feats.append(f.tolist())
+        # in-pipeline self-check (the pq_topk.check_ok pattern): the
+        # stub decode's CONTRACT — dims inside the fake sensor range,
+        # 3 channels, feat_dim unit-interval features — verified from
+        # the OUTPUT values so the rows-only driver gate carries a
+        # pass/fail signal, not just a row count.
+        ok = [
+            16 <= w <= 255
+            and 16 <= h <= 255
+            and c == 3
+            and len(f) == self.feat_dim
+            and all(0.0 <= x < 1.0 for x in f)
+            for w, h, c, f in zip(ws, hs, cs, feats)
+        ]
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
@@ -90,6 +103,7 @@ class ImageDecodeStage:
                 "height": pa.array(hs, pa.int32()),
                 "channels": pa.array(cs, pa.int32()),
                 "features": pa.array(feats, pa.list_(pa.float32(), self.feat_dim)),
+                "check_ok": pa.array(ok, pa.bool_()),
             }
         )
 
@@ -107,7 +121,7 @@ class FrameSampleStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.real:
             raise NotImplementedError("real frame sampling requires ffmpeg")
-        ids, frames, ts = [], [], []
+        ids, frames, ts, nf = [], [], [], []
         for mid, payload in zip(
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
@@ -116,11 +130,20 @@ class FrameSampleStage:
                 ids.append(mid)
                 frames.append(fi)
                 ts.append(fi / 30.0)
+                nf.append(n_frames)
+        # self-check: every emitted frame index is a stride multiple
+        # inside [0, n_frames) and the timing metadata matches the
+        # 30 fps contract — verified from the output row values.
+        ok = [
+            f % self.stride == 0 and 0 <= f < n and t == f / 30.0
+            for f, t, n in zip(frames, ts, nf)
+        ]
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
                 "frame_index": pa.array(frames, pa.int32()),
                 "t_seconds": pa.array(ts, pa.float64()),
+                "check_ok": pa.array(ok, pa.bool_()),
             }
         )
 
@@ -152,8 +175,32 @@ class ImageResizeStage:
             out_w.append(max(1, int(round(w * s))))
             out_h.append(max(1, int(round(h * s))))
             scales.append(s)
-        cols = {name: batch[name] for name in batch.column_names}
+        cols = {
+            name: batch[name]
+            for name in batch.column_names
+            if name != "check_ok"
+        }
         cols["out_width"] = pa.array(out_w, pa.int32())
         cols["out_height"] = pa.array(out_h, pa.int32())
         cols["scale"] = pa.array(scales, pa.float64())
+        # self-check: resize never upscales, fits the max_side box,
+        # keeps >= 1 px sides, and preserves aspect ratio to within
+        # integer rounding (|out_w*h - out_h*w| <= max(w, h)).
+        in_ok = (
+            batch["check_ok"].to_pylist()
+            if "check_ok" in batch.column_names
+            else [True] * len(out_w)
+        )
+        ok = [
+            p
+            and ow >= 1
+            and oh >= 1
+            and s <= 1.0
+            and max(ow, oh) <= max(self.max_side, 1)
+            and abs(ow * h - oh * w) <= max(w, h, 1)
+            for p, ow, oh, s, w, h in zip(
+                in_ok, out_w, out_h, scales, ws, hs
+            )
+        ]
+        cols["check_ok"] = pa.array(ok, pa.bool_())
         return pa.table(cols)

@@ -161,11 +161,13 @@ def test_multimodal_plumbing(ray_session):
     assert len(feats.iloc[0]["features"]) == 16
     # deterministic: same payload -> same features
     assert list(feats.iloc[0]["features"]) == list(feats.iloc[1]["features"])
+    assert feats["check_ok"].all()  # stub-contract self-check column
 
     frames = media.map_batches(
         FrameSampleStage, batch_format="pyarrow", concurrency=1
     ).to_pandas()
     assert (frames["frame_index"] % 10 == 0).all()
+    assert frames["check_ok"].all()
 
     import pytest
 
