@@ -381,6 +381,94 @@ def hits(
     return _with_scores(hubs, auths, "v", "a", num_buckets)
 
 
+# stats-driven planner threshold for the iterative-fixpoint local
+# arms (dual_rank, hyperball): an edge table at or under this many
+# rows costs more in per-round shuffle fixed overhead than the whole
+# fixpoint — the narrow int64 edges fold to the driver ONCE and the
+# iterations run as exact-int numpy (identical formulas, identical
+# wraparound semantics, order-free integer sums -> identical oracle
+# hashes). Above the guard the distributed bulk-synchronous loops
+# run unchanged. Same pattern as dedup.py's CC_LOCAL_EDGES.
+GRAPH_LOCAL_EDGES = 200_000
+
+
+def _edges_to_numpy(edges: ray.data.Dataset):
+    srcs, dsts = [], []
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            srcs.append(
+                b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            dsts.append(
+                b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+    if not srcs:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(srcs), np.concatenate(dsts)
+
+
+def _ids_to_numpy(ds: ray.data.Dataset, col: str):
+    parts = [
+        b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        for b in ds.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    return np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+
+def _dual_rank_local(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    seeds: list[int],
+    iterations: int,
+    scale: int,
+) -> ray.data.Dataset:
+    """Driver-local exact mirror of the distributed dual_rank loop,
+    including its rank-universe growth (a dst outside the node table
+    joins the rank table the round it first receives a contribution —
+    the union-with-zeros semantics). Bounded by GRAPH_LOCAL_EDGES."""
+    base = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+    src, dst = _edges_to_numpy(edges)
+    node_ids = _ids_to_numpy(nodes, "v")
+    universe = np.unique(np.concatenate([node_ids, src, dst]))
+    si = np.searchsorted(universe, src)
+    di = np.searchsorted(universe, dst)
+    n = universe.size
+    # outdeg from the FULL edge table, once (matches the distributed
+    # groupby-before-the-loop)
+    outdeg = np.zeros(n, np.int64)
+    np.add.at(outdeg, si, 1)
+    seed_mask = np.isin(universe, np.array(sorted(set(seeds)), np.int64))
+    active = np.isin(universe, node_ids)
+    pr = np.where(active, np.int64(scale), np.int64(0))
+    tr = np.where(active & seed_mask, np.int64(scale), np.int64(0))
+    for _ in range(iterations):
+        ok = active[si]
+        s_pr = np.zeros(n, np.int64)
+        s_tr = np.zeros(n, np.int64)
+        np.add.at(s_pr, di[ok], pr[si[ok]] // outdeg[si[ok]])
+        np.add.at(s_tr, di[ok], tr[si[ok]] // outdeg[si[ok]])
+        touched = np.zeros(n, bool)
+        touched[di[ok]] = True
+        active = active | touched
+        pr = np.where(active, base + (DAMP_NUM * s_pr) // DAMP_DEN, 0)
+        tr = np.where(
+            active,
+            np.where(seed_mask, base, 0) + (DAMP_NUM * s_tr) // DAMP_DEN,
+            0,
+        )
+    keep = active
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "v": pa.array(universe[keep]),
+                "pr": pa.array(pr[keep]),
+                "tr": pa.array(tr[keep]),
+            }
+        )
+    )
+
+
 def dual_rank(
     edges: ray.data.Dataset,
     nodes: ray.data.Dataset,
@@ -400,6 +488,13 @@ def dual_rank(
     sf0.1, where per-exchange fixed cost dominates the tiny node
     table."""
     from .joins import partitioned_hash_join
+
+    edges = edges.materialize()
+    if (
+        edges.count() <= GRAPH_LOCAL_EDGES
+        and nodes.count() <= BROADCAST_SCORE_ROWS
+    ):
+        return _dual_rank_local(edges, nodes, seeds, iterations, scale)
 
     base = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
     seed_arr = pa.array(sorted(set(seeds)), pa.int64())
@@ -647,40 +742,57 @@ def _harmonic_partials_broadcast(
     # CSR over a dense remap of the touched ids (int lookups, no dict
     # per neighbor visit)
     vocab = np.unique(np.concatenate([srcs, dsts]))
-    order = np.argsort(srcs, kind="stable")
-    s_ix = np.searchsorted(vocab, srcs[order])
-    d_ix = np.searchsorted(vocab, dsts[order])
-    starts = np.searchsorted(s_ix, np.arange(len(vocab)))
-    ends = np.searchsorted(s_ix, np.arange(len(vocab)) + 1)
-    adj_ref = ray.put((vocab, d_ix, starts, ends))
+    s_ix = np.searchsorted(vocab, srcs)
+    d_ix = np.searchsorted(vocab, dsts)
+    adj_ref = ray.put((vocab, s_ix, d_ix))
+
+    def _popcount64(x: np.ndarray) -> np.ndarray:
+        # numpy 1.26 has no bitwise_count; unpackbits over the uint8
+        # view is exact and vectorized
+        if x.size == 0:
+            return np.zeros(0, np.int64)
+        return (
+            np.unpackbits(x.view(np.uint8))
+            .reshape(x.size, 64)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
 
     def bfs_block(b: pa.Table) -> pa.Table:
-        vocab, nbr, starts, ends = ray.get(adj_ref)
+        # BIT-PARALLEL multi-source BFS (the Seidel-style 64-roots-per-
+        # word trick): a uint64 lane per root; one edge-gather +
+        # bitwise_or scatter per depth advances ALL 64 roots' frontiers
+        # at once. Layer-synchronous, so each root's depths are the
+        # exact BFS distances the per-root loop computed — the int
+        # contributions are identical, just accumulated in lane order.
+        vocab, es, ed = ray.get(adj_ref)
         nv = len(vocab)
         hnum = np.zeros(nv, np.int64)
         nreach = np.zeros(nv, np.int64)
-        dist = np.empty(nv, np.int64)
+        pos_list = []
         for root in b[node_col].to_pylist():
             pos = int(np.searchsorted(vocab, int(root)))
             if pos >= nv or vocab[pos] != int(root):
                 continue  # isolated root: reaches nothing
-            dist.fill(-1)
-            dist[pos] = 0
-            frontier = [pos]
+            pos_list.append(pos)
+        for c0 in range(0, len(pos_list), 64):
+            chunk = pos_list[c0 : c0 + 64]
+            reach = np.zeros(nv, np.uint64)
+            for lane, p in enumerate(chunk):
+                reach[p] |= np.uint64(1 << lane)
+            cur = reach.copy()
             for depth in range(1, max_depth + 1):
-                nxt = []
-                for u in frontier:
-                    for j in range(starts[u], ends[u]):
-                        v = nbr[j]
-                        if dist[v] < 0:
-                            dist[v] = depth
-                            nxt.append(v)
-                if not nxt:
+                prop = np.zeros(nv, np.uint64)
+                np.bitwise_or.at(prop, ed, cur[es])
+                newly = prop & ~reach
+                nz = newly != 0
+                if not nz.any():
                     break
-                frontier = nxt
-            hit = dist > 0
-            hnum[hit] += scale // dist[hit]
-            nreach[hit] += 1
+                reach |= newly
+                cur = newly
+                counts = _popcount64(newly[nz])
+                hnum[nz] += counts * (scale // depth)
+                nreach[nz] += counts
         touched = (hnum > 0) | (nreach > 0)
         return pa.table(
             {
@@ -779,6 +891,54 @@ HYPERBALL_VCAP = 1 << 32
 HYPERBALL_C = 0.673 * HYPERBALL_M * HYPERBALL_M * (2 * HYPERBALL_VCAP)
 
 
+def _hyperball_local(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    node_col: str,
+    rounds: int,
+) -> ray.data.Dataset:
+    """Driver-local exact mirror of the hyperball_md5 loop under
+    GRAPH_LOCAL_EDGES: registers live as an (N x 16) int64 matrix with
+    0 = absent-row (present registers are >= 1, so max-merge with 0 is
+    the identity, exactly the distributed groupby-Max over existing
+    rows); each round is one row-indexed ``np.maximum.at`` flowing
+    dst registers to src. Identical registers, identical estimate."""
+    from .dedup import _md5_u64_lower
+
+    m, cap = HYPERBALL_M, HYPERBALL_VCAP
+    src, dst = _edges_to_numpy(edges)
+    node_ids = _ids_to_numpy(nodes, node_col)
+    universe = np.unique(np.concatenate([node_ids, src, dst]))
+    si = np.searchsorted(universe, src)
+    di = np.searchsorted(universe, dst)
+    regs = np.zeros((universe.size, m), np.int64)
+    for nid, ix in zip(
+        node_ids.tolist(), np.searchsorted(universe, node_ids).tolist()
+    ):
+        h = _md5_u64_lower(str(int(nid)))
+        v = (h // m) % cap
+        regs[ix, h % m] = (v & -v) if v else cap
+    for _ in range(rounds):
+        new = regs.copy()
+        np.maximum.at(new, si, regs[di])
+        regs = new
+    present = regs > 0
+    cnt = present.sum(axis=1).astype(np.int64)
+    contrib = np.where(present, (2 * cap) // np.maximum(2 * regs, 1), 0)
+    denom = contrib.sum(axis=1) + (m - cnt) * (2 * cap)
+    keep = cnt > 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                node_col: pa.array(universe[keep]),
+                "nonzero_regs": pa.array(cnt[keep]),
+                "harmonic_denom": pa.array(denom[keep]),
+                "est_raw": pa.array(HYPERBALL_C / denom[keep], pa.float64()),
+            }
+        )
+    )
+
+
 def hyperball_md5(
     edges: ray.data.Dataset,
     nodes: ray.data.Dataset,
@@ -830,8 +990,14 @@ def hyperball_md5(
             }
         )
 
-    regs = nodes.map_batches(init, batch_format="pyarrow").materialize()
     edges = edges.materialize()
+    if (
+        edges.count() <= GRAPH_LOCAL_EDGES
+        and nodes.count() <= BROADCAST_SCORE_ROWS
+    ):
+        return _hyperball_local(edges, nodes, node_col, rounds)
+
+    regs = nodes.map_batches(init, batch_format="pyarrow").materialize()
 
     # broadcast-vs-shuffle planner (the _with_scores choice): a small
     # edge table ships its REVERSE adjacency once via ray.put and the

@@ -119,6 +119,66 @@ def test_cc_distributed_matches_local_unionfind(ray_session, monkeypatch):
     assert as_map[43] == 3 and as_map[201] == 200
 
 
+def test_dual_rank_local_matches_distributed(ray_session, monkeypatch):
+    """dual_rank's driver-local exact-int arm (GRAPH_LOCAL_EDGES) and
+    the distributed bulk-synchronous loop produce identical (v, pr,
+    tr) tables — including the rank-universe growth for dsts outside
+    the node table."""
+    import ray.data as rd
+
+    import louis_crawler_legacy_ray.stages.graph as graph
+
+    def mk():
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    # 900 is a dst OUTSIDE the node table (universe growth)
+                    "src": pa.array([0, 0, 1, 2, 3, 4, 2], pa.int64()),
+                    "dst": pa.array([1, 2, 2, 3, 0, 0, 900], pa.int64()),
+                }
+            )
+        )
+        nodes = rd.from_arrow(
+            pa.table({"v": pa.array([0, 1, 2, 3, 4, 5], pa.int64())})
+        )
+        return edges, nodes
+
+    e1, n1 = mk()
+    local = _rows(graph.dual_rank(e1, n1, seeds=[0, 3]))
+    monkeypatch.setattr(graph, "GRAPH_LOCAL_EDGES", -1)
+    e2, n2 = mk()
+    dist = _rows(graph.dual_rank(e2, n2, seeds=[0, 3]))
+    assert local == dist
+    assert any(dict(r)["v"] == 900 for r in local)
+
+
+def test_hyperball_local_matches_distributed(ray_session, monkeypatch):
+    import ray.data as rd
+
+    import louis_crawler_legacy_ray.stages.graph as graph
+
+    def mk():
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([0, 1, 2, 3, 4, 5, 6, 0], pa.int64()),
+                    "dst": pa.array([1, 2, 3, 4, 5, 6, 0, 3], pa.int64()),
+                }
+            )
+        )
+        nodes = rd.from_arrow(
+            pa.table({"node": pa.array(list(range(8)), pa.int64())})
+        )
+        return edges, nodes
+
+    e1, n1 = mk()
+    local = _rows(graph.hyperball_md5(e1, n1, rounds=3))
+    monkeypatch.setattr(graph, "GRAPH_LOCAL_EDGES", -1)
+    e2, n2 = mk()
+    dist = _rows(graph.hyperball_md5(e2, n2, rounds=3))
+    assert local == dist
+
+
 def test_bigram_lm_cap_bounds_driver_fold(ray_session):
     import ray.data as rd
 
