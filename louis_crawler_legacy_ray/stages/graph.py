@@ -103,6 +103,22 @@ def pagerank(
     """
     from .joins import partitioned_hash_join
 
+    edges = edges.materialize()
+    if (
+        edges.count() <= GRAPH_LOCAL_EDGES
+        and nodes.count() <= BROADCAST_SCORE_ROWS
+    ):
+        # the pr channel of the local dual fixpoint IS PageRank (the
+        # channels never mix; dual_rank docstring) — same guard, same
+        # exact-int math, no per-round exchanges
+        dr = _dual_rank_local(edges, nodes, [], iterations, scale)
+        return dr.map_batches(
+            lambda b: pa.table(
+                {"v": b["v"].cast(pa.int64()), "r": b["pr"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+
     base = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
 
     outd = edges.groupby("src").aggregate(Count(alias_name="outdeg"))
@@ -195,6 +211,20 @@ def trustrank(
                    + (85 * sum_{u->v} trust_{k-1}(u)//outdeg(u))//100
     """
     from .joins import partitioned_hash_join
+
+    edges = edges.materialize()
+    if (
+        edges.count() <= GRAPH_LOCAL_EDGES
+        and nodes.count() <= BROADCAST_SCORE_ROWS
+    ):
+        # the tr channel of the local dual fixpoint IS TrustRank
+        dr = _dual_rank_local(edges, nodes, seeds, iterations, scale)
+        return dr.map_batches(
+            lambda b: pa.table(
+                {"v": b["v"].cast(pa.int64()), "r": b["tr"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
 
     base = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
     seed_arr = pa.array(sorted(set(seeds)), pa.int64())

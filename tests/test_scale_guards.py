@@ -152,6 +152,38 @@ def test_dual_rank_local_matches_distributed(ray_session, monkeypatch):
     assert any(dict(r)["v"] == 900 for r in local)
 
 
+def test_pagerank_trustrank_local_match_distributed(
+    ray_session, monkeypatch
+):
+    import ray.data as rd
+
+    import louis_crawler_legacy_ray.stages.graph as graph
+
+    def mk():
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([0, 0, 1, 2, 3, 4, 2], pa.int64()),
+                    "dst": pa.array([1, 2, 2, 3, 0, 0, 5], pa.int64()),
+                }
+            )
+        )
+        nodes = rd.from_arrow(
+            pa.table({"v": pa.array([0, 1, 2, 3, 4, 5], pa.int64())})
+        )
+        return edges, nodes
+
+    e1, n1 = mk()
+    pr_local = _rows(graph.pagerank(e1, n1))
+    e1, n1 = mk()
+    tr_local = _rows(graph.trustrank(e1, n1, seeds=[0]))
+    monkeypatch.setattr(graph, "GRAPH_LOCAL_EDGES", -1)
+    e2, n2 = mk()
+    assert _rows(graph.pagerank(e2, n2)) == pr_local
+    e2, n2 = mk()
+    assert _rows(graph.trustrank(e2, n2, seeds=[0])) == tr_local
+
+
 def test_hyperball_local_matches_distributed(ray_session, monkeypatch):
     import ray.data as rd
 
