@@ -10533,7 +10533,10 @@ def _salsa_ppm(cs, di, cd, n_auth: int):
     cs*di > ~9.2e12 (plausible at 10^10 pages), so vectorize only when
     the max-product bound proves safety and otherwise fall back to
     exact arbitrary-precision Python ints per row."""
-    if len(cs) == 0 or int(cs.max()) * int(di.max()) * 1_000_000 < 2**63:
+    if len(cs) == 0 or (
+        int(cs.max()) * int(di.max()) * 1_000_000 < 2**63
+        and n_auth * int(cd.max()) < 2**63
+    ):
         return (cs * di * 1_000_000) // (n_auth * cd)
     return np.fromiter(
         (
@@ -11337,6 +11340,13 @@ def q_coverage_estimate(sf_dir: str):
         )
     )
     n1, n2, m = int(agg["n1"]), int(agg["n2"]), int(agg["m"])
+    return _coverage_table(n1, n2, m)
+
+
+def _coverage_table(n1: int, n2: int, m: int) -> pa.Table:
+    """Capture-recapture result row. DuckDB yields NULL on division by
+    zero, so a disjoint sample pair (m = 0) must produce a null
+    lp_est here, not a ZeroDivisionError."""
     return pa.table(
         {
             "n1": pa.array([n1], pa.int64()),
@@ -11345,8 +11355,6 @@ def q_coverage_estimate(sf_dir: str):
             "chapman_est": pa.array(
                 [(n1 + 1) * (n2 + 1) // (m + 1) - 1], pa.int64()
             ),
-            # DuckDB yields NULL on division by zero, so a disjoint
-            # sample pair (m = 0) must produce null here, not a crash
             "lp_est": pa.array(
                 [n1 * n2 / m if m else None], pa.float64()
             ),

@@ -706,12 +706,42 @@ def connected_components(
                 ra, rb = find(a), find(b)
                 if ra != rb:
                     parent[ra] = rb
+        # Mirror the distributed fixpoint EXACTLY for endpoints
+        # outside all_ids: labels initialize from all_ids only, so a
+        # component's cluster_id is the min id among its MEMBER
+        # (all_ids) endpoints — a pair id not in all_ids can never
+        # become a label — and non-member endpoints reachable from a
+        # member still get an output row (the union-with-propagated-
+        # rows universe growth). Membership is resolved by one
+        # distributed semi-join of all_ids against the (bounded)
+        # endpoint set; the corpus-sized all_ids table never folds.
+        endpoint_set = set(parent)
+        ep_ref = ray.put(np.array(sorted(endpoint_set), np.int64))
+
+        def member_rows(b: pa.Table) -> pa.Table:
+            eps = ray.get(ep_ref)
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(eps, ids).clip(0, eps.size - 1)
+            keep = eps[pos] == ids
+            return pa.table({id_col: pa.array(ids[keep])})
+
+        members = set()
+        for blk in all_ids.map_batches(
+            member_rows, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            members.update(blk[id_col].to_pylist())
         comp_min: dict[int, int] = {}
         for x in parent:
+            if x not in members:
+                continue
             r = find(x)
             if r not in comp_min or x < comp_min[r]:
                 comp_min[r] = x
-        lab = {x: comp_min[find(x)] for x in parent}
+        lab = {
+            x: comp_min[r]
+            for x in parent
+            if (r := find(x)) in comp_min
+        }
         lab_ref = ray.put(lab)
 
         def attach(b: pa.Table) -> pa.Table:
@@ -726,7 +756,26 @@ def connected_components(
                 }
             )
 
-        return all_ids.map_batches(attach, batch_format="pyarrow")
+        out = all_ids.map_batches(attach, batch_format="pyarrow")
+        extra = sorted(
+            (x, lab[x]) for x in lab if x not in members
+        )
+        if extra:
+            out = out.union(
+                ray.data.from_arrow(
+                    pa.table(
+                        {
+                            id_col: pa.array(
+                                [e[0] for e in extra], pa.int64()
+                            ),
+                            "cluster_id": pa.array(
+                                [e[1] for e in extra], pa.int64()
+                            ),
+                        }
+                    )
+                )
+            )
+        return out
 
     for _ in range(max_iters):
         joined = partitioned_hash_join(
@@ -1955,8 +2004,11 @@ def containment_pairs(
         )
 
     sh = ds.map_batches(shingle_partial, batch_format="pyarrow").materialize()
-    sizes_ds = sh.groupby(id_col).count()
-    broadcast = ds.count() <= CONTAINMENT_BROADCAST_DOCS
+    sizes_ds = sh.groupby(id_col).count().materialize()
+    # guard on the shingled-doc count (one row per doc with >= 1
+    # shingle, already materialized) — ds.count() would re-execute
+    # the whole upstream corpus pipeline just to pick the arm
+    broadcast = sizes_ds.count() <= CONTAINMENT_BROADCAST_DOCS
     if broadcast:
         sizes = {
             r[id_col]: r["count()"] for r in sizes_ds.take_all()

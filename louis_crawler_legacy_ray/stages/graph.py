@@ -602,15 +602,20 @@ def dual_rank(
                 tm = ray.get(tr_ref)
                 src = b["src"].to_pylist()
                 d = b["outdeg"].to_pylist()
+                dst = b["dst"].to_pylist()
+                # edges whose src has no rank row are dropped, exactly
+                # like the partitioned arm's inner join (and the local
+                # arm's active-src mask) — not a KeyError
+                rows = [
+                    (t, pm[s] // dd, tm[s] // dd)
+                    for s, dd, t in zip(src, d, dst)
+                    if s in pm
+                ]
                 return pa.table(
                     {
-                        "dst": b["dst"].cast(pa.int64()),
-                        "c_pr": pa.array(
-                            [pm[s] // dd for s, dd in zip(src, d)], pa.int64()
-                        ),
-                        "c_tr": pa.array(
-                            [tm[s] // dd for s, dd in zip(src, d)], pa.int64()
-                        ),
+                        "dst": pa.array([r[0] for r in rows], pa.int64()),
+                        "c_pr": pa.array([r[1] for r in rows], pa.int64()),
+                        "c_tr": pa.array([r[2] for r in rows], pa.int64()),
                     }
                 )
 

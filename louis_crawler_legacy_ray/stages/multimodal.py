@@ -88,12 +88,16 @@ class ImageDecodeStage:
         # 3 channels, feat_dim unit-interval features — verified from
         # the OUTPUT values so the rows-only driver gate carries a
         # pass/fail signal, not just a row count.
+        # features live in [0, 1]: the uint32 -> float32 conversion
+        # rounds words within 128 of 2^32 up to exactly 2^32, so 1.0
+        # is a legitimate boundary value (~5e-7 per feature), not a
+        # contract violation
         ok = [
             16 <= w <= 255
             and 16 <= h <= 255
             and c == 3
             and len(f) == self.feat_dim
-            and all(0.0 <= x < 1.0 for x in f)
+            and all(0.0 <= x <= 1.0 for x in f)
             for w, h, c, f in zip(ws, hs, cs, feats)
         ]
         return pa.table(
@@ -121,7 +125,7 @@ class FrameSampleStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.real:
             raise NotImplementedError("real frame sampling requires ffmpeg")
-        ids, frames, ts, nf = [], [], [], []
+        ids, frames, ts = [], [], []
         for mid, payload in zip(
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
@@ -130,14 +134,28 @@ class FrameSampleStage:
                 ids.append(mid)
                 frames.append(fi)
                 ts.append(fi / 30.0)
-                nf.append(n_frames)
-        # self-check: every emitted frame index is a stride multiple
-        # inside [0, n_frames) and the timing metadata matches the
-        # 30 fps contract — verified from the output row values.
-        ok = [
-            f % self.stride == 0 and 0 <= f < n and t == f / 30.0
-            for f, t, n in zip(frames, ts, nf)
-        ]
+        # self-check over the OUTPUT SEQUENCE STRUCTURE, independent
+        # of the generator loop above: within each media's emitted
+        # run, indices start at 0 and step by exactly stride (catches
+        # dropped/duplicated/reordered frames), and each timestamp is
+        # consistent with its index at 30 fps. A per-row re-derivation
+        # from payload would be tautological; the run-structure check
+        # is a genuine invariant of the output rows.
+        ok = [True] * len(frames)
+        i = 0
+        while i < len(frames):
+            j = i
+            while j < len(frames) and ids[j] == ids[i]:
+                j += 1
+            run = frames[i:j]
+            good = run[0] == 0 and all(
+                b - a == self.stride for a, b in zip(run, run[1:])
+            )
+            for k in range(i, j):
+                ok[k] = (
+                    good and ts[k] * 30.0 == float(frames[k])
+                )
+            i = j
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),

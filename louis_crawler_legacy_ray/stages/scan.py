@@ -52,7 +52,11 @@ def _bucket_totals_merge(blobs: list[bytes]) -> bytes:
     k = np.concatenate(ks)
     v = np.concatenate(vs)
     uniq, inv = np.unique(k, return_inverse=True)
-    sums = np.bincount(inv, weights=v).astype(np.int64)
+    # exact int64 accumulation (np.bincount's weights accumulate in
+    # float64 and silently lose bits past 2^53 — the module contract
+    # is exact integers)
+    sums = np.zeros(uniq.size, np.int64)
+    np.add.at(sums, inv, v)
     return np.stack([uniq, sums]).tobytes()
 
 
@@ -90,7 +94,8 @@ def prefix_sum(
         if bk.size == 0:
             return pa.table({"bt": pa.array([], pa.binary())})
         uniq, inv = np.unique(bk, return_inverse=True)
-        sums = np.bincount(inv, weights=vals).astype(np.int64)
+        sums = np.zeros(uniq.size, np.int64)
+        np.add.at(sums, inv, vals)  # exact int64 (no float64 bincount)
         return pa.table(
             {"bt": pa.array([np.stack([uniq, sums]).tobytes()], pa.binary())}
         )

@@ -58,6 +58,18 @@ def test_salsa_ppm_exact_past_int64_wrap():
     # and the small-value vectorized fast path agrees with itself
     small = _salsa_ppm(cs[1:], di[1:], cd[1:], n_auth)
     assert small.tolist() == exp[1:]
+    # DENOMINATOR overflow: numerator fits int64 but n_auth*cd wraps
+    # (cs*di*1e6 = 1e15 < 2^63; n_auth*cd = 1e19 > 2^63) — the guard
+    # must route to the exact path, not emit a wrapped negative
+    cs2 = np.array([1_000_000], np.int64)
+    di2 = np.array([1_000], np.int64)
+    cd2 = np.array([1_000_000_000], np.int64)
+    got2 = _salsa_ppm(cs2, di2, cd2, 10_000_000_000)
+    assert got2.tolist() == [
+        (1_000_000 * 1_000 * 1_000_000)
+        // (10_000_000_000 * 1_000_000_000)
+    ]
+    assert got2[0] >= 0
 
 
 def _toy_graph(rd):
@@ -102,10 +114,13 @@ def test_graph_clamps_respect_num_buckets(ray_session):
         ), fn.__name__
 
 
-def test_coverage_estimate_null_lp_on_disjoint(monkeypatch):
-    """m = 0 emits a NULL lp_est (DuckDB div-by-zero parity), no crash."""
-    # exercise the guarded expression exactly as q_coverage_estimate
-    # builds its result row
-    n1, n2, m = 5, 7, 0
-    arr = pa.array([n1 * n2 / m if m else None], pa.float64())
-    assert arr.null_count == 1
+def test_coverage_estimate_null_lp_on_disjoint():
+    """m = 0 emits a NULL lp_est (DuckDB div-by-zero parity), no crash
+    — exercised through the product helper q_coverage_estimate uses."""
+    from louis_crawler_legacy_ray.pipelines.queries import _coverage_table
+
+    t = _coverage_table(5, 7, 0)
+    assert t["lp_est"].null_count == 1
+    assert t["chapman_est"][0].as_py() == (5 + 1) * (7 + 1) // 1 - 1
+    t2 = _coverage_table(5, 7, 3)
+    assert t2["lp_est"][0].as_py() == 5 * 7 / 3

@@ -91,10 +91,16 @@ def test_cc_distributed_matches_local_unionfind(ray_session, monkeypatch):
     import ray.data as rd
 
     def pairs_ds():
-        # a 40-node chain, a triangle, an isolated pair; ids shuffled
-        # so min-label has to travel the chain
+        # a 40-node chain, a triangle, an isolated pair; PLUS pair ids
+        # outside the id table: 301 rides a member component (gets a
+        # row labeled by the member min), 400-401 form a memberless
+        # component (no rows at all) — the distributed fixpoint's
+        # universe-growth semantics both arms must share
         chain = [(i + 3, i + 4) for i in range(40)]
-        extra = [(100, 101), (101, 102), (102, 100), (200, 201)]
+        extra = [
+            (100, 101), (101, 102), (102, 100), (200, 201),
+            (300, 301), (400, 401),
+        ]
         a, b = zip(*(chain + extra))
         return rd.from_arrow(
             pa.table(
@@ -106,7 +112,7 @@ def test_cc_distributed_matches_local_unionfind(ray_session, monkeypatch):
         )
 
     def ids_ds():
-        ids = list(range(3, 45)) + [100, 101, 102, 200, 201, 999]
+        ids = list(range(3, 45)) + [100, 101, 102, 200, 201, 300, 999]
         return rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
 
     local = _rows(dedup.connected_components(pairs_ds(), ids_ds()))
@@ -117,6 +123,8 @@ def test_cc_distributed_matches_local_unionfind(ray_session, monkeypatch):
     as_map = {dict(r)["doc_id"]: dict(r)["cluster_id"] for r in dist}
     assert as_map[999] == 999
     assert as_map[43] == 3 and as_map[201] == 200
+    assert as_map[301] == 300  # non-member endpoint, member component
+    assert 400 not in as_map and 401 not in as_map  # memberless comp
 
 
 def test_dual_rank_local_matches_distributed(ray_session, monkeypatch):
