@@ -21,6 +21,7 @@ Scale shapes (ray_guide "Aggregation at scale" / "Exact dedup"):
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 
 import numpy as np
@@ -611,7 +612,7 @@ def simhash_near_pairs(
 # fixed cost would dominate), broadcast once; larger graphs run the
 # distributed min-label + pointer-jumping loop. Edge endpoints are
 # bounded by 2x this, NOT corpus size — all_ids stays distributed.
-CC_LOCAL_EDGES = 200_000
+CC_LOCAL_EDGES = int(os.environ.get("LOUIS_CC_LOCAL_EDGES", 200_000))
 
 
 def connected_components(
@@ -1782,7 +1783,9 @@ def lexical_featurize(
 # and broadcast once; above it lexical_near_pairs switches to the
 # partitioned block x block matmul so the driver never materializes a
 # corpus-sized array. 200k rows x 64 int64 buckets ≈ 100 MiB.
-LEXICAL_BROADCAST_ROWS = 200_000
+LEXICAL_BROADCAST_ROWS = int(
+    os.environ.get("LOUIS_LEXICAL_BROADCAST_ROWS", 200_000)
+)
 
 
 def _lexical_pairs_blockwise(
@@ -1957,7 +1960,9 @@ def lexical_near_pairs(
 # stats-driven planner threshold for containment_pairs' shingle-size
 # side: one int per doc, broadcast at or under this many docs, joined
 # via the partitioned hash join above it (graph.py pattern).
-CONTAINMENT_BROADCAST_DOCS = 200_000
+CONTAINMENT_BROADCAST_DOCS = int(
+    os.environ.get("LOUIS_CONTAINMENT_BROADCAST_DOCS", 200_000)
+)
 
 
 def containment_pairs(

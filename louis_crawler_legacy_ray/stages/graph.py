@@ -29,6 +29,8 @@ explicitly.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -45,7 +47,9 @@ DAMP_DEN = 100
 # The classic broadcast-vs-shuffle planner choice: at 10^10 nodes the
 # rank table is corpus-sized and MUST shuffle, at gate scale the
 # broadcast path removes ~2 s of fixed exchange cost per iteration.
-BROADCAST_SCORE_ROWS = 200_000
+BROADCAST_SCORE_ROWS = int(
+    os.environ.get("LOUIS_BROADCAST_SCORE_ROWS", 200_000)
+)
 
 
 def _with_scores(
@@ -419,7 +423,7 @@ def hits(
 # wraparound semantics, order-free integer sums -> identical oracle
 # hashes). Above the guard the distributed bulk-synchronous loops
 # run unchanged. Same pattern as dedup.py's CC_LOCAL_EDGES.
-GRAPH_LOCAL_EDGES = 200_000
+GRAPH_LOCAL_EDGES = int(os.environ.get("LOUIS_GRAPH_LOCAL_EDGES", 200_000))
 
 
 def _edges_to_numpy(edges: ray.data.Dataset):
@@ -674,7 +678,9 @@ def dual_rank(
 # store) — the Common Crawl host graph (~10^8 edges) still fits this
 # path on 64 GiB workers; beyond it the bulk-synchronous join-BFS
 # shuffles.
-HARMONIC_BROADCAST_EDGES = 5_000_000
+HARMONIC_BROADCAST_EDGES = int(
+    os.environ.get("LOUIS_HARMONIC_BROADCAST_EDGES", 5_000_000)
+)
 
 
 def harmonic_centrality(
