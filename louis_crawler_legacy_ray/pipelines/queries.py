@@ -10529,10 +10529,13 @@ FROM vals GROUP BY kind, bucket
 
 def _salsa_ppm(cs, di, cd, n_auth: int):
     """score_ppm = (comp_size * d_in * 1e6) // (n_auth * comp_din) as
-    int64 arrays, overflow-safe: the product wraps int64 once
-    cs*di > ~9.2e12 (plausible at 10^10 pages), so vectorize only when
-    the max-product bound proves safety and otherwise fall back to
-    exact arbitrary-precision Python ints per row."""
+    int64 arrays, overflow-safe: numerator or denominator products
+    wrap int64 once cs*di > ~9.2e12 or n_auth*cd > ~9.2e18 (plausible
+    at 10^10 pages), so vectorize only when BOTH max-product bounds
+    prove safety and otherwise fall back to exact arbitrary-precision
+    Python ints per row. The quotient itself always fits: d_in <=
+    comp_din and comp_size <= n_auth, so ppm <= 1e6 by construction
+    (property-tested over the domain in test_r5_kernel_properties)."""
     if len(cs) == 0 or (
         int(cs.max()) * int(di.max()) * 1_000_000 < 2**63
         and n_auth * int(cd.max()) < 2**63
