@@ -716,8 +716,7 @@ def connected_components(
         # rows universe growth). Membership is resolved by one
         # distributed semi-join of all_ids against the (bounded)
         # endpoint set; the corpus-sized all_ids table never folds.
-        endpoint_set = set(parent)
-        ep_ref = ray.put(np.array(sorted(endpoint_set), np.int64))
+        ep_ref = ray.put(np.array(sorted(parent), np.int64))
 
         def member_rows(b: pa.Table) -> pa.Table:
             eps = ray.get(ep_ref)
@@ -1801,10 +1800,7 @@ def _lexical_pairs_blockwise(
     subquadratic algorithm (that's the LSH candidate path)."""
     import ray as _ray
 
-    blocks = [
-        r
-        for r in feats.repartition(num_blocks).to_arrow_refs()
-    ]
+    blocks = list(feats.repartition(num_blocks).to_arrow_refs())
 
     def to_np(t: pa.Table):
         ids = np.asarray(t["doc_id"], dtype=np.int64)

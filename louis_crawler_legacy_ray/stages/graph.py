@@ -793,22 +793,8 @@ def _harmonic_partials_broadcast(
     BFSes its block's roots against ONE broadcast CSR adjacency and
     pre-sums scale // d per target inside the block, so the shuffle
     carries <= |V| rows per block instead of |roots| x |V|."""
-    srcs = np.concatenate(
-        [
-            b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-            for b in edges.iter_batches(batch_format="pyarrow")
-        ]
-        or [np.array([], np.int64)]
-    )
-    dsts = np.concatenate(
-        [
-            b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-            for b in edges.iter_batches(batch_format="pyarrow")
-        ]
-        or [np.array([], np.int64)]
-    )
-    # CSR over a dense remap of the touched ids (int lookups, no dict
-    # per neighbor visit)
+    srcs, dsts = _edges_to_numpy(edges)  # one pass, not two
+    # dense remap of the touched ids (int lookups, no dict per visit)
     vocab = np.unique(np.concatenate([srcs, dsts]))
     s_ix = np.searchsorted(vocab, srcs)
     d_ix = np.searchsorted(vocab, dsts)

@@ -36,6 +36,16 @@ from . import from_pandas_clean
 BUCKET_COL = "_scan_bucket"
 
 
+def _group_sums(keys: np.ndarray, vals: np.ndarray):
+    """(sorted unique keys, exact int64 per-key sums). np.add.at keeps
+    the accumulation in int64 — np.bincount's float64 weights would
+    silently lose bits past 2^53, violating the module contract."""
+    uniq, inv = np.unique(keys, return_inverse=True)
+    sums = np.zeros(uniq.size, np.int64)
+    np.add.at(sums, inv, vals)
+    return uniq, sums
+
+
 def _bucket_totals_merge(blobs: list[bytes]) -> bytes:
     """Tree-fold merge for per-block (bucket, total) partials: each
     blob is an int64 [2, n] array (row 0 = sorted bucket ids, row 1 =
@@ -49,14 +59,7 @@ def _bucket_totals_merge(blobs: list[bytes]) -> bytes:
         vs.append(arr[1])
     if not ks:
         return b""
-    k = np.concatenate(ks)
-    v = np.concatenate(vs)
-    uniq, inv = np.unique(k, return_inverse=True)
-    # exact int64 accumulation (np.bincount's weights accumulate in
-    # float64 and silently lose bits past 2^53 — the module contract
-    # is exact integers)
-    sums = np.zeros(uniq.size, np.int64)
-    np.add.at(sums, inv, v)
+    uniq, sums = _group_sums(np.concatenate(ks), np.concatenate(vs))
     return np.stack([uniq, sums]).tobytes()
 
 
@@ -93,9 +96,7 @@ def prefix_sum(
         vals = batch[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if bk.size == 0:
             return pa.table({"bt": pa.array([], pa.binary())})
-        uniq, inv = np.unique(bk, return_inverse=True)
-        sums = np.zeros(uniq.size, np.int64)
-        np.add.at(sums, inv, vals)  # exact int64 (no float64 bincount)
+        uniq, sums = _group_sums(bk, vals)
         return pa.table(
             {"bt": pa.array([np.stack([uniq, sums]).tobytes()], pa.binary())}
         )
