@@ -31,3 +31,30 @@ def from_pandas_clean(df) -> "pyarrow.Table":  # noqa: F821
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
         None
     )
+
+
+def bucketed_int_fold(
+    ds, key_col: str, per_group_fn, num_buckets: int = 64
+):
+    """Bucketed vectorized group fold: append ``__b = key % num_buckets``
+    (int64 key), group by the small int bucket, and run ``per_group_fn``
+    (pandas DataFrame -> Arrow Table; it must drop ``__b`` implicitly by
+    not emitting it) once per bucket. Replaces a per-key sort-aggregate
+    — whose fixed cost dominates dimension-sized tables — with
+    ``num_buckets`` vectorized pandas groupbys; every row of a key lands
+    in one bucket, so any per-key aggregation is exact. The shared
+    plumbing behind harmonic_centrality's and hyperball's final folds
+    (and the duplicate_ngrams / ngram_jaccard pair aggregates, which
+    fuse their bucket column into an upstream map)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("__b", pa.array(k % num_buckets))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_group_fn, batch_format="pandas")
+    )

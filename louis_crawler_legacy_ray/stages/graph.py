@@ -752,13 +752,9 @@ def harmonic_centrality(
     # for 32.5k partial rows)
     import pandas as pd
 
-    from . import from_pandas_clean as _fpc
+    from . import bucketed_int_fold, from_pandas_clean as _fpc
 
-    def add_bucket(b: pa.Table) -> pa.Table:
-        n_np = b[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return b.append_column("__b", pa.array(n_np % 64))
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
         r = (
             g.groupby(node_col, sort=False)
             .agg(harmonic_num=("hnum", "sum"), reachable=("one", "sum"))
@@ -774,11 +770,11 @@ def harmonic_centrality(
             )
         )
 
-    return (
-        parts.union(nodes.map_batches(zeros, batch_format="pyarrow"))
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(per_bucket, batch_format="pandas")
+    return bucketed_int_fold(
+        parts.union(nodes.map_batches(zeros, batch_format="pyarrow")),
+        node_col,
+        per_bucket,
+        num_buckets=num_buckets,
     )
 
 
@@ -1113,16 +1109,12 @@ def hyperball_md5(
 
     import pandas as pd
 
-    from . import from_pandas_clean as _fpc
+    from . import bucketed_int_fold, from_pandas_clean as _fpc
 
-    # finish: vectorized per-bucket (node % 64) fold — every present
+    # finish: vectorized per-bucket node-hash fold — every present
     # register row is > 0, so a node's denominator is sum(2cap // 2r)
     # over its rows plus 2cap per absent register. One narrow groupby,
     # no per-node pandas groups.
-    def add_bucket(b: pa.Table) -> pa.Table:
-        n_np = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return b.append_column("__b", pa.array(n_np % 64))
-
     def per_bucket(g: "pd.DataFrame") -> pa.Table:
         contrib = (2 * cap) // (2 * g["reg"].to_numpy().astype(np.int64))
         df = pd.DataFrame(
@@ -1142,11 +1134,7 @@ def hyperball_md5(
             )
         )
 
-    return (
-        regs.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+    return bucketed_int_fold(regs, "node", per_bucket, num_buckets=num_buckets)
 
 
 def bowtie_components(
