@@ -1159,63 +1159,55 @@ def bowtie_components(
 
     Returns (node_col, scc_id, bowtie_class).
     """
-    import pandas as pd
-
-    from . import from_pandas_clean as _fpc
     from ray.data.aggregate import Count as _Count
 
-    rows = [
-        (int(s), int(d))
-        for b in edges.iter_batches(batch_format="pyarrow")
-        for s, d in zip(b["src"].to_pylist(), b["dst"].to_pylist())
-    ]
-    srcs = np.array([r[0] for r in rows], np.int64)
-    dsts = np.array([r[1] for r in rows], np.int64)
+    srcs, dsts = _edges_to_numpy(edges)
     vocab = np.unique(np.concatenate([srcs, dsts]))
+    es = np.searchsorted(vocab, srcs)
+    ed = np.searchsorted(vocab, dsts)
+    adj_ref = ray.put((vocab, es, ed))
 
-    def csr(a: np.ndarray, b: np.ndarray):
-        order = np.argsort(a, kind="stable")
-        a_ix = np.searchsorted(vocab, a[order])
-        b_ix = np.searchsorted(vocab, b[order])
-        starts = np.searchsorted(a_ix, np.arange(len(vocab)))
-        ends = np.searchsorted(a_ix, np.arange(len(vocab)) + 1)
-        return b_ix, starts, ends
-
-    adj_ref = ray.put((vocab, csr(srcs, dsts), csr(dsts, srcs)))
-
-    def _ball(pos: int, nbr, starts, ends, nv: int) -> np.ndarray:
-        seen = np.zeros(nv, bool)
-        seen[pos] = True
-        frontier = [pos]
+    def _reach_masks(seed_pos, nv, e_from, e_to):
+        """Bit-parallel bounded reachability (the harmonic 64-lane
+        kernel): lane l of the returned uint64[nv] is set at node v
+        iff seed l reaches v within max_depth (self included)."""
+        reach = np.zeros(nv, np.uint64)
+        for lane, p in enumerate(seed_pos):
+            reach[p] |= np.uint64(1 << lane)
+        cur = reach.copy()
         for _ in range(max_depth):
-            nxt = []
-            for u in frontier:
-                for j in range(starts[u], ends[u]):
-                    v = nbr[j]
-                    if not seen[v]:
-                        seen[v] = True
-                        nxt.append(v)
-            if not nxt:
+            prop = np.zeros(nv, np.uint64)
+            np.bitwise_or.at(prop, e_to, cur[e_from])
+            newly = prop & ~reach
+            if not newly.any():
                 break
-            frontier = nxt
-        return seen
+            reach |= newly
+            cur = newly
+        return reach
 
     def scc_rows(b: pa.Table) -> pa.Table:
-        vocab, (fn, fs, fe), (bn, bs, be) = ray.get(adj_ref)
+        vocab, es, ed = ray.get(adj_ref)
         nv = len(vocab)
         out_n, out_s = [], []
-        for n in b[node_col].to_pylist():
-            n = int(n)
+        block = [int(n) for n in b[node_col].to_pylist()]
+        present, pos_list = [], []
+        for n in block:
             pos = int(np.searchsorted(vocab, n))
             if pos >= nv or vocab[pos] != n:
                 out_n.append(n)
                 out_s.append(n)  # isolated: its own singleton SCC
-                continue
-            fwd = _ball(pos, fn, fs, fe, nv)
-            bwd = _ball(pos, bn, bs, be, nv)
+            else:
+                present.append(n)
+                pos_list.append(pos)
+        for c0 in range(0, len(pos_list), 64):
+            chunk = pos_list[c0 : c0 + 64]
+            fwd = _reach_masks(chunk, nv, es, ed)
+            bwd = _reach_masks(chunk, nv, ed, es)
             mutual = fwd & bwd
-            out_n.append(n)
-            out_s.append(int(vocab[mutual].min()))
+            for lane, n in enumerate(present[c0 : c0 + 64]):
+                sel = (mutual >> np.uint64(lane)) & np.uint64(1)
+                out_n.append(n)
+                out_s.append(int(vocab[sel.astype(bool)].min()))
         return pa.table(
             {
                 node_col: pa.array(out_n, pa.int64()),
@@ -1240,24 +1232,42 @@ def bowtie_components(
     )
 
     def classify(b: pa.Table) -> pa.Table:
-        vocab, (fn, fs, fe), (bn, bs, be) = ray.get(adj_ref)
+        vocab, es, ed = ray.get(adj_ref)
         gm: set = ray.get(giant_members_ref)
         nv = len(vocab)
-        cls = []
+        gsel = np.zeros(nv, bool)
+        gids = np.array(sorted(int(x) for x in gm), np.int64)
+        gpos = np.searchsorted(vocab, gids)
+        ok = (gpos < nv) & (vocab[gpos.clip(0, nv - 1)] == gids)
+        gsel[gpos[ok]] = True
+        cls_by_node: dict[int, str] = {}
+        pend_n, pend_p = [], []
         for n, s in zip(b[node_col].to_pylist(), b["scc_id"].to_pylist()):
+            n = int(n)
             if s == giant:
-                cls.append("scc")
+                cls_by_node[n] = "scc"
                 continue
-            pos = int(np.searchsorted(vocab, int(n)))
-            if pos >= nv or vocab[pos] != int(n):
-                cls.append("tendril")
+            pos = int(np.searchsorted(vocab, n))
+            if pos >= nv or vocab[pos] != n:
+                cls_by_node[n] = "tendril"
                 continue
-            fwd = _ball(pos, fn, fs, fe, nv)
-            if any(int(v) in gm for v in vocab[fwd]):
-                cls.append("in")
-                continue
-            bwd = _ball(pos, bn, bs, be, nv)
-            cls.append("out" if any(int(v) in gm for v in vocab[bwd]) else "tendril")
+            pend_n.append(n)
+            pend_p.append(pos)
+        for c0 in range(0, len(pend_p), 64):
+            chunk = pend_p[c0 : c0 + 64]
+            fwd = _reach_masks(chunk, nv, es, ed)
+            # which lanes' forward balls touch the giant SCC
+            in_l = int(np.bitwise_or.reduce(fwd[gsel])) if gsel.any() else 0
+            bwd = _reach_masks(chunk, nv, ed, es)
+            out_l = int(np.bitwise_or.reduce(bwd[gsel])) if gsel.any() else 0
+            for lane, n in enumerate(pend_n[c0 : c0 + 64]):
+                if (in_l >> lane) & 1:
+                    cls_by_node[n] = "in"
+                elif (out_l >> lane) & 1:
+                    cls_by_node[n] = "out"
+                else:
+                    cls_by_node[n] = "tendril"
+        cls = [cls_by_node[int(n)] for n in b[node_col].to_pylist()]
         return b.append_column("bowtie_class", pa.array(cls, pa.string()))
 
     return labels.map_batches(classify, batch_format="pyarrow")
