@@ -1515,34 +1515,40 @@ def distance_histogram(
     order = np.lexsort((bb, a))
     a_ix = np.searchsorted(vocab, a[order])
     b_ix = np.searchsorted(vocab, bb[order])
-    starts = np.searchsorted(a_ix, np.arange(len(vocab)))
-    ends = np.searchsorted(a_ix, np.arange(len(vocab)) + 1)
-    adj_ref = ray.put((vocab, b_ix, starts, ends))
+    adj_ref = ray.put((vocab, a_ix, b_ix))
 
     def bfs_fold(blk: pa.Table) -> pa.Table:
-        vocab, nbr, starts, ends = ray.get(adj_ref)
+        # bit-parallel 64-lane BFS (the harmonic kernel): per depth,
+        # popcount the newly-reached lane bits into the histogram
+        vocab, e_from, e_to = ray.get(adj_ref)
         nv = len(vocab)
         hist = np.zeros(max_depth + 1, np.int64)
-        dist = np.empty(nv, np.int64)
+        pos_list = []
         for root in blk[node_col].to_pylist():
             pos = int(np.searchsorted(vocab, int(root)))
-            if pos >= nv or vocab[pos] != int(root):
-                continue  # isolated: contributes no pairs
-            dist.fill(-1)
-            dist[pos] = 0
-            frontier = [pos]
+            if pos < nv and vocab[pos] == int(root):
+                pos_list.append(pos)  # isolated roots contribute no pairs
+        for c0 in range(0, len(pos_list), 64):
+            chunk = pos_list[c0 : c0 + 64]
+            reach = np.zeros(nv, np.uint64)
+            for lane, p in enumerate(chunk):
+                reach[p] |= np.uint64(1 << lane)
+            cur = reach.copy()
             for depth in range(1, max_depth + 1):
-                nxt = []
-                for u in frontier:
-                    for j in range(starts[u], ends[u]):
-                        v = nbr[j]
-                        if dist[v] < 0:
-                            dist[v] = depth
-                            nxt.append(v)
-                            hist[depth] += 1
-                if not nxt:
+                prop = np.zeros(nv, np.uint64)
+                np.bitwise_or.at(prop, e_to, cur[e_from])
+                newly = prop & ~reach
+                nz = newly != 0
+                if not nz.any():
                     break
-                frontier = nxt
+                reach |= newly
+                cur = newly
+                bits = (
+                    np.unpackbits(newly[nz].view(np.uint8))
+                    .reshape(-1, 64)
+                    .sum()
+                )
+                hist[depth] += int(bits)
         ds_ = np.arange(1, max_depth + 1, dtype=np.int64)
         return pa.table({"d": pa.array(ds_), "pairs": pa.array(hist[1:])})
 
