@@ -811,11 +811,21 @@ def connected_components(
             )
             .materialize()
         )
+        def count_changed(b: pa.Table) -> pa.Table:
+            # a row is unconverged when its label moved OR it is a
+            # newly-discovered node (old is null — the universe-growth
+            # rows); without the null arm the loop stops before the
+            # closure over out-of-universe pair endpoints completes
+            # (no-op for the pairs-within-all_ids callers, whose rows
+            # always carry a non-null old)
+            flags = pc.or_kleene(
+                pc.is_null(b["old"]), pc.not_equal(b["label"], b["old"])
+            )
+            n = pc.sum(pc.cast(flags, pa.int64())).as_py() or 0
+            return pa.table({"c": [int(n)]})
+
         changed = new.map_batches(
-            lambda b: pa.table(
-                {"c": [int(pc.sum(pc.not_equal(b["label"], b["old"])).as_py() or 0)]}
-            ),
-            batch_format="pyarrow",
+            count_changed, batch_format="pyarrow"
         ).sum("c")
         # clamp the label table's block count before it feeds the next
         # iteration: the union+groupby otherwise roughly DOUBLES blocks

@@ -89,6 +89,64 @@ def test_bucket_totals_merge_exact_past_2_53(pairs, n_groups):
         assert _bucket_totals_merge([half, rest]) == root
 
 
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_cc_arms_agree_on_random_graphs(ray_session, data):
+    """Local union-find vs distributed pointer-jumping min-label CC on
+    random pair tables, including ids outside all_ids (universe
+    growth) and isolated all_ids nodes."""
+    import ray.data as rd
+
+    import louis_crawler_legacy_ray.stages.dedup as dedup
+
+    n_pairs = data.draw(st.integers(min_value=0, max_value=30))
+    pairs = [
+        (
+            data.draw(st.integers(min_value=0, max_value=25)),
+            data.draw(st.integers(min_value=0, max_value=25)),
+        )
+        for _ in range(n_pairs)
+    ]
+    ids = sorted(
+        data.draw(
+            st.sets(
+                st.integers(min_value=0, max_value=30),
+                min_size=1,
+                max_size=20,
+            )
+        )
+    )
+
+    def mk_pairs():
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+                    "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+                }
+            )
+        )
+
+    def mk_ids():
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64())})
+        )
+
+    def rows(ds):
+        recs = ds.to_pandas().to_dict("records")
+        return sorted(tuple(sorted(r.items())) for r in recs)
+
+    old = dedup.CC_LOCAL_EDGES
+    try:
+        dedup.CC_LOCAL_EDGES = 10**9
+        local = rows(dedup.connected_components(mk_pairs(), mk_ids()))
+        dedup.CC_LOCAL_EDGES = -1
+        dist = rows(dedup.connected_components(mk_pairs(), mk_ids()))
+    finally:
+        dedup.CC_LOCAL_EDGES = old
+    assert local == dist
+
+
 def _naive_harmonic(edges, n_nodes, max_depth, scale):
     """Reference: per-root BFS, sum scale//d per reached node."""
     from collections import deque
