@@ -147,6 +147,72 @@ def test_cc_arms_agree_on_random_graphs(ray_session, data):
     assert local == dist
 
 
+@settings(max_examples=6, deadline=None)
+@given(st.data())
+def test_dual_rank_and_hyperball_arms_agree_on_random_graphs(
+    ray_session, data
+):
+    """Local exact-int fixpoints vs the distributed loops on random
+    digraphs with edge endpoints outside the node table (universe
+    growth) and random seed sets."""
+    import ray.data as rd
+
+    import louis_crawler_legacy_ray.stages.graph as graph
+
+    n_edges = data.draw(st.integers(min_value=1, max_value=25))
+    edges = [
+        (
+            data.draw(st.integers(min_value=0, max_value=12)),
+            data.draw(st.integers(min_value=0, max_value=12)),
+        )
+        for _ in range(n_edges)
+    ]
+    node_ids = sorted(
+        data.draw(
+            st.sets(
+                st.integers(min_value=0, max_value=14),
+                min_size=1,
+                max_size=10,
+            )
+        )
+    )
+    # edges whose src never acquires a rank row are dropped by every
+    # arm (local active mask ≡ broadcast pm-miss skip ≡ join miss)
+    seeds = [node_ids[0]]
+
+    def mk_e():
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([e[0] for e in edges], pa.int64()),
+                    "dst": pa.array([e[1] for e in edges], pa.int64()),
+                }
+            )
+        )
+
+    def mk_n(col):
+        return rd.from_arrow(
+            pa.table({col: pa.array(node_ids, pa.int64())})
+        )
+
+    def rows(ds):
+        recs = ds.to_pandas().to_dict("records")
+        return sorted(tuple(sorted(r.items())) for r in recs)
+
+    old = graph.GRAPH_LOCAL_EDGES
+    try:
+        graph.GRAPH_LOCAL_EDGES = 10**9
+        dr_local = rows(graph.dual_rank(mk_e(), mk_n("v"), seeds=seeds))
+        hb_local = rows(graph.hyperball_md5(mk_e(), mk_n("node"), rounds=3))
+        graph.GRAPH_LOCAL_EDGES = -1
+        dr_dist = rows(graph.dual_rank(mk_e(), mk_n("v"), seeds=seeds))
+        hb_dist = rows(graph.hyperball_md5(mk_e(), mk_n("node"), rounds=3))
+    finally:
+        graph.GRAPH_LOCAL_EDGES = old
+    assert dr_local == dr_dist
+    assert hb_local == hb_dist
+
+
 def _naive_harmonic(edges, n_nodes, max_depth, scale):
     """Reference: per-root BFS, sum scale//d per reached node."""
     from collections import deque
