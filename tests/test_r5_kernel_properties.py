@@ -213,6 +213,68 @@ def test_dual_rank_and_hyperball_arms_agree_on_random_graphs(
     assert hb_local == hb_dist
 
 
+@settings(max_examples=3, deadline=None)
+@given(st.data())
+def test_lexical_and_containment_arms_agree_on_random_docs(
+    ray_session, data
+):
+    """Broadcast vs partitioned arms of lexical_near_pairs and
+    containment_pairs on random word soups with planted duplicates."""
+    import ray.data as rd
+
+    import louis_crawler_legacy_ray.stages.dedup as dedup
+
+    n = data.draw(st.integers(min_value=4, max_value=25))
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = []
+    for i in range(n):
+        if i % 3 == 2 and texts:
+            texts.append(texts[-1] + " zeta")  # near/containment dup
+        else:
+            words = [
+                vocab[data.draw(st.integers(min_value=0, max_value=5))]
+                for _ in range(data.draw(st.integers(min_value=3, max_value=12)))
+            ]
+            texts.append(" ".join(words))
+
+    def mk():
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(n)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+
+    def rows(ds):
+        recs = ds.to_pandas().to_dict("records")
+        return sorted(tuple(sorted(r.items())) for r in recs)
+
+    oldL, oldC = dedup.LEXICAL_BROADCAST_ROWS, dedup.CONTAINMENT_BROADCAST_DOCS
+    orig_bw = dedup._lexical_pairs_blockwise
+    try:
+        dedup.LEXICAL_BROADCAST_ROWS = 10**9
+        dedup.CONTAINMENT_BROADCAST_DOCS = 10**9
+        lex_b = rows(dedup.lexical_near_pairs(mk(), th_num=8, th_den=10))
+        con_b = rows(dedup.containment_pairs(mk(), k=2, num=7, den=10))
+        dedup.LEXICAL_BROADCAST_ROWS = -1
+        dedup.CONTAINMENT_BROADCAST_DOCS = -1
+        # 4 blocks instead of 64: the default tiling is overhead-bound
+        # on toy corpora (64 blocks -> 2080 pair tasks per example)
+        dedup._lexical_pairs_blockwise = (
+            lambda f, tn, td, num_blocks=4: orig_bw(f, tn, td, num_blocks)
+        )
+        lex_p = rows(dedup.lexical_near_pairs(mk(), th_num=8, th_den=10))
+        con_p = rows(dedup.containment_pairs(mk(), k=2, num=7, den=10))
+    finally:
+        dedup.LEXICAL_BROADCAST_ROWS = oldL
+        dedup.CONTAINMENT_BROADCAST_DOCS = oldC
+        dedup._lexical_pairs_blockwise = orig_bw
+    assert lex_b == lex_p
+    assert con_b == con_p
+
+
 def _naive_harmonic(edges, n_nodes, max_depth, scale):
     """Reference: per-root BFS, sum scale//d per reached node."""
     from collections import deque
