@@ -10,6 +10,12 @@
    `_harmonic_partials_broadcast` — per-(root, node) distances equal
    a reference per-root BFS on random digraphs (driven through the
    public kernel by comparing harmonic numerators).
+4. Arms equivalence on RANDOM inputs for every two-arm planner:
+   connected_components (this test found and killed a real bug — the
+   distributed loop's convergence count ignored newly-discovered
+   universe-growth rows and could stop before closure), dual_rank +
+   hyperball (fixed-round growth semantics), and the lexical /
+   containment broadcast-vs-partitioned pairs.
 """
 
 import numpy as np
