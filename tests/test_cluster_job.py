@@ -86,12 +86,23 @@ def test_cluster_attach_matches_local(tmp_path):
         "--shards", "2", "--max-depth", "4",
     ]
 
-    # standalone cluster on its own GCS port (isolated from the pytest
-    # session's in-process Ray)
+    # standalone cluster on its own GCS port AND its own --temp-dir:
+    # teardown must kill ONLY this cluster's daemons. `ray stop` is
+    # machine-wide — it would also kill the pytest session's
+    # in-process Ray, whose fate-sharing then takes down pytest
+    # itself mid-suite (observed: the suite died silently at this
+    # test before the surgical teardown below).
+    # short path under /tmp, NOT tmp_path: Ray's AF_UNIX socket paths
+    # are capped at 107 bytes and pytest tmp dirs blow the budget
+    import shutil
+    import tempfile
+
+    temp_dir = tempfile.mkdtemp(prefix="ctray_", dir="/tmp")
     start = subprocess.run(
         [
             "ray", "start", "--head", "--num-cpus=4",
             f"--port={GCS_PORT}", "--dashboard-port=0",
+            f"--temp-dir={temp_dir}",
             "--disable-usage-stats",
         ],
         capture_output=True,
@@ -123,9 +134,26 @@ def test_cluster_attach_matches_local(tmp_path):
         )
         assert s_resume["fetched"] == s_cluster["fetched"]
     finally:
-        subprocess.run(
-            ["ray", "stop", "--force"], capture_output=True, timeout=120
-        )
+        # surgical teardown: kill only processes whose cmdline carries
+        # this cluster's session dir (gcs_server/raylet/monitor/agents
+        # all do); NEVER `ray stop` — see the start-up comment
+        import time as _time
+
+        for sig in ("-TERM", "-TERM", "-KILL"):
+            subprocess.run(
+                ["pkill", sig, "-f", f"{temp_dir}/session"],
+                capture_output=True,
+                timeout=60,
+            )
+            _time.sleep(1.0)
+            left = subprocess.run(
+                ["pgrep", "-f", f"{temp_dir}/session"],
+                capture_output=True,
+                timeout=60,
+            )
+            if left.returncode != 0:  # nothing left matching
+                break
+        shutil.rmtree(temp_dir, ignore_errors=True)
 
     s_local = _run_job(
         base
