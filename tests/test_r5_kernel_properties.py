@@ -95,7 +95,7 @@ def test_bucket_totals_merge_exact_past_2_53(pairs, n_groups):
         assert _bucket_totals_merge([half, rest]) == root
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=8, deadline=None, derandomize=True)
 @given(st.data())
 def test_cc_arms_agree_on_random_graphs(ray_session, data):
     """Local union-find vs distributed pointer-jumping min-label CC on
@@ -153,7 +153,7 @@ def test_cc_arms_agree_on_random_graphs(ray_session, data):
     assert local == dist
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=6, deadline=None, derandomize=True)
 @given(st.data())
 def test_dual_rank_and_hyperball_arms_agree_on_random_graphs(
     ray_session, data
@@ -219,7 +219,7 @@ def test_dual_rank_and_hyperball_arms_agree_on_random_graphs(
     assert hb_local == hb_dist
 
 
-@settings(max_examples=3, deadline=None)
+@settings(max_examples=3, deadline=None, derandomize=True)
 @given(st.data())
 def test_lexical_and_containment_arms_agree_on_random_docs(
     ray_session, data
@@ -309,7 +309,7 @@ def _naive_harmonic(edges, n_nodes, max_depth, scale):
     return hnum, nreach
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25, deadline=None, derandomize=True)
 @given(st.data())
 def test_bit_parallel_bfs_matches_naive(ray_session, data):
     """The 64-lane bit-parallel BFS produces the same harmonic
