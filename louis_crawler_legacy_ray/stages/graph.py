@@ -334,7 +334,6 @@ def hits(
     materialized between iterations, never on the driver. Returns
     (v, hub, auth).
     """
-    from .joins import partitioned_hash_join
 
     def init(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -716,7 +715,6 @@ def harmonic_centrality(
     (node_col, harmonic_num, reachable) with harmonic_num = scale-scaled
     H and reachable = |{v : 0 < d(v, u) <= max_depth}|.
     """
-    from ray.data.aggregate import Sum as _Sum
 
     edges = edges.materialize()
     if edges.count() <= HARMONIC_BROADCAST_EDGES:
@@ -1016,8 +1014,6 @@ def hyperball_md5(
     est_raw approximates |B(node, rounds)| (self included).
     """
     from ray.data.aggregate import Max as _Max
-    from ray.data.aggregate import Min as _Min
-    from ray.data.aggregate import Sum as _Sum
 
     from .dedup import _md5_u64_lower
     from .joins import partitioned_hash_join
